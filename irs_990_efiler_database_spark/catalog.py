@@ -1,0 +1,51 @@
+"""Parquet table catalog for the synthetic star schema (TESTDATA.md).
+
+At 100 TB the same tables would be partitioned parquet/iceberg paths; this
+catalog keeps path resolution in one place so queries never hardcode file
+layout, and registers temp views so the DataFrame and SQL surfaces see the
+same names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # parquet reader rejects; read nanos as long and truncate to micros
+    # (same truncation DuckDB applies casting ns → us). Set at runtime so
+    # a caller-provided vanilla SparkSession (e.g. the verify driver's)
+    # works too.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view (idempotent) for the SQL surface."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,581 @@
+"""Relational operator surface (SURVEY.md §2.3–§2.7).
+
+The reference implements no joins/windows/set-ops itself (SURVEY §2.3,
+§2.5) — it denormalizes keys so users can join downstream. The engine
+exposes the full Spark surface; every operator family here is pinned by a
+DuckDB oracle.
+
+Join strategy notes for 100 TB: dims (region/nation/supplier, filtered
+customer) are broadcast; fact⋈fact joins shuffle on the join key and are
+AQE-managed (skew split + partition coalescing). Window queries shuffle
+once on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "join_left_order_fill_counts",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_big_items,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS big_qty
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    WHERE o.o_totalprice > 100000
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_left_order_fill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched orders (count = 0)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_big_items"),
+            F.coalesce(F.sum(F.col("l_quantity").cast("decimal(18,2)")), F.lit(0))
+            .cast("double")
+            .alias("big_qty"),
+        )
+    )
+
+
+@register(
+    "join_right_lineitem_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, COUNT(l.l_orderkey) AS n_items
+    FROM lineitem l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def join_right_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (all urgent orders kept, even with no R items)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_returnflag == "R"), "right")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "join_full_outer_balance",
+    oracle="""
+    SELECT
+      COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS has_debt,
+      COUNT(o.o_orderkey) AS n_big_orders
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY COALESCE(c.c_custkey, o.o_custkey),
+             CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END
+    """,
+)
+def join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two filtered key sets."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000).select(
+        "o_custkey", "o_orderkey"
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("has_debt"),
+            F.col("o_orderkey"),
+        )
+        .groupBy("custkey", "has_debt")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS (reference's `%in%` predicate,
+    build_efile_database_functions.R:4958)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS src, b.r_name AS dst
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny-dim only; nested-loop territory)."""
+    a = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("ak"), F.col("r_name").alias("src")
+    )
+    b = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("bk"), F.col("r_name").alias("dst")
+    )
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("src", "dst")
+
+
+@register(
+    "join_range_price_band",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_parts
+    FROM part p
+    JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0), ('high', 1500.0, 100000.0))
+         AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (broadcast nested loop against a tiny band table)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("high", 1500.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# -------------------------------------------------------------- windows
+
+
+@register(
+    "win_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def win_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key dedup (SURVEY §2.5: latest filing per EIN-year)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+@register(
+    "win_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS gap_days
+    FROM orders
+    """,
+)
+def win_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days since the customer's previous order (panel spells)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("gap_days"),
+    )
+
+
+@register(
+    "win_running_supplier_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def win_running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame over a total order
+    (decimal accumulation so the prefix sums are exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "win_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part
+    ) WHERE rk <= 3
+    """,
+)
+def win_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "win_lead_next_ship",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(LEAD(l_shipdate) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_shipdate, l_linenumber),
+                    '%Y-%m-%d') AS next_ship
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def win_lead_next_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() over an intra-order ship sequence."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(F.lead("l_shipdate").over(w), "yyyy-MM-dd").alias("next_ship"),
+    )
+
+
+# --------------------------------------------------------- aggregations
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot_status_by_year",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) AS y1995,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) AS y1996,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 1997) AS y1997,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 1998) AS y1998,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 1999) AS y1999,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 2000) AS y2000,
+           COUNT(*) FILTER (WHERE year(o_orderdate) = 2001) AS y2001
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab (reference's FormType × TaxYear validation query,
+    README.md:77-82 → groupBy().pivot().count())."""
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    years = list(range(1995, 2002))
+    piv = o.groupBy("o_orderstatus").pivot("yr", years).count()
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(str(y)), F.lit(0)).cast("long").alias(f"y{y}") for y in years
+    ]
+    return piv.select(*cols)
+
+
+@register(
+    "agg_count_distinct_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_freq_of_freq",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+    GROUP BY n_orders
+    """,
+)
+def agg_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency (reference's table(table(EIN)) panel-spell
+    distribution, Build-Efiler-Index.md:125-135)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "agg_having_frequent_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 15
+    """,
+)
+def agg_having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped filter on an aggregate (reference: orgs with >6 filings,
+    Build-Efiler-Index.md:131-135)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+# --------------------------------------------------------------- set ops
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT o_custkey, year(o_orderdate)::BIGINT AS yr FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_custkey, year(o_orderdate)::BIGINT AS yr FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate").cast("long"))
+    a = o.filter(F.col("yr") == 1995).select("o_custkey", "yr")
+    b = o.filter(F.col("yr") == 1996).select("o_custkey", "yr")
+    return a.union(b)
+
+
+@register(
+    "setop_intersect_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except_lapsed_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "setop_union_by_name_ragged",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS custkey, c_acctbal AS acctbal, NULL::VARCHAR AS priority
+      FROM customer WHERE c_custkey <= 100
+      UNION ALL BY NAME
+      SELECT o_custkey AS custkey, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey <= 500
+    )
+    """,
+)
+def setop_union_by_name_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ragged union-by-name with NULL fill — the reference's bind_rows
+    semantics (build_efile_database_functions.R:5109-5122)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority"))
+    )
+    return c.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "setop_distinct_pairs",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+)
+def setop_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (reference's unique(index), :75)."""
+    return load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus").distinct()
+
+
+# ------------------------------------------------------- sorts / limits
+
+
+@register(
+    "sort_topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject, no full sort at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .orderBy(F.asc("s_nationkey"), F.desc("s_acctbal"), F.asc("s_suppkey"))
+    )

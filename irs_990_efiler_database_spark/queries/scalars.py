@@ -1,0 +1,276 @@
+"""Scalar function surface (SURVEY.md §2.8) + production-rule analogs
+(§2.2 P7–P10): substring/cast/conditional-year (the reference's TaxYear
+derivation), regex, concat, case-recodes, null defaults, JSON access.
+
+All are native Column expressions — whole-stage-codegen'd, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "scalar_tax_year_derivation",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m') AS tax_period,
+           CASE WHEN substr(strftime(o_orderdate, '%Y%m'), 5, 2) = '12'
+                THEN CAST(substr(strftime(o_orderdate, '%Y%m'), 1, 4) AS BIGINT)
+                ELSE CAST(substr(strftime(o_orderdate, '%Y%m'), 1, 4) AS BIGINT) - 1
+           END AS tax_year
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_tax_year_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TaxYear rule (build_efile_database_functions.R:81-84):
+    year − 1 unless the period ends in December. Exercised over
+    o_orderdate re-encoded as a YYYYMM TaxPeriod string."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    period = F.date_format("o_orderdate", "yyyyMM")
+    yr = F.substring(period, 1, 4).cast("long")
+    return o.select(
+        "o_orderkey",
+        period.alias("tax_period"),
+        F.when(F.substring(period, 5, 2) == "12", yr).otherwise(yr - 1).alias("tax_year"),
+    )
+
+
+@register(
+    "scalar_string_ops",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_type, 'PROMO', 'PROMOTIONAL') AS type_full
+    FROM part
+    """,
+)
+def scalar_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4/F5/F6/F7 equivalents: substring, regex scrub (the
+    reference's URL→ObjectId at get_object_id :39-44), concat, case
+    conversion, token replace (gsub :620)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_num"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", "PROMO", "PROMOTIONAL").alias("type_full"),
+    )
+
+
+@register(
+    "scalar_regexp_extract_key",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract('https://s3.amazonaws.com/irs-form-990/' || CAST(o_orderkey AS VARCHAR) || '_public.xml',
+                          '990/([0-9]+)_public', 1) AS object_id
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_regexp_extract_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: strip URL prefix/suffix → ObjectId (get_object_id :39-44),
+    exercised on synthesized reference-shaped URLs."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    url = F.concat(
+        F.lit("https://s3.amazonaws.com/irs-form-990/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("_public.xml"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(url, r"990/([0-9]+)_public", 1).alias("object_id"),
+    )
+
+
+@register(
+    "scalar_case_recode_collapse",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+                              WHEN 'P' THEN 'Pending' END AS status_label,
+           COALESCE(NULLIF(CASE WHEN o_totalprice > 300000 THEN 'big' ELSE '' END, ''),
+                    NULLIF(CASE WHEN o_totalprice > 100000 THEN 'mid' ELSE '' END, ''),
+                    'small') AS size_class
+    FROM orders
+    """,
+)
+def scalar_case_recode_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 checkbox→label recode + P9 categorical collapse
+    (FORMORG :620-621, ACCTMETHOD :670-671 pattern: mutually-exclusive
+    indicators coalesced into one category, '' → next candidate)."""
+    o = load_table(spark, sf_dir, "orders")
+    status_label = (
+        F.when(F.col("o_orderstatus") == "O", "Open")
+        .when(F.col("o_orderstatus") == "F", "Finished")
+        .when(F.col("o_orderstatus") == "P", "Pending")
+    )
+    big = F.nullif(F.when(F.col("o_totalprice") > 300000, "big").otherwise(""), F.lit(""))
+    mid = F.nullif(F.when(F.col("o_totalprice") > 100000, "mid").otherwise(""), F.lit(""))
+    return o.select(
+        "o_orderkey",
+        status_label.alias("status_label"),
+        F.coalesce(big, mid, F.lit("small")).alias("size_class"),
+    )
+
+
+@register(
+    "scalar_null_default_rule",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS VARCHAR) END, '0') AS qty_rule,
+           CASE WHEN l_returnflag = 'R'
+                THEN COALESCE(CASE WHEN l_tax > 0.05 THEN CAST(l_tax AS VARCHAR) END, '0')
+                ELSE CASE WHEN l_tax > 0.05 THEN CAST(l_tax AS VARCHAR) END
+           END AS tax_rule
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def scalar_null_default_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: the zeroALL / form-gated zeroPC production rules
+    (build_efile_database_functions.R:6-35): null → '0', optionally
+    conditional on a discriminator column."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    qty_str = F.when(F.col("l_quantity") > 25, F.col("l_quantity").cast("string"))
+    tax_str = F.when(F.col("l_tax") > 0.05, F.col("l_tax").cast("string"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(qty_str, F.lit("0")).alias("qty_rule"),
+        F.when(F.col("l_returnflag") == "R", F.coalesce(tax_str, F.lit("0")))
+        .otherwise(tax_str)
+        .alias("tax_rule"),
+    )
+
+
+@register(
+    "scalar_conditional_horizontal_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R'
+                THEN CAST(COALESCE(CAST(l_discount AS DECIMAL(18,2)), 0)
+                        + COALESCE(CAST(l_tax AS DECIMAL(18,2)), 0) AS DOUBLE)
+                ELSE CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE)
+           END AS fee_components
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def scalar_conditional_horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's form-dependent horizontal sum
+    (EXPGAMINGFNDEVENTS :1034-1043 — PC forms sum components NA-ignoring,
+    EZ forms take a single field)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    pc_sum = F.coalesce(dec("l_discount"), F.lit(0)) + F.coalesce(dec("l_tax"), F.lit(0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", pc_sum.cast("double"))
+        .otherwise(dec("l_tax").cast("double"))
+        .alias("fee_components"),
+    )
+
+
+@register(
+    "scalar_math_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def scalar_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic is deterministic in IEEE doubles (same inputs,
+    same ops) — only aggregation order is not; safe to compare raw."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("long").alias("qty_decile"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_date_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS m,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+           strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day_str
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: JSON field access (the reference parses the S3 index JSON,
+    :68) — native get_json_object, no UDF."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@register(
+    "scalar_to_json_struct",
+    oracle="""
+    SELECT o_orderkey,
+           '{"status":"' || o_orderstatus || '","priority":"' || o_orderpriority || '"}'
+             AS order_json
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: struct → JSON serialization (reference demo toJSON,
+    BUILD_SCRIPTS/README.md:237-247)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("order_json"),
+    )
