@@ -1,0 +1,121 @@
+"""CORE table builder — the Spark equivalent of the reference's
+``scrapeXML`` (build_efile_database_functions.R:307-2860): 237 output
+columns over one parsed return, as ONE wide whole-stage-codegen'd
+projection instead of ~600 interpreted per-document xpath calls.
+
+Spec-driven: every variable comes from metadata/core_spec.json
+(derived by tools/derive_990_metadata.py). Variable kinds:
+
+- scalar           multi-version coalesce (+ optional space-collapse,
+                   presence recode)                   (:332-336, :527)
+- concat_collapse  mutually-exclusive recoded checkboxes concatenated,
+                   '' → NULL (FORMORG :620, ACCTMETHOD :670,
+                   EXEMPTSTATUS :745)
+- conditional_sum  990: NA-ignoring horizontal sum of components;
+                   990EZ: single xpath              (:1034-1043, :1529)
+- sum_with_fallback PROFEESINDEP: sum of 7 PC fees; all-NA → EZ field
+                   (:1294-1304)
+- schedule_flag    substring test on the serialized doc (:2522-2620)
+- url / object_id_from_url  key columns               (:39-44)
+
+Production rules zeroALL/zeroPC/zeroEZ (:443-472) apply after recodes,
+form-gated on FORMTYPE exactly as in the reference.
+
+Deliberate deviations from the reference (documented, all are R
+artifacts the engine should not reproduce):
+- R's gsub("NA","",paste(...)) collapse also deletes the substring
+  "NA" inside legitimate values (e.g. "NATIONAL" → "TIONAL"); we
+  concatenate NULL-as-empty without mangling values.
+- R's as.character(sum(...)) prints ≥1e5 values in scientific
+  notation ("1e+05"); we emit canonical integers.
+- Schedule flags are BooleanType, not "TRUE"/"FALSE" strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.concordance import load_core_spec
+from ..sources.xml_source import build_return_schema
+from .compiler import ExprCompiler
+
+
+def _apply_rule(col: Column, rule: str | None, formtype: Column) -> Column:
+    if rule == "zeroALL":
+        return F.coalesce(col, F.lit("0"))
+    if rule == "zeroPC":
+        return F.when(formtype == "990", F.coalesce(col, F.lit("0"))).otherwise(col)
+    if rule == "zeroEZ":
+        return F.when(formtype == "990EZ", F.coalesce(col, F.lit("0"))).otherwise(col)
+    return col
+
+
+def _num(col: Column) -> Column:
+    return col.cast("long")
+
+
+def compile_core_columns(c: ExprCompiler, xml_col: str = "xml") -> dict[str, Column]:
+    """Compile every CORE variable to a named Column."""
+    spec = load_core_spec()
+    vars_ = spec["vars"]
+
+    # FORMTYPE gates the zero rules and the conditional sums; compile first.
+    formtype = c.coalesce_scalar(vars_["FORMTYPE"]["xpaths"])
+
+    exprs: dict[str, Column] = {}
+
+    # pass 1: scalars (incl. recodes + rules)
+    for var, s in vars_.items():
+        if s.get("kind") != "scalar":
+            continue
+        if s.get("collapse") == " ":
+            col = c.collapsed_matches(s["xpaths"], " ")
+        elif "recode_present" in s:
+            col = F.when(c.any_present(s["xpaths"]), F.lit(s["recode_present"]))
+        else:
+            col = c.coalesce_scalar(s["xpaths"])
+        exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+
+    # pass 2: derived variables referencing pass-1 columns
+    for var, s in vars_.items():
+        kind = s.get("kind")
+        if kind == "concat_collapse":
+            parts = [F.coalesce(exprs[v], F.lit("")) for v in s["components"]]
+            exprs[var] = F.nullif(F.concat(*parts), F.lit(""))
+        elif kind == "conditional_sum":
+            pc = sum(
+                (F.coalesce(_num(exprs[v]), F.lit(0)) for v in s["pc_components"]),
+                F.lit(0),
+            ).cast("string")
+            ez = c.coalesce_scalar(s["ez_xpaths"])
+            col = F.when(formtype == "990", pc).otherwise(ez)
+            exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+        elif kind == "sum_with_fallback":
+            comps = [exprs[v] for v in s["pc_components"]]
+            all_null = comps[0].isNull()
+            for comp in comps[1:]:
+                all_null = all_null & comp.isNull()
+            total = sum(
+                (F.coalesce(_num(comp), F.lit(0)) for comp in comps), F.lit(0)
+            ).cast("string")
+            ez = c.coalesce_scalar(s["ez_xpaths"])
+            col = F.when(all_null, ez).otherwise(total)
+            exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+        elif kind == "schedule_flag":
+            exprs[var] = F.col(xml_col).contains(s["schedule"])
+        elif kind == "url":
+            exprs[var] = F.col("url")
+        elif kind == "object_id_from_url":
+            exprs[var] = F.col("object_id")
+    return exprs
+
+
+def build_core(returns: DataFrame) -> DataFrame:
+    """returns (url, xml, doc, object_id) → CORE, one row per filing,
+    columns in the reference's namedList order (:2768-2850)."""
+    _, builder = build_return_schema()
+    c = ExprCompiler(builder)
+    exprs = compile_core_columns(c)
+    spec = load_core_spec()
+    return returns.select([exprs[v].alias(v) for v in spec["columns"]])

@@ -1,0 +1,126 @@
+"""Generic concordance-driven table builder — the Spark equivalent of
+the reference's ``build_rdb_table`` (+ find_group_names/get_var_map/
+get_table, build_efile_database_functions.R:121-276).
+
+For a target table named in the concordance:
+
+- ONE-cardinality  → one row per return; each variable is a
+  multi-version coalesce (buildPartVII :4161-4414 / buildSchedJ
+  :4424-4915 shape). Schedule-scoped tables are guarded on schedule
+  presence (:4428).
+- MANY-cardinality → explode each repeating-group root (the roots are
+  inferred from the concordance by first-divergent-segment, :121-134),
+  extract each group member's leaves via the leaf→variable map
+  (:141-151), and union the per-root frames by name (ragged bind_rows
+  semantics, :5109-5122).
+
+Every row carries the reference's six denormalized keys
+OBJECT_ID, EIN, NAME, TAXYR, FORMTYPE, URL (:269-270).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.concordance import concrete_groups, load_core_spec, table_rows
+from ..sources.xml_source import build_return_schema
+from .compiler import ExprCompiler
+
+KEY_COLS = ("OBJECT_ID", "EIN", "NAME", "TAXYR", "FORMTYPE", "URL")
+
+# schedule guard: table prefix → ReturnData member whose presence gates
+# row emission (reference: buildSchedJ guard :4428)
+_TABLE_GUARDS = {
+    "SJ-": "IRS990ScheduleJ",
+    "SN-": "IRS990ScheduleN",
+}
+
+
+def _key_exprs(c: ExprCompiler) -> list[Column]:
+    core = load_core_spec()["vars"]
+    return [
+        F.col("object_id").alias("OBJECT_ID"),
+        c.coalesce_scalar(core["EIN"]["xpaths"]).alias("EIN"),
+        c.coalesce_scalar(core["NAME"]["xpaths"]).alias("NAME"),
+        c.coalesce_scalar(core["FISYR"]["xpaths"]).alias("TAXYR"),
+        c.coalesce_scalar(core["FORMTYPE"]["xpaths"]).alias("FORMTYPE"),
+        F.col("url").alias("URL"),
+    ]
+
+
+def _typed(col: Column, data_type: str, typed: bool) -> Column:
+    if not typed:
+        return col
+    if data_type == "numeric":
+        return col.cast("long")
+    if data_type == "boolean":
+        return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+            col.isin("X", "1", "true")
+        )
+    return col
+
+
+def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) -> DataFrame:
+    """returns (url, xml, doc, object_id) → the named concordance table."""
+    rows = table_rows(table_name)
+    if not rows:
+        raise KeyError(f"unknown rdb table {table_name!r}")
+    _, builder = build_return_schema()
+    c = ExprCompiler(builder)
+    keys = _key_exprs(c)
+
+    guard = None
+    for prefix, member in _TABLE_GUARDS.items():
+        if table_name.startswith(prefix):
+            guard = F.col("xml").contains(member)
+    src = returns.filter(guard) if guard is not None else returns
+
+    ones = [r for r in rows if r["cardinality"] == "ONE"]
+    manys = [r for r in rows if r["cardinality"] == "MANY"]
+
+    if ones and not manys:
+        by_var: dict[str, dict] = {}
+        for r in ones:
+            v = by_var.setdefault(
+                r["variable"], {"xpaths": [], "data_type": r["data_type"]}
+            )
+            v["xpaths"].append(r["xpath"])
+        cols = [
+            _typed(c.coalesce_scalar(s["xpaths"]), s["data_type"], typed).alias(var)
+            for var, s in by_var.items()
+        ]
+        return src.select(*keys, *cols)
+
+    # MANY: explode each concrete repeating element, map leaves →
+    # variables, union by name (NULL-fill for leaves a version doesn't
+    # carry — the reference's ragged bind_rows, :5109-5122)
+    typemap = {r["variable"]: r["data_type"] for r in manys}
+    frames: list[DataFrame] = []
+    for gp, leaves in concrete_groups(manys).items():
+        real_group = any(rel for rel in leaves)
+        if not real_group:
+            # divergence at the leaf itself (e.g. the SCHED-O checkbox
+            # variants): one row per present leaf, no explode
+            var = next(iter(leaves.values()))
+            frames.append(
+                src.filter(c.presence(gp)).select(
+                    *keys, _typed(c.scalar(gp), typemap[var], typed).alias(var)
+                )
+            )
+            continue
+        gcol, depth, _ = c._walk(gp)
+        for _ in range(depth - 1):
+            gcol = F.flatten(gcol)
+        exploded = src.select(*keys, F.explode(gcol).alias("_g"))
+        cols = []
+        for rel, var in leaves.items():
+            col: Column = F.col("_g")
+            for seg in rel.split("/"):
+                col = col[seg]
+            cols.append(_typed(col, typemap[var], typed).alias(var))
+        frames.append(exploded.select(*[F.col(k) for k in KEY_COLS], *cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -1,0 +1,88 @@
+"""Return-document XML source.
+
+The reference fetches and DOM-parses one document at a time over HTTPS
+(read_xml + xml_ns_strip, build_efile_database_functions.R:5012-5018) —
+3M sequential GETs dominate its 1–2 day build. The Spark-native design:
+
+1. **Bundle first.** At scale, raw XML files are consolidated once into
+   parquet bundles of ``(url, xml string)`` — S3 listing/open overhead of
+   3M small objects is the killer; after bundling, every downstream pass
+   is a columnar scan. ``read_return_bundle`` consumes that layout.
+2. **Parse with an explicit superset schema.** ``F.from_xml`` with the
+   StructType generated from the concordance xpath set (plans.xml_schema)
+   — no schema inference over 3M version-variant docs (SURVEY §4.2).
+3. **Keep the raw string column.** Schedule-presence flags are substring
+   predicates on the serialized doc, matching the reference's grepl
+   semantics (:2522-2620) exactly; corrupt documents stay quarantineable.
+
+``read_return_xml_files`` (wholetext file source) covers the small/local
+case with the identical downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.concordance import concrete_groups, load_core_spec, load_rdb_spec
+from ..plans.xml_schema import XmlSchemaBuilder
+
+# Leaves the reference space-collapses (multi-match paste(collapse=" "),
+# :527-528, :1515) — these repeat within one document.
+_REPEATED_LEAF_VARS = {"DOMICILE", "FILINGSTATES"}
+
+
+def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
+    """Superset StructType over every xpath in the CORE spec and the
+    per-table concordances, with MANY-table group roots as arrays."""
+    b = XmlSchemaBuilder()
+    core = load_core_spec()
+    for var, spec in core["vars"].items():
+        repeated = spec.get("collapse") == " " or var in _REPEATED_LEAF_VARS
+        for xp in spec.get("xpaths", []) + spec.get("ez_xpaths", []):
+            b.add_xpath(xp, repeated_leaf=repeated)
+
+    rdb = load_rdb_spec()
+    by_table: dict[str, list[dict]] = {}
+    for r in rdb:
+        by_table.setdefault(r["rdb_table"], []).append(r)
+    for rows in by_table.values():
+        many = [r for r in rows if r["cardinality"] == "MANY"]
+        for r in rows:
+            b.add_xpath(r["xpath"])
+        if many:
+            for gp, leaves in concrete_groups(many).items():
+                if any(rel for rel in leaves):  # real repeating group
+                    b.mark_repeated(gp)
+    return b.build(), b
+
+
+def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Add ``doc`` (parsed struct) + ``object_id`` to a (url, xml) frame."""
+    schema, _ = build_return_schema()
+    return df.withColumn(
+        "doc", F.from_xml(F.col(xml_col), schema)
+    ).withColumn(
+        # get_object_id (:39-44): strip bucket prefix and _public.xml suffix
+        "object_id",
+        F.regexp_extract(F.col("url"), r"([0-9A-Za-z]+)_public\.xml", 1),
+    )
+
+
+def read_return_xml_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Local/dev source: one row per XML file (wholetext)."""
+    raw = (
+        spark.read.option("wholetext", True)
+        .text(path_glob)
+        .select(
+            F.input_file_name().alias("url"),
+            F.col("value").alias("xml"),
+        )
+    )
+    return with_parsed_return(raw)
+
+
+def read_return_bundle(spark: SparkSession, bundle_path: str) -> DataFrame:
+    """Scale source: parquet bundles of (url, xml)."""
+    return with_parsed_return(spark.read.parquet(bundle_path))
