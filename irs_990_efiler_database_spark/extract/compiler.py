@@ -60,7 +60,9 @@ class ExprCompiler:
         for _ in range(depth - 1):
             col = F.flatten(col)
         if depth > 0:
-            col = F.element_at(F.array_compact(col), 1)
+            # F.get is NULL-safe on empty arrays (element_at throws
+            # under ANSI mode, the Spark 4 default)
+            col = F.get(F.array_compact(col), 0)
         return col
 
     def scalar(self, xpath: str) -> Column:
@@ -107,7 +109,14 @@ class ExprCompiler:
         return cond
 
     def collapsed_matches(self, xpaths: list[str], sep: str = " ") -> Column:
-        """paste(collapse=sep) across all matches of all versions."""
-        arr = F.concat(*[self.matches_array(x) for x in xpaths])
+        """paste(collapse=sep) across all matches of all versions.
+
+        Each version's match array is coalesced to [] first — F.concat
+        over arrays is NULL if ANY argument is NULL, and absent versions
+        parse to NULL arrays."""
+        empty = F.array().cast("array<string>")
+        arr = F.concat(
+            *[F.coalesce(self.matches_array(x), empty) for x in xpaths]
+        )
         joined = F.array_join(arr, sep)
         return F.nullif(joined, F.lit(""))

@@ -111,11 +111,15 @@ def compile_core_columns(c: ExprCompiler, xml_col: str = "xml") -> dict[str, Col
     return exprs
 
 
-def build_core(returns: DataFrame) -> DataFrame:
+def build_core(returns: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """returns (url, xml, doc, object_id) → CORE, one row per filing,
-    columns in the reference's namedList order (:2768-2850)."""
+    columns in the reference's namedList order (:2768-2850).
+
+    ``columns`` overrides the output column list (e.g. deduplicated —
+    the reference's namedList carries ORGDISSOLVED twice)."""
     _, builder = build_return_schema()
     c = ExprCompiler(builder)
     exprs = compile_core_columns(c)
     spec = load_core_spec()
-    return returns.select([exprs[v].alias(v) for v in spec["columns"]])
+    cols = spec["columns"] if columns is None else columns
+    return returns.select([exprs[v].alias(v) for v in cols])

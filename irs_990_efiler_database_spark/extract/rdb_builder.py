@@ -113,12 +113,24 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
         for _ in range(depth - 1):
             gcol = F.flatten(gcol)
         exploded = src.select(*keys, F.explode(gcol).alias("_g"))
-        cols = []
+        # One variable may have several XSD-version leaf names inside the
+        # same repeating group (BusinessNameLine1 vs BusinessNameLine1Txt)
+        # — group rel-paths by variable and coalesce the member accesses,
+        # the same multi-version P2 semantics as coalesce_scalar
+        # (reference pipe-union, :332-336).
+        by_var: dict[str, list[str]] = {}
         for rel, var in leaves.items():
-            col: Column = F.col("_g")
-            for seg in rel.split("/"):
-                col = col[seg]
-            cols.append(_typed(col, typemap[var], typed).alias(var))
+            by_var.setdefault(var, []).append(rel)
+        cols = []
+        for var, rels in by_var.items():
+            members = []
+            for rel in rels:
+                col: Column = F.col("_g")
+                for seg in rel.split("/"):
+                    col = col[seg]
+                members.append(col)
+            merged = members[0] if len(members) == 1 else F.coalesce(*members)
+            cols.append(_typed(merged, typemap[var], typed).alias(var))
         frames.append(exploded.select(*[F.col(k) for k in KEY_COLS], *cols))
     out = frames[0]
     for f in frames[1:]:

@@ -61,6 +61,7 @@ def _load() -> None:
     from . import (  # noqa: F401
         dedup_ops,
         events_ops,
+        extract_990,
         relational,
         scalars,
         similarity_ops,

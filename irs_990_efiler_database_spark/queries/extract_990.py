@@ -1,0 +1,55 @@
+"""990 extraction pipeline under the oracle gate.
+
+Each query runs the REAL Spark extraction path (wholetext XML source →
+``F.from_xml`` superset struct → compiled Column expressions) over the
+canonical 4-document fixture matrix (two 990 + two 990EZ spanning the
+2013 XSD break — the reference's own demo corpus,
+BUILD_SCRIPTS/README.md:44-50), and is checked against an independent
+ElementTree re-implementation of the reference's per-document semantics
+(``extract.golden``) emitted as literal DuckDB SQL.
+
+Queries: CORE (scrapeXML analog, reference
+build_efile_database_functions.R:307-2860) + each concordance-driven
+table (build_rdb_table, :210-276).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extract.core_builder import build_core
+from ..extract.golden import fixtures_dir, golden_core_sql, golden_rdb_sql
+from ..extract.rdb_builder import build_rdb_table
+from ..plans.concordance import load_core_spec, table_names
+from ..sources.xml_source import read_return_xml_files
+from . import register
+
+_GLOB = str(fixtures_dir() / "*.xml")
+
+
+def _returns(spark: SparkSession) -> DataFrame:
+    return read_return_xml_files(spark, _GLOB)
+
+
+@register("x990_core", oracle=golden_core_sql())
+def x990_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORE: 237-column scrapeXML analog (one row per return); dedup'd
+    column list (the reference's namedList carries ORGDISSOLVED twice)."""
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    return build_core(_returns(spark), columns=cols)
+
+
+def _register_rdb(table: str) -> None:
+    # query names can't contain the raw table name's dots/dashes freely;
+    # normalize to a stable snake identifier
+    qname = "x990_" + table.lower().replace("-", "_")
+
+    @register(qname, oracle=golden_rdb_sql(table))
+    def _q(spark: SparkSession, sf_dir: str, _t: str = table) -> DataFrame:
+        return build_rdb_table(_returns(spark), _t)
+
+    _q.__doc__ = f"Concordance table {table} (build_rdb_table analog)."
+
+
+for _t in table_names():
+    _register_rdb(_t)

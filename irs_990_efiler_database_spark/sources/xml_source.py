@@ -71,14 +71,15 @@ def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
 
 
 def read_return_xml_files(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Local/dev source: one row per XML file (wholetext)."""
-    raw = (
-        spark.read.option("wholetext", True)
-        .text(path_glob)
-        .select(
-            F.input_file_name().alias("url"),
-            F.col("value").alias("xml"),
-        )
+    """Local/dev source: one row per XML file (wholetext).
+
+    NB: must be the ``wholetext=`` kwarg — the builder-style
+    ``.option("wholetext", True)`` does not bind on this reader and
+    silently falls back to one row per *line*.
+    """
+    raw = spark.read.text(path_glob, wholetext=True).select(
+        F.input_file_name().alias("url"),
+        F.col("value").alias("xml"),
     )
     return with_parsed_return(raw)
 
