@@ -47,38 +47,52 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize_gap",
     oracle="""
     WITH seq AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             CASE WHEN date_diff('second',
-                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                      ts) > 1800
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
       FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ), sess AS (
       SELECT user_id, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_seq
-      FROM seq
+      FROM flagged
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, session_seq
     """,
 )
 def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap → new session (window
-    lag + running sum), then events per session."""
+    lag + running sum), then events per session.
+
+    The gap is compared in epoch MICROSECONDS on both sides: the
+    parquet ts is ns-precision and both engines truncate ns→µs on
+    cast, so µs arithmetic is the finest granularity that is
+    deterministic across engines — a seconds-granularity comparison
+    (or an ambiguous LAG over a shadowing ts alias) can disagree at
+    session-boundary events."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    gap = F.col("ts").cast("long") - prev.cast("long")
-    is_new = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > 1_800_000_000), 1
+    ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         e.withColumn("is_new", is_new)
-        .withColumn("session_seq", F.sum("is_new").over(wsum))
+        .withColumn("session_seq", F.sum("is_new").over(wsum).cast("long"))
         .groupBy("user_id", "session_seq")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
