@@ -25,6 +25,7 @@ from ..plans.concordance import (
     concrete_groups,
     load_core_spec,
     load_rdb_spec,
+    load_schedn_spec,
     table_rows,
 )
 
@@ -253,6 +254,43 @@ def golden_rdb_rows(
     return col_order, out_rows
 
 
+def golden_schedn_rows(
+    url: str, xml_text: str, table_name: str
+) -> tuple[list[str], list[dict]]:
+    """(column order, rows) for one document of the named SCHED-N table
+    — golden analog of the reference's hand-rolled Schedule N section
+    (:2875-4140), guarded on schedule presence (:2881)."""
+    spec = load_schedn_spec()
+    t = spec["tables"][table_name]
+    cols = list(spec["header"]) + list(t["columns"])
+    if "IRS990ScheduleN" not in xml_text:
+        return cols, []
+    core = golden_core_row(url, xml_text)
+    header = {h: core[h] for h in spec["header"]}
+    root = load_doc(xml_text)
+
+    if t["cardinality"] == "ONE":
+        row = dict(header)
+        for v in t["columns"]:
+            row[v] = _coalesce(root, t["vars"][v]["xpaths"])
+        return cols, [row]
+
+    out: list[dict] = []
+    for gp in t["groups"]:
+        for node in _match_nodes(root, gp):
+            row = dict(header)
+            for v in t["columns"]:
+                val = None
+                for rel in t["vars"][v]["rels"]:
+                    hit = node.find(rel)
+                    if hit is not None and hit.text is not None:
+                        val = hit.text
+                        break
+                row[v] = val
+            out.append(row)
+    return cols, out
+
+
 # --------------------------------------------------------------- SQL
 
 def _sql_lit(v, is_bool: bool) -> str:
@@ -303,6 +341,18 @@ def golden_core_sql() -> str:
         golden_core_row(_file_url(p), p.read_text()) for p in fixture_files()
     ]
     return values_sql(cols, rows, bool_cols)
+
+
+def golden_schedn_sql(table_name: str) -> str:
+    cols: list[str] = []
+    rows: list[dict] = []
+    for p in fixture_files():
+        c, r = golden_schedn_rows(_file_url(p), p.read_text(), table_name)
+        for col in c:
+            if col not in cols:
+                cols.append(col)
+        rows.extend(r)
+    return values_sql(cols, rows, {"SCHEDN"})
 
 
 def golden_rdb_sql(table_name: str) -> str:

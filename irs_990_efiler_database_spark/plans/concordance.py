@@ -34,6 +34,14 @@ def load_core_spec() -> dict:
     return json.loads((_META / "core_spec.json").read_text())
 
 
+@lru_cache(maxsize=1)
+def load_schedn_spec() -> dict:
+    """Schedule N spec (header vars + TABLE-00..03), derived from the
+    reference's hand-rolled explode section (:2875-4140) by
+    tools/derive_990_metadata.py."""
+    return json.loads((_META / "schedn_spec.json").read_text())
+
+
 def table_rows(table_name: str) -> list[dict]:
     return [r for r in load_rdb_spec() if r["rdb_table"] == table_name]
 

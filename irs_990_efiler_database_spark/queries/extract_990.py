@@ -18,8 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..extract.core_builder import build_core
-from ..extract.golden import fixtures_dir, golden_core_sql, golden_rdb_sql
+from ..extract.golden import (
+    fixtures_dir,
+    golden_core_sql,
+    golden_rdb_sql,
+    golden_schedn_sql,
+)
 from ..extract.rdb_builder import build_rdb_table
+from ..extract.schedn_builder import build_schedn_table, schedn_table_names
 from ..plans.concordance import load_core_spec, table_names
 from ..sources.xml_source import read_return_xml_files
 from . import register
@@ -53,3 +59,20 @@ def _register_rdb(table: str) -> None:
 
 for _t in table_names():
     _register_rdb(_t)
+
+
+def _register_schedn(table: str) -> None:
+    qname = "x990_" + table.lower().replace("-", "_")
+
+    @register(qname, oracle=golden_schedn_sql(table))
+    def _q(spark: SparkSession, sf_dir: str, _t: str = table) -> DataFrame:
+        return build_schedn_table(_returns(spark), _t)
+
+    _q.__doc__ = (
+        f"Schedule N table {table} (hand-rolled explode analog, "
+        "reference :2875-4140)."
+    )
+
+
+for _t in schedn_table_names():
+    _register_schedn(_t)

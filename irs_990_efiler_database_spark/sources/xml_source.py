@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.concordance import concrete_groups, load_core_spec, load_rdb_spec
+from ..plans.concordance import (
+    concrete_groups,
+    load_core_spec,
+    load_rdb_spec,
+    load_schedn_spec,
+)
 from ..plans.xml_schema import XmlSchemaBuilder
 
 # Leaves the reference space-collapses (multi-match paste(collapse=" "),
@@ -55,6 +60,22 @@ def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
             for gp, leaves in concrete_groups(many).items():
                 if any(rel for rel in leaves):  # real repeating group
                     b.mark_repeated(gp)
+
+    # Schedule N (explicit groups; reference :2875-4140). Every (group,
+    # version-rel) combination is declared — absent combos parse to
+    # NULL, matching the reference's search-all-alternatives-per-node.
+    schedn = load_schedn_spec()
+    for spec in schedn["tables"].values():
+        if spec["cardinality"] == "ONE":
+            for v in spec["vars"].values():
+                for xp in v["xpaths"]:
+                    b.add_xpath(xp)
+        else:
+            for gp in spec["groups"]:
+                b.mark_repeated(gp)
+                for v in spec["vars"].values():
+                    for rel in v["rels"]:
+                        b.add_xpath(f"{gp}/{rel}")
     return b.build(), b
 
 

@@ -17,8 +17,13 @@ from irs_990_efiler_database_spark.extract.golden import (
     fixture_files,
     golden_core_row,
     golden_rdb_rows,
+    golden_schedn_rows,
 )
 from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+from irs_990_efiler_database_spark.extract.schedn_builder import (
+    build_schedn_table,
+    schedn_table_names,
+)
 from irs_990_efiler_database_spark.plans.concordance import (
     load_core_spec,
     table_names,
@@ -40,13 +45,20 @@ def returns(spark):
 
 def test_wholetext_one_row_per_file(returns):
     # regression: .option("wholetext", True) silently read one row per
-    # LINE (192 rows); the kwarg form gives one row per file
-    assert returns.count() == len(fixture_files()) == 4
+    # LINE; the kwarg form gives one row per file
+    assert returns.count() == len(fixture_files()) == 6
 
 
 def test_object_id_derived_from_url(returns):
     ids = {r["object_id"] for r in returns.select("object_id").collect()}
-    assert ids == {"100000001", "100000002", "100000003", "100000004"}
+    assert ids == {
+        "100000001",
+        "100000002",
+        "100000003",
+        "100000004",
+        "100000005",
+        "100000006",
+    }
 
 
 def _rows_as_dicts(df):
@@ -56,7 +68,7 @@ def _rows_as_dicts(df):
 def test_core_matches_golden(returns):
     cols = list(dict.fromkeys(load_core_spec()["columns"]))
     spark_rows = {r["URL"]: r for r in _rows_as_dicts(build_core(returns, columns=cols))}
-    assert len(spark_rows) == 4
+    assert len(spark_rows) == 6
     for p in fixture_files():
         url = p.resolve().as_uri()
         golden = golden_core_row(url, p.read_text())
@@ -88,3 +100,40 @@ def test_rdb_table_matches_golden(returns, table):
         [{c: r.get(c) for c in golden_cols} for r in golden_rows], key=key
     )
     assert got == want, f"{table}: spark != golden"
+
+
+@pytest.mark.parametrize("table", schedn_table_names())
+def test_schedn_table_matches_golden(returns, table):
+    df = build_schedn_table(returns, table)
+    golden_rows: list[dict] = []
+    golden_cols: list[str] = []
+    for p in fixture_files():
+        c, r = golden_schedn_rows(p.resolve().as_uri(), p.read_text(), table)
+        for col in c:
+            if col not in golden_cols:
+                golden_cols.append(col)
+        golden_rows.extend(r)
+    assert sorted(df.columns) == sorted(golden_cols)
+
+    def key(d):
+        return tuple(str(d.get(c)) for c in sorted(golden_cols))
+
+    got = sorted(_rows_as_dicts(df), key=key)
+    want = sorted(
+        [{c: r.get(c) for c in golden_cols} for r in golden_rows], key=key
+    )
+    assert got == want, f"{table}: spark != golden"
+
+
+def test_schedn_row_counts(returns):
+    # fixture 5 (2014 XSD): 2 liquidation details, 0 dispositions, 1 suppl
+    # fixture 6 (2012 XSD): 1 liquidation, 2 dispositions, 1 part-III note
+    counts = {
+        t: build_schedn_table(returns, t).count() for t in schedn_table_names()
+    }
+    assert counts == {
+        "SCHED-N-TABLE-00": 2,
+        "SCHED-N-TABLE-01": 3,
+        "SCHED-N-TABLE-02": 2,
+        "SCHED-N-TABLE-03": 2,
+    }

@@ -236,6 +236,154 @@ def parse_scrape(lines: list[str]) -> tuple[dict, list[str]]:
     return {"columns": columns, "vars": vars_}, unhandled
 
 
+SCHEDN_START, SCHEDN_END = 2875, 4140  # the if(SCHEDN) block
+MASTER = REF.parent.parent / "MASTER_CONCORDANCE_V0.csv"
+
+RX_SYM_Q = re.compile(r"^([A-Za-z0-9._]+)\s*<-\s*['\"]([^'\"]+)['\"]\s*$")
+RX_PASTE_Q = re.compile(
+    r"^([A-Za-z0-9._]+)\s*<-\s*paste\(\s*(.+?)\s*,\s*sep\s*=\s*['\"]\|['\"]\s*\)\s*$"
+)
+RX_SN_EXTRACT = re.compile(
+    r"^(SN_[A-Z0-9_]+)\s*<-\s*xml_text\(\s*xml_find_all\(\s*(doc|nodei)\s*,\s*(.+?)\s*\)\s*\)$"
+)
+RX_ND = re.compile(r'nd\s*<-\s*xml_find_all\(\s*doc\s*,\s*"([^"]+)"\s*\)')
+
+
+def _schedn_concrete_roots(root_names: list[str]) -> list[str]:
+    """Anywhere-roots (//LiquidationDetail) → concrete absolute paths,
+    scanned from the master concordance's Schedule N xpaths (the same
+    crosswalk the reference's anywhere-search implicitly resolves
+    against). E.g. LiquidationDetail →
+    /Return/ReturnData/IRS990ScheduleN/LiquidationTable/LiquidationDetail."""
+    text = MASTER.read_text(errors="replace")
+    out: list[str] = []
+    for m in re.finditer(r"/Return/ReturnData/IRS990ScheduleN[A-Za-z0-9/]*", text):
+        parts = m.group(0).strip("/").split("/")
+        for rn in root_names:
+            if rn in parts:
+                p = "/" + "/".join(parts[: parts.index(rn) + 1])
+                if p not in out:
+                    out.append(p)
+    missing = [
+        rn for rn in root_names if not any(g.endswith("/" + rn) for g in out)
+    ]
+    if missing:
+        raise SystemExit(f"schedn roots not found in master concordance: {missing}")
+    return sorted(out)
+
+
+def _parse_named_list(section: str, anchor: str) -> tuple[list[str], list[str]]:
+    """(header tokens, SN_ column tokens) from a namedList assembly."""
+    start = section.find(anchor)
+    if start < 0:
+        raise SystemExit(f"namedList anchor {anchor!r} not found")
+    i = section.index("(", start)
+    depth, j = 0, i
+    while j < len(section):
+        if section[j] == "(":
+            depth += 1
+        elif section[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    body = re.sub(r"#[^\n]*", "", section[i + 1 : j])
+    tokens = re.findall(r"[A-Z][A-Z0-9_]*", body)
+    header = [t for t in tokens if not t.startswith("SN_")]
+    cols = [t for t in tokens if t.startswith("SN_")]
+    return header, cols
+
+
+def parse_schedn(lines: list[str]) -> dict:
+    """Parse the hand-rolled Schedule N section (reference :2875-4140):
+    TABLE_00 doc-level scalars + three per-node explode loops
+    (:3189-3576, :3596-4008, :4021-4134) into a declarative spec."""
+    body = lines[SCHEDN_START - 1 : SCHEDN_END]
+    text = "\n".join(body)
+    nds = list(RX_ND.finditer(text))
+    if len(nds) != 3:
+        raise SystemExit(f"expected 3 nd<- statements, got {len(nds)}")
+    bounds = [0] + [m.start() for m in nds] + [len(text)]
+    sections = [text[bounds[i] : bounds[i + 1]] for i in range(4)]
+
+    def parse_section(sec: str, roots: list[str] | None) -> dict:
+        sym: dict[str, list[str]] = {}
+        vars_: dict[str, dict] = {}
+        order: list[str] = []
+        root_names = [r.rsplit("/", 1)[-1] for r in (roots or [])]
+
+        def norm_rel(p: str) -> str | None:
+            """Node-relative path; reference bug-sites pass absolute
+            paths to xml_find_all(nodei, ...) — recover the intended
+            leaf by stripping through the group-root segment."""
+            if not p.startswith("/"):
+                return p
+            parts = p.strip("/").split("/")
+            for rn in root_names:
+                if rn in parts:
+                    return "/".join(parts[parts.index(rn) + 1 :])
+            return None
+
+        for st in _join_statements(sec.splitlines()):
+            if (m := RX_SYM_Q.match(st)) :
+                sym[m.group(1)] = m.group(2).split("|")
+                continue
+            if (m := RX_PASTE_Q.match(st)) :
+                parts = [p.strip() for p in m.group(2).split(",")]
+                acc: list[str] = []
+                for p in parts:
+                    if p.startswith(("'", '"')):
+                        acc.extend(p.strip("'\"").split("|"))
+                    elif p in sym:
+                        acc.extend(sym[p])
+                sym[m.group(1)] = acc
+                continue
+            if (m := RX_SN_EXTRACT.match(st)) :
+                var, _anchor, token = m.groups()
+                if token.startswith(("'", '"')):
+                    paths = token.strip("'\"").split("|")
+                elif token in sym:
+                    paths = sym[token]
+                else:
+                    continue
+                if roots is None:
+                    spec = {"xpaths": paths}
+                else:
+                    rels: list[str] = []
+                    for p in paths:
+                        r = norm_rel(p)
+                        if r and r not in rels:
+                            rels.append(r)
+                    spec = {"rels": rels}
+                vars_[var] = spec
+                order.append(var)
+        return {"vars": vars_, "order": order}
+
+    t00 = parse_section(sections[0], None)
+    header, t00_cols = _parse_named_list(sections[0], "schedNtable.00 <- namedList(")
+    tables: dict[str, dict] = {
+        "SCHED-N-TABLE-00": {
+            "cardinality": "ONE",
+            "columns": t00_cols,
+            "vars": {v: t00["vars"][v] for v in t00_cols},
+        }
+    }
+    for i, nd in enumerate(nds, start=1):
+        roots = _schedn_concrete_roots(
+            [r.lstrip("/") for r in nd.group(1).split("|")]
+        )
+        sec = sections[i]
+        parsed = parse_section(sec, roots)
+        _, cols = _parse_named_list(sec, "var.list <- namedList(")
+        tables[f"SCHED-N-TABLE-0{i}"] = {
+            "cardinality": "MANY",
+            "groups": roots,
+            "columns": cols,
+            "vars": {v: parsed["vars"][v] for v in cols},
+        }
+    return {"header": header, "tables": tables}
+
+
 def parse_concordance(path: Path, table_prefix: str) -> list[dict]:
     """Reduce a per-table concordance CSV to the fields the planner needs
     (reference: ConcordancePartVII.csv / ConcordanceSchedJ.csv headers)."""
@@ -279,6 +427,17 @@ def main() -> None:
     tables = sorted({r["rdb_table"] for r in rdb})
     print(f"rdb spec: {len(rdb)} xpath rows over tables {tables}")
     (OUT_DIR / "rdb_tables.json").write_text(json.dumps(rdb, indent=1))
+
+    schedn = parse_schedn(lines)
+    for t, spec in schedn["tables"].items():
+        print(
+            f"schedn spec: {t} {spec['cardinality']} "
+            f"{len(spec['columns'])} vars"
+            + (f" groups={spec['groups']}" if "groups" in spec else "")
+        )
+    (OUT_DIR / "schedn_spec.json").write_text(
+        json.dumps(schedn, indent=1, sort_keys=True)
+    )
 
     if unhandled:
         print("\nUNHANDLED (first 30):")
