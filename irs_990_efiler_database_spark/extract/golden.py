@@ -293,30 +293,35 @@ def golden_schedn_rows(
 
 # --------------------------------------------------------------- SQL
 
-def _sql_lit(v, is_bool: bool) -> str:
+def _sql_lit(v, sql_type: str) -> str:
     if v is None:
-        return "CAST(NULL AS BOOLEAN)" if is_bool else "CAST(NULL AS VARCHAR)"
-    if is_bool:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type == "BOOLEAN":
         return "TRUE" if v else "FALSE"
+    if sql_type in ("BIGINT", "INTEGER", "DOUBLE"):
+        return f"CAST({v} AS {sql_type})"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
 
-def values_sql(cols: list[str], rows: list[dict], bool_cols: set[str]) -> str:
-    """Literal golden rows as a DuckDB SELECT ... UNION ALL chain."""
+def typed_values_sql(
+    cols: list[str], rows: list[dict], types: dict[str, str]
+) -> str:
+    """Literal golden rows as a DuckDB SELECT ... UNION ALL chain;
+    per-column SQL types via ``types`` (default VARCHAR)."""
+    t = {c: types.get(c, "VARCHAR") for c in cols}
     if not rows:
-        sel = ", ".join(
-            f"CAST(NULL AS {'BOOLEAN' if c in bool_cols else 'VARCHAR'}) AS {c}"
-            for c in cols
-        )
+        sel = ", ".join(f"CAST(NULL AS {t[c]}) AS {c}" for c in cols)
         return f"SELECT {sel} WHERE FALSE"
     selects = []
     for r in rows:
-        sel = ", ".join(
-            f"{_sql_lit(r.get(c), c in bool_cols)} AS {c}" for c in cols
-        )
+        sel = ", ".join(f"{_sql_lit(r.get(c), t[c])} AS {c}" for c in cols)
         selects.append(f"SELECT {sel}")
     return "\nUNION ALL\n".join(selects)
+
+
+def values_sql(cols: list[str], rows: list[dict], bool_cols: set[str]) -> str:
+    return typed_values_sql(cols, rows, {c: "BOOLEAN" for c in bool_cols})
 
 
 def fixtures_dir() -> Path:

@@ -62,6 +62,7 @@ def _load() -> None:
         dedup_ops,
         events_ops,
         extract_990,
+        index_ops,
         relational,
         scalars,
         similarity_ops,

@@ -1,0 +1,37 @@
+"""Index pipeline tests (buildIndex analog, reference :54-89)."""
+
+from __future__ import annotations
+
+from irs_990_efiler_database_spark.queries.index_ops import (
+    _GLOB,
+    _golden_index_rows,
+)
+from irs_990_efiler_database_spark.sources.index import (
+    build_index,
+    filter_index,
+)
+
+
+def test_build_index_dedupes_and_derives_tax_year(spark):
+    idx = build_index(spark, _GLOB)
+    rows = {r["ObjectId"]: r.asDict() for r in idx.collect()}
+    golden = {r["ObjectId"]: r for r in _golden_index_rows()}
+    assert len(rows) == len(golden) == 25  # 26 raw - 1 duplicate
+    for obj, g in golden.items():
+        assert rows[obj] == g
+
+
+def test_tax_year_rule(spark):
+    # Dec period-end → TaxYear == period year; otherwise year - 1
+    idx = build_index(spark, _GLOB)
+    for r in idx.select("TaxPeriod", "TaxYear").collect():
+        yr, month = int(r["TaxPeriod"][:4]), r["TaxPeriod"][4:6]
+        assert r["TaxYear"] == (yr if month == "12" else yr - 1)
+
+
+def test_ein_filter_is_broadcast_semi_join(spark):
+    eins = spark.createDataFrame([("100000001",)], ["EIN"])
+    out = filter_index(build_index(spark, _GLOB), eins=eins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert out.count() == 3  # one filing per fixture year
