@@ -1,0 +1,122 @@
+"""Build orchestration — the Spark replacement for the reference's
+``buildDatabase`` driver loop (build_efile_database_functions.R:
+4938-5177) and ``buildYear`` chunk/restart scaffolding
+(BUILD_SCRIPTS/README.md:294-355).
+
+One parameterized job: scan XML → PERMISSIVE parse → all output tables
+off ONE cached parse → partitioned idempotent writes + dead-letter.
+What the reference does with a 3M-iteration driver loop, manual chunking
+into ~1000 parts, try()/redo lists, and per-chunk RDS files is here:
+
+- task-level parallelism over the XML scan (no driver loop);
+- PERMISSIVE parse + dead-letter table (no try()/FAIL_LIST);
+- dynamic partition overwrite (no chunk/restart bookkeeping — re-running
+  a year replaces exactly that year's partitions);
+- the multi-year "separate R instances" parallelism (README.md:258) is
+  just executor parallelism over one job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract.core_builder import build_core
+from .extract.rdb_builder import build_rdb_table
+from .extract.schedn_builder import build_schedn_table, schedn_table_names
+from .plans.concordance import load_core_spec, table_names
+from .sinks import write_csv, write_dead_letter, write_table
+from .sources.index import filter_index
+from .sources.xml_source import (
+    read_return_bundle,
+    read_return_xml_files,
+    split_corrupt,
+)
+
+
+@dataclass
+class BuildResult:
+    tables: dict[str, str] = field(default_factory=dict)  # name -> path
+    rows: dict[str, int] = field(default_factory=dict)
+    dead_letter_path: str | None = None
+    dead_rows: int = 0
+
+
+def _all_builders():
+    core_cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    builders: dict[str, tuple] = {
+        # CORE partitions on FISYR (its tax-year column); writing needs
+        # unique column names so the namedList's faithful ORGDISSOLVED
+        # dup is dropped here
+        "CORE": (lambda r: build_core(r, columns=core_cols), ("FISYR", "FORMTYPE"))
+    }
+    for t in table_names():
+        builders[t] = (lambda r, _t=t: build_rdb_table(r, _t), ("TAXYR", "FORMTYPE"))
+    for t in schedn_table_names():
+        builders[t] = (
+            lambda r, _t=t: build_schedn_table(r, _t),
+            ("FISYR", "FORMTYPE"),
+        )
+    return builders
+
+
+def build_database(
+    spark: SparkSession,
+    out_dir: str,
+    xml_glob: str | list[str] | None = None,
+    bundle_path: str | None = None,
+    index: DataFrame | None = None,
+    years: list[int] | None = None,
+    form_types: tuple[str, ...] | None = None,
+    tables: list[str] | None = None,
+    csv: bool = False,
+) -> BuildResult:
+    """Run the full build: source → parse → N tables → sinks.
+
+    ``index``: optional built index; when given, only documents whose
+    ObjectId appears in the (years/form_types-filtered) index are
+    processed — the reference's pre-fetch subsetting (:4958) as a
+    broadcast semi-join.
+    """
+    if (xml_glob is None) == (bundle_path is None):
+        raise ValueError("exactly one of xml_glob / bundle_path required")
+    returns = (
+        read_return_xml_files(spark, xml_glob)
+        if xml_glob is not None
+        else read_return_bundle(spark, bundle_path)
+    )
+    if index is not None:
+        wanted = filter_index(
+            index, years=years, form_types=form_types, available_only=True
+        ).select(F.col("ObjectId").alias("object_id"))
+        returns = returns.join(F.broadcast(wanted), "object_id", "left_semi")
+
+    ok, dead = split_corrupt(returns)
+    ok = ok.persist()
+    try:
+        result = BuildResult()
+        builders = _all_builders()
+        selected = tables if tables is not None else list(builders)
+        for name in selected:
+            build, part_cols = builders[name]
+            df = build(ok)
+            path = f"{out_dir.rstrip('/')}/{name}"
+            n = df.count()
+            # an empty partitioned write leaves no schema on disk —
+            # write empties unpartitioned so the table stays readable
+            write_table(df, path, partition_by=part_cols if n else None)
+            if csv:
+                write_csv(df, f"{path}-csv")
+            result.tables[name] = path
+            result.rows[name] = n
+
+        dl_path = f"{out_dir.rstrip('/')}/DEAD-LETTER"
+        result.dead_rows = dead.count()
+        if result.dead_rows:
+            write_dead_letter(dead, dl_path)
+            result.dead_letter_path = dl_path
+        return result
+    finally:
+        ok.unpersist()

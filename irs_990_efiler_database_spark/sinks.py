@@ -1,0 +1,60 @@
+"""Table sinks — the Spark replacement for the reference's per-chunk
+saveRDS/write.csv outputs (build_efile_database_functions.R:5136-5163)
+and its manual chunk/restart bookkeeping (BUILD_SCRIPTS/README.md:
+294-355).
+
+Partitioned parquet with DYNAMIC partition overwrite is the scale
+design: re-running a year's build atomically replaces exactly that
+year's partitions (idempotent restart — the chunk/redo list becomes a
+no-op), and every downstream read prunes on tax_year/form_type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PARTITION_COLS = ("TAXYR", "FORMTYPE")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] | None = DEFAULT_PARTITION_COLS,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink (replaces saveRDS, :5136-5148).
+
+    Partition values are preserved as-is; rows whose partition column
+    is NULL land in the Hive default partition and round-trip as NULL.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    w = df.write.mode(mode)
+    cols = [c for c in (partition_by or ()) if c in df.columns]
+    if cols:
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (replaces write.csv, :5151-5163). Single-header CSV
+    directory; arrays/structs are not CSV-able so flat tables only."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_dead_letter(dead: DataFrame, path: str, mode: str = "append") -> None:
+    """Dead-letter sink (FAIL_LIST.csv analog, :5096-5101): append-only
+    parquet of (url, xml, reason, captured_at) for replay."""
+    dead.withColumn("captured_at", F.current_timestamp()).write.mode(
+        mode
+    ).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Re-read a sink table; the glob-concat chunk re-reader
+    (bind_data, BUILD_SCRIPTS/README.md:388-409) is just this scan —
+    parquet directories ARE the concatenation."""
+    # keep partition values exactly as written (all-string output model)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    return spark.read.parquet(path)

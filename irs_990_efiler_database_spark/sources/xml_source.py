@@ -79,11 +79,27 @@ def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
     return b.build(), b
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
-    """Add ``doc`` (parsed struct) + ``object_id`` to a (url, xml) frame."""
+    """Add ``doc`` (parsed struct) + ``object_id`` to a (url, xml) frame.
+
+    Parsing is PERMISSIVE: malformed documents keep their raw text in
+    ``doc._corrupt_record`` instead of failing the job — the Spark
+    analog of the reference's per-URL try() + FAIL_LIST capture
+    (:5012-5017, :5047-5101); ``split_corrupt`` separates them."""
     schema, _ = build_return_schema()
+    parse_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     return df.withColumn(
-        "doc", F.from_xml(F.col(xml_col), schema)
+        "doc",
+        F.from_xml(
+            F.col(xml_col),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
     ).withColumn(
         # get_object_id (:39-44): strip bucket prefix and _public.xml suffix
         "object_id",
@@ -91,7 +107,22 @@ def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
-def read_return_xml_files(spark: SparkSession, path_glob: str) -> DataFrame:
+def split_corrupt(returns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(parsed, dead_letter): dead-letter rows are documents the XML
+    parser rejected — (url, xml) preserved for replay, like the
+    reference's FAIL_LIST.csv of unfetchable URLs (:5096-5101)."""
+    bad = F.col(f"doc.{CORRUPT_COL}").isNotNull()
+    return (
+        returns.filter(~bad),
+        returns.filter(bad).select(
+            "url", "xml", F.lit("xml_parse_error").alias("reason")
+        ),
+    )
+
+
+def read_return_xml_files(
+    spark: SparkSession, path_glob: str | list[str]
+) -> DataFrame:
     """Local/dev source: one row per XML file (wholetext).
 
     NB: must be the ``wholetext=`` kwarg — the builder-style

@@ -1,0 +1,98 @@
+"""End-to-end build-job test: fixtures → all tables → partitioned
+parquet + dead-letter → re-read equals direct builder output
+(round-trip, reference buildDatabase :4938-5177)."""
+
+from __future__ import annotations
+
+import pytest
+
+from irs_990_efiler_database_spark.extract.core_builder import build_core
+from irs_990_efiler_database_spark.jobs import build_database
+from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+from irs_990_efiler_database_spark.sources.xml_source import (
+    read_return_xml_files,
+    split_corrupt,
+)
+
+GLOBS = ["tests/fixtures/*.xml", "tests/fixtures/corrupt/*.xml"]
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("build")
+    return build_database(spark, str(out), xml_glob=GLOBS), out
+
+
+def test_all_tables_written(result):
+    res, _ = result
+    assert set(res.tables) == {
+        "CORE",
+        "F9-P07-TABLE-00-COMP-OVERVIEW",
+        "F9-P07-TABLE-01-DTK-COMPENSATION",
+        "F9-P07-TABLE-02-CONTXR-COMPENSATION",
+        "F9-P07-TABLE-03-SCHED-O-REPORT",
+        "SJ-P01-T00-CHECKLIST",
+        "SJ-P02-T01-COMPENSATION",
+        "SJ-P03-T02-EXPLANATION-TEXT",
+        "SCHED-N-TABLE-00",
+        "SCHED-N-TABLE-01",
+        "SCHED-N-TABLE-02",
+        "SCHED-N-TABLE-03",
+    }
+    assert res.rows["CORE"] == 6  # corrupt doc quarantined, not built
+
+
+def test_dead_letter_captured(result, spark):
+    res, _ = result
+    assert res.dead_rows == 1
+    dl = spark.read.parquet(res.dead_letter_path)
+    row = dl.collect()[0]
+    assert row["reason"] == "xml_parse_error"
+    assert "999999999" in row["url"]
+    assert row["xml"].startswith("<Return")
+
+
+def test_round_trip_core_equals_direct_build(result, spark):
+    res, _ = result
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    direct = build_core(
+        split_corrupt(read_return_xml_files(spark, GLOBS))[0], columns=cols
+    )
+    readback = spark.read.parquet(res.tables["CORE"])
+    assert sorted(readback.columns) == sorted(direct.columns)
+    key = lambda r: r["URL"]  # noqa: E731
+    got = sorted([r.asDict() for r in readback.select(*direct.columns).collect()], key=key)
+    want = sorted([r.asDict() for r in direct.collect()], key=key)
+    assert got == want
+
+
+def test_partition_pruning_layout(result, spark):
+    _, out = result
+    # dynamic-partition layout: CORE/FISYR=2014/FORMTYPE=990/...
+    parts = {p.name for p in (out / "CORE").iterdir() if p.is_dir()}
+    assert {"FISYR=2012", "FISYR=2014"} <= parts
+
+
+def test_index_scoped_build(spark, tmp_path):
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.index import build_index
+
+    # index fixture objects don't match the XML fixtures' object ids,
+    # except none — so scope via a synthetic index of two of them
+    idx = spark.createDataFrame(
+        [
+            ("100000001", "201412", "990", "u1", "100000001", True),
+            ("100000003", "201406", "990EZ", "u3", "100000003", True),
+        ],
+        ["EIN", "TaxPeriod", "FormType", "URL", "ObjectId", "IsAvailable"],
+    )
+    from irs_990_efiler_database_spark.sources.index import with_tax_year
+
+    res = build_database(
+        spark,
+        str(tmp_path),
+        xml_glob=GLOBS,
+        index=with_tax_year(idx),
+        tables=["CORE"],
+    )
+    assert res.rows["CORE"] == 2
