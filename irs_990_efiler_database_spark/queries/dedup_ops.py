@@ -1,8 +1,16 @@
 """Deduplication operators over `documents` (north-star surface).
 
-Exact dedup is a hash-groupBy; fuzzy variants (MinHash-LSH, SimHash,
-n-gram Jaccard) live in ``operators.dedup`` and are surfaced here with
-engine-portable hashing (md5) so a DuckDB oracle can verify them.
+Exact dedup is a hash-groupBy. Fuzzy dedup (MinHash-LSH, SimHash,
+n-gram Jaccard) lives in ``operators.dedup`` and is surfaced here with
+md5-derived hashing so the DuckDB oracle reproduces every value
+bit-for-bit — the oracle SQL below re-implements each pipeline stage
+in DuckDB list-lambda SQL.
+
+The fixture corpus has no organic near-duplicates at small SF, so the
+fuzzy queries run over ``documents`` augmented with deterministic
+mutated copies (doc_id + 1_000_000, suffix-append) — both engines
+apply the same augmentation, and the known pairs prove the pipeline
+finds what it should.
 """
 
 from __future__ import annotations
@@ -11,9 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.dedup import (
+    SIMHASH_BITS,
+    char_shingles,
+    minhash_lsh_pairs,
+    normalize_text,
+    shingled,
+    simhash,
+    simhash_pairs,
+)
 from . import register
 
-_NORM = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))  # noqa: E731
+_NORM = normalize_text
 
 
 @register(
@@ -32,7 +49,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative. Scale: one shuffle on the 16-byte digest."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.md5(_NORM("text")).alias("fp"))
+        d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") > 1)
@@ -54,8 +71,247 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving-document count after exact dedup."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.md5(_NORM("text")).alias("fp"))
+        d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep"))
         .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# ------------------------------------------------------------- fuzzy
+
+_SUFFIX = " duplicated appendix notice"
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated near-copies of doc_id < 25 (deterministic)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+_SQL_BASE = f"""
+  base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, concat(text, '{_SUFFIX}')
+    FROM documents WHERE doc_id < 25
+  ),
+  norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM base
+  )
+"""
+
+_SQL_SHINGLES = """
+  sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - 4, 1)),
+             i -> substring(t, i, 5))) AS sh
+    FROM norm
+  )
+"""
+
+_K = 12
+_SQL_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || '#{j}')))" for j in range(_K)
+)
+_SQL_SIG = f"""
+  sig AS (
+    SELECT doc_id, sh, [{_SQL_SIG_ELEMS}] AS sig FROM sh
+  )
+"""
+
+_SQL_BAND_ELEMS = ", ".join(
+    f"md5(array_to_string(sig[{i * 3 + 1}:{i * 3 + 3}], '|'))" for i in range(4)
+)
+_SQL_BANDS = f"""
+  bands AS (
+    SELECT doc_id,
+           generate_subscripts([{_SQL_BAND_ELEMS}], 1) - 1 AS band_idx,
+           unnest([{_SQL_BAND_ELEMS}]) AS band_hash
+    FROM sig
+  )
+"""
+
+
+@register(
+    "fdedup_minhash_signature",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+           sig[1] AS sig_0, sig[2] AS sig_1
+    FROM sig WHERE doc_id < 100
+    """,
+)
+def fdedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle count + MinHash signature head — verifies
+    the zero-shuffle shingle/minhash projection stage."""
+    sh = shingled(_augmented(spark, sf_dir))
+    return sh.filter(F.col("id") < 100).select(
+        F.col("id").alias("doc_id"),
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.col("sig")[0].alias("sig_0"),
+        F.col("sig")[1].alias("sig_1"),
+    )
+
+
+@register(
+    "fdedup_lsh_buckets",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}
+    SELECT CAST(band_idx AS BIGINT) AS band_idx, band_hash,
+           COUNT(*) AS n_docs
+    FROM bands
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision buckets of the LSH banding stage — the only shuffle in
+    candidate generation carries (doc_id, band_hash), never text."""
+    sh = shingled(_augmented(spark, sf_dir))
+    return (
+        sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
+        .groupBy(F.col("band_idx").cast("long").alias("band_idx"), "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "fdedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(x.sh || y.sh)) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(x.sh || y.sh)) >= 0.5
+    """,
+)
+def fdedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: banded candidates → exact
+    n-gram-Jaccard verification ≥ 0.5. No cartesian product in the
+    plan (asserted in tests)."""
+    return minhash_lsh_pairs(_augmented(spark, sf_dir), threshold=0.5)
+
+
+_SQL_TOKHASH = """
+  toks AS (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(unnest(string_split(t, ' '))), 1, 15))
+                AS BIGINT) AS h
+    FROM norm
+  )
+"""
+_SQL_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH_ACC = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH = f"""
+  votes AS (
+    SELECT doc_id, {_SQL_VOTES} FROM toks GROUP BY doc_id
+  ),
+  sim AS (
+    SELECT doc_id, {_SQL_SIMHASH_ACC} AS simhash FROM votes
+  )
+"""
+
+
+@register(
+    "fdedup_simhash",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_TOKHASH}, {_SQL_SIMHASH}
+    SELECT doc_id, simhash FROM sim WHERE doc_id < 100
+    """,
+)
+def fdedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (token-hash bit votes via one
+    map-side-combined grouped aggregation)."""
+    out = simhash(_augmented(spark, sf_dir))
+    return out.filter(F.col("id") < 100).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_SQL_SIM_BANDS = f"""
+  simbands AS (
+    SELECT doc_id, simhash,
+           generate_subscripts([
+             (simhash >> 0) & 32767, (simhash >> 15) & 32767,
+             (simhash >> 30) & 32767, (simhash >> 45) & 32767], 1) - 1 AS band_idx,
+           unnest([
+             (simhash >> 0) & 32767, (simhash >> 15) & 32767,
+             (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band_key
+    FROM sim
+  )
+"""
+
+
+@register(
+    "fdedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_TOKHASH}, {_SQL_SIMHASH}, {_SQL_SIM_BANDS}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM simbands a
+    JOIN simbands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def fdedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup pairs: candidates share a 15-bit band;
+    verification = Hamming distance ≤ 6."""
+    return simhash_pairs(_augmented(spark, sf_dir))
+
+
+@register(
+    "fdedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(x.sh || y.sh)) AS jaccard
+    FROM sh x
+    JOIN sh y
+      ON y.doc_id = x.doc_id + 1000000
+    """,
+)
+def fdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the known original→mutated pairs —
+    pins the Jaccard arithmetic itself on non-trivial values."""
+    sh = shingled(_augmented(spark, sf_dir)).select("id", "sh")
+    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    return a.join(
+        b, F.col("id_b") == F.col("id_a") + 1_000_000
+    ).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        ).alias("jaccard"),
     )

@@ -1,7 +1,11 @@
 """Similarity-search operators over `embeddings` (north-star surface).
 
-Brute-force cosine is the correctness baseline; the LSH-bucketed scale
-path lives in ``operators.similarity``.
+Per-row vector math (norms, decimal-exact dot products) is zero-shuffle
+``F.aggregate``/``F.zip_with`` over the array column; search paths live
+in ``operators.similarity`` (brute-force cosine top-k baseline +
+sign-LSH bucketed ANN scale path). The DuckDB oracles recompute the
+same decimal-exact arithmetic positionally, so cosine values compare
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -10,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.similarity import ann_topk_bucketed, cosine_topk, l2_norm
 from . import register
 
 
@@ -27,18 +32,15 @@ from . import register
     """,
 )
 def sim_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norms via explode + exact decimal sum-of-squares (order-safe
-    for hash comparison; per-element double products are deterministic)."""
+    """Per-row L2 norms — computed shuffle-free with a decimal-exact
+    array aggregation (the previous explode+groupBy formulation
+    shuffled dim× the corpus for the same number; the oracle keeps the
+    explode formulation as an independent derivation)."""
     e = load_table(spark, sf_dir, "embeddings")
-    x = F.explode("embedding").alias("x")
-    ex = e.select("vec_id", x).select(
-        "vec_id", (F.col("x").cast("double") * F.col("x").cast("double")).alias("xx")
-    )
-    return ex.groupBy("vec_id").agg(
-        F.round(F.sqrt(F.sum(F.col("xx").cast("decimal(30,15)")).cast("double")), 6).alias(
-            "l2_norm"
-        ),
-        F.count(F.lit(1)).alias("dim"),
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
@@ -58,3 +60,107 @@ def sim_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val"))
+
+
+_SQL_DOTS = """
+  pairs AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv,
+           c.vec_id AS neighbor_id, c.embedding AS cv
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ),
+  dots AS (
+    SELECT query_id, neighbor_id,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS dot,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS qq,
+           SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS cc
+    FROM pairs, unnest(generate_series(1, len(qv))) AS t(i)
+    GROUP BY query_id, neighbor_id
+  ),
+  scored AS (
+    SELECT query_id, neighbor_id,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6) AS cos
+    FROM dots
+  )
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_SQL_DOTS}
+    SELECT query_id, neighbor_id, rank, cos
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for query vectors vec_id < 5 —
+    broadcast query set, per-partition scoring, decimal-exact dots."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+_SQL_BUCKETS = """
+  bkt AS (
+    SELECT vec_id, embedding,
+           array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings
+  ),
+  bpairs AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qv,
+           c.vec_id AS neighbor_id, c.embedding AS cv, c.bucket
+    FROM bkt q
+    JOIN bkt c ON q.bucket = c.bucket AND q.vec_id < 5
+              AND c.vec_id <> q.vec_id
+  ),
+  bdots AS (
+    SELECT query_id, neighbor_id, bucket,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS dot,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS qq,
+           SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS cc
+    FROM bpairs, unnest(generate_series(1, len(qv))) AS t(i)
+    GROUP BY query_id, neighbor_id, bucket
+  ),
+  bscored AS (
+    SELECT query_id, neighbor_id, bucket,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6) AS cos
+    FROM bdots
+  )
+"""
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_SQL_BUCKETS}
+    SELECT query_id, neighbor_id, bucket, rank, cos
+    FROM (
+      SELECT query_id, neighbor_id, bucket, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM bscored
+    )
+    WHERE rank <= 3
+    """,
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-3: scoring restricted to same-bucket
+    candidates via an equi-join on the bucket key — the scale path that
+    replaces all-pairs scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bucketed(e, e.filter(F.col("vec_id") < 5), k=3)

@@ -1,0 +1,94 @@
+"""Operator-level tests for fuzzy dedup + similarity search: known
+near-duplicate recovery, and plan-shape assertions (no cartesian
+product in LSH candidate generation; no shuffle in per-row vector
+math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from irs_990_efiler_database_spark.catalog import load_table
+from irs_990_efiler_database_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from irs_990_efiler_database_spark.operators.similarity import (
+    ann_topk_bucketed,
+    cosine_topk,
+    l2_norm,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _augmented(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail mutation")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_augmented(spark), threshold=0.5).collect()
+    }
+    planted = [(i, i + 1_000_000) for i in range(10)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) >= 8  # LSH recall on 0.9+ jaccard pairs
+    assert all(pairs[p] > 0.8 for p in found)
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    plan = _plan(minhash_lsh_pairs(_augmented(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_finds_planted_neardups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_augmented(spark)).collect()
+    }
+    planted = [(i, i + 1_000_000) for i in range(10)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) >= 8
+    assert all(pairs[p] <= 6 for p in found)
+
+
+def test_l2_norm_is_shuffle_free(spark):
+    e = load_table(spark, SF, "embeddings")
+    out = e.select("vec_id", l2_norm(F.col("embedding")).alias("n"))
+    assert "Exchange" not in _plan(out)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    e = load_table(spark, SF, "embeddings")
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 3), k=2)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # the query set, not the corpus
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.000001 <= r["cos"] <= 1.000001
+
+
+def test_ann_bucketed_is_equijoin_and_subset_of_bruteforce(spark):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    plan = _plan(ann_topk_bucketed(e, q, k=50))
+    assert "CartesianProduct" not in plan
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(e, q, k=10**6).collect()
+    }
+    for r in ann_topk_bucketed(e, q, k=50).collect():
+        # every ANN hit scores identically to the brute-force path
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
