@@ -1,7 +1,8 @@
-"""Event-stream operators over `events`. Batch-expressible windowed
-aggregations here (hash-verified vs the oracle); the true Structured
-Streaming path (watermarks, availableNow) lives in ``streaming`` and is
-exercised by tests.
+"""Event-stream operators over `events`: batch windowed aggregations,
+the lag+running-sum sessionizer, and an availableNow Structured
+Streaming run of the same tumbling operator (``streaming`` module) —
+all hash-verified against the oracle; streaming/batch parity is
+additionally asserted in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -41,6 +42,36 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as events_tumbling_5min, but run
+    through the Structured Streaming engine (file source → watermark →
+    availableNow drain into a memory sink) — the streaming path itself
+    sits under the oracle gate."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, stream_events, tumbling_counts
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = tumbling_counts(stream_events(spark, str(tmp / "in")))
+    return run_available_now(stream, "events_stream_tumbling_q", str(tmp / "ckpt"))
 
 
 @register(
