@@ -18,6 +18,12 @@ Architecture (Spark-first, NOT a port of the reference's R engine):
                     TPC-H-style analytics, extraction tables, index
                     pipeline, and training-data-pipeline operators
                     (dedup, similarity, text analysis).
+- ``operators``   — training-data-pipeline operators: fuzzy dedup
+                    (MinHash-LSH, SimHash, n-gram Jaccard) and vector
+                    similarity search (cosine top-k, sign-LSH ANN).
+- ``streaming``   — Structured Streaming over event feeds (watermarked
+                    tumbling + session windows, availableNow drains)
+                    with asserted batch parity.
 - ``sinks``       — partitioned parquet / CSV / dead-letter writers
                     (reference: saveRDS+write.csv :5136-5163).
 - ``jobs``        — orchestration (reference: buildDatabase :4938-5177,

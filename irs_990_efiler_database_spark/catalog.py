@@ -33,11 +33,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    # parquet reader rejects; read nanos as long and truncate to micros
-    # (same truncation DuckDB applies casting ns → us). Set at runtime so
-    # a caller-provided vanilla SparkSession (e.g. the verify driver's)
-    # works too.
-    if name == "events":
+    # parquet reader rejects. The tuned session factory sets nanosAsLong
+    # up front (session.py); for caller-provided vanilla sessions (the
+    # driver's) fall back to setting it here, guarded so an already-
+    # configured session is never mutated.
+    if (
+        name == "events"
+        and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

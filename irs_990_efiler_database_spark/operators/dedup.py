@@ -37,26 +37,52 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
 
 
-def _salted_min(shingles: Column, j: int) -> Column:
-    # NB: the salt must be closed over OUTSIDE the lambda — a
-    # two-parameter lambda is interpreted by F.transform as
-    # (element, index) and would silently salt with the array index
-    salt = F.lit(f"#{j}")
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, salt))))
+MERSENNE31 = 2147483647  # 2^31 - 1
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """k-permutation MinHash signature: permutation j is the md5 of the
-    shingle salted with '#j'; the signature element is the lexicographic
-    minimum hex digest (a valid min-wise hash)."""
-    return F.array(*[_salted_min(shingles, j) for j in range(k)])
+def perm_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_j odd, b_j), both
+    md5-derived so the Spark builder and the SQL oracle generator share
+    them byte-for-byte."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
 
 
-def band_hashes(sig: Column, bands: int = 4, rows: int = 3) -> Column:
+def shingle_base_hash(s: Column) -> Column:
+    """32-bit md5-derived shingle hash (portable: first 8 hex chars)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature: ONE md5 per shingle, then k
+    affine permutations (a_j·h + b_j) mod (2^31−1) — the classic
+    integer minhash; a_j < 2^28 and h < 2^32 keep products in int64."""
+    base = F.transform(shingles, shingle_base_hash)
+    sigs = []
+    for a, b in perm_constants(k):
+        # close over the constants OUTSIDE the lambda — a two-parameter
+        # lambda would be read by F.transform as (element, index)
+        av, bv = F.lit(a).cast("long"), F.lit(b).cast("long")
+        sigs.append(F.array_min(F.transform(base, lambda h: (av * h + bv) % MERSENNE31)))
+    return F.array(*sigs)
+
+
+def band_hashes(sig: Column, bands: int = 4, rows: int = 4) -> Column:
     """LSH banding: band i's key is the md5 of its signature slice."""
     return F.array(
         *[
-            F.md5(F.array_join(F.slice(sig, i * rows + 1, rows), "|"))
+            F.md5(
+                F.array_join(
+                    F.transform(F.slice(sig, i * rows + 1, rows), lambda x: x.cast("string")),
+                    "|",
+                )
+            )
             for i in range(bands)
         ]
     )
@@ -69,30 +95,58 @@ def jaccard(a: Column, b: Column) -> Column:
     return (inter.cast("double") / union.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the hash-heavy projection runs on all cores: small inputs
+    (a single parquet row group) arrive as 1-2 partitions and would
+    serialize the md5 work. At cluster scale the input is already
+    well-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingled(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 5, k: int = 12, bands: int = 4, rows: int = 3,
+    n: int = 5, k: int = 16, bands: int = 4, rows: int = 4,
 ) -> DataFrame:
     """(id, shingles, minhash signature, band hashes) per document."""
     norm = normalize_text(F.col(text_col))
+    df = _spread(df)
     out = df.select(F.col(id_col).alias("id"), char_shingles(norm, n).alias("sh"))
     out = out.withColumn("sig", minhash_signature(F.col("sh"), k))
     return out.withColumn("bh", band_hashes(F.col("sig"), bands, rows))
 
 
+def estimated_jaccard(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """MinHash estimate: fraction of agreeing signature positions."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.lit(float(k))
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 5, k: int = 12, bands: int = 4, rows: int = 3,
-    threshold: float = 0.5,
+    n: int = 5, k: int = 16, bands: int = 4, rows: int = 4,
+    threshold: float = 0.5, est_prefilter: float = 0.25,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
 
-    Candidates come from shared LSH band buckets (shuffle on the band
-    key only); exact Jaccard then verifies candidates. The plan
-    contains no cartesian product (asserted in tests)."""
-    # the shingle/signature projection feeds four plan branches (both
-    # sides of the band self-join + both jaccard joins); persist so the
-    # salted-md5 work runs once per document, not four times
+    Three-stage funnel, each stage cheaper per-candidate than the next
+    is expensive:
+    1. banded LSH candidates — shuffle carries (id, band_hash) only;
+    2. signature-estimate pre-filter — joins the small (k×32B)
+       signature arrays and drops the low-similarity mass before any
+       shingle array moves (template-heavy corpora generate degenerate
+       buckets whose pairs would otherwise dominate the exact stage);
+    3. exact Jaccard on the surviving pairs' shingle sets.
+    The plan contains no cartesian product (asserted in tests)."""
+    # the shingle/signature projection feeds several plan branches
+    # (band self-join sides + the verify joins); persist so the
+    # salted-md5 work runs once per document
     sh = shingled(df, id_col, text_col, n, k, bands, rows).persist()
     bandsdf = sh.select(
         "id", F.posexplode("bh").alias("band_idx", "band_hash")
@@ -107,6 +161,15 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    sigs = sh.select("id", "sig")
+    cand = (
+        cand.join(sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .filter(
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k) >= est_prefilter
+        )
+        .select("id_a", "id_b")
     )
     sets_ = sh.select("id", "sh")
     out = (
@@ -133,7 +196,7 @@ def simhash(
     """60-bit SimHash per document via explode + one grouped bit-vote
     aggregation (the shuffle carries only (id, 8-byte hash) pairs and
     is map-side combined — the scalable shape for simhashing 100 TB)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).select("id", token_hash(F.col("tok")).alias("h"))

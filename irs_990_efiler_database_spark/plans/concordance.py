@@ -73,7 +73,12 @@ def find_group_names(xpaths: list[str]) -> list[str]:
 
 
 def get_var_map(rows: list[dict]) -> dict[str, str]:
-    """XSD leaf name → canonical variable (reference :141-151)."""
+    """XSD leaf name → canonical variable (reference :141-151).
+
+    The builder path uses ``concrete_groups`` (rel-path → variable,
+    which also disambiguates same-named leaves under different roots);
+    this reference-exact E2 port is kept as the cross-check the tests
+    pin the two against (tests/test_concordance.py)."""
     out: dict[str, str] = {}
     for r in rows:
         leaf = r["xpath"].strip("/").split("/")[-1]

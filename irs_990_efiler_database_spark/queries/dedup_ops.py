@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import (
+    MERSENNE31,
     SIMHASH_BITS,
     char_shingles,
     minhash_lsh_pairs,
     normalize_text,
+    perm_constants,
     shingled,
     simhash,
     simhash_pairs,
@@ -117,18 +119,29 @@ _SQL_SHINGLES = """
   )
 """
 
-_K = 12
+_K = 16
+_ROWS = 4
+# ONE md5 per shingle (32-bit base hash), then k affine permutations —
+# same constants as the Spark builder (operators.dedup.perm_constants)
 _SQL_SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(sh, s -> md5(s || '#{j}')))" for j in range(_K)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+    for a, b in perm_constants(_K)
 )
 _SQL_SIG = f"""
+  hashed AS (
+    SELECT doc_id, sh,
+           list_transform(sh,
+             s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)) AS hs
+    FROM sh
+  ),
   sig AS (
-    SELECT doc_id, sh, [{_SQL_SIG_ELEMS}] AS sig FROM sh
+    SELECT doc_id, sh, [{_SQL_SIG_ELEMS}] AS sig FROM hashed
   )
 """
 
 _SQL_BAND_ELEMS = ", ".join(
-    f"md5(array_to_string(sig[{i * 3 + 1}:{i * 3 + 3}], '|'))" for i in range(4)
+    f"md5(array_to_string(sig[{i * _ROWS + 1}:{i * _ROWS + _ROWS}], '|'))"
+    for i in range(4)
 )
 _SQL_BANDS = f"""
   bands AS (
@@ -194,11 +207,20 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
     )
     SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / len(list_distinct(x.sh || y.sh)) AS jaccard
-    FROM cand c
+    FROM est c
     JOIN sh x ON x.doc_id = c.id_a
     JOIN sh y ON y.doc_id = c.id_b
     WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -206,9 +228,9 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fdedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: banded candidates → exact
-    n-gram-Jaccard verification ≥ 0.5. No cartesian product in the
-    plan (asserted in tests)."""
+    """Full MinHash-LSH near-dup pipeline: banded candidates →
+    signature-estimate pre-filter → exact n-gram-Jaccard ≥ 0.5. No
+    cartesian product in the plan (asserted in tests)."""
     return minhash_lsh_pairs(_augmented(spark, sf_dir), threshold=0.5)
 
 
