@@ -63,6 +63,7 @@ def _load() -> None:
         events_ops,
         extract_990,
         index_ops,
+        multimodal_ops,
         relational,
         scalars,
         similarity_ops,

@@ -1,0 +1,133 @@
+"""Multimodal-column operators under the oracle gate.
+
+The synthetic media corpus is deterministically derived from
+``documents`` (payload = UTF-8 bytes of text, metadata = arithmetic on
+byte length), and the corpus text is pure ASCII at every SF — so the
+DuckDB oracle mirrors binary operations with character operations
+(1 char == 1 byte) and even the Arrow-batched mapInPandas decode path
+gets an exact SQL oracle (padded-pixel stats as ascii() sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import (
+    FRAME_BYTES,
+    byte_histogram_features,
+    decode_image,
+    sample_frames,
+    synthetic_media,
+)
+from . import register
+
+_SQL_MEDIA = """
+  media AS (
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           text AS t,
+           octet_length(encode(text)) AS nb,
+           CAST(16 + octet_length(encode(text)) % 48 AS INT) AS w
+    FROM documents
+  )
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_media(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_media_catalog",
+    oracle=f"""
+    WITH {_SQL_MEDIA}
+    SELECT media_id, kind, nb AS n_bytes,
+           CASE WHEN kind = 'image' THEN w END AS width,
+           CASE WHEN kind = 'image' THEN CAST(floor(nb / w) + 1 AS INT) END AS height,
+           CASE WHEN kind = 'video' THEN CAST(floor(nb / {FRAME_BYTES}.0) AS INT) END AS n_frames,
+           CASE WHEN kind = 'audio' THEN 16000 END AS sample_rate,
+           concat('fake/', kind) AS format
+    FROM media
+    """,
+)
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-metadata view of the media corpus — the columns a
+    100 TB pipeline filters/partitions on without touching payload
+    bytes."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_SQL_MEDIA},
+    vids AS (
+      SELECT media_id, t, CAST(floor(nb / {FRAME_BYTES}.0) AS INT) AS n_frames
+      FROM media WHERE kind = 'video'
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substring(t, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))) AS INT) AS frame_bytes,
+           md5(substring(t, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM vids, unnest(generate_series(0, n_frames - 1)) AS u(i)
+    WHERE n_frames > 0 AND i % 4 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling of video payloads — native binary
+    slicing + explode; the oracle mirrors bytes with ASCII chars."""
+    return sample_frames(_media(spark, sf_dir), every=4).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "mm_decode_stats",
+    oracle=f"""
+    WITH {_SQL_MEDIA},
+    imgs AS (
+      SELECT media_id, t, nb, w,
+             CAST(floor(nb / w) + 1 AS INT) AS h
+      FROM media WHERE kind = 'image'
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(list_sum(list_transform(
+                  generate_series(1, least(nb, w * h)),
+                  i -> ascii(substring(t, i, 1))))
+                AS DOUBLE) / (w * h) AS mean_px,
+           CASE WHEN w * h > nb THEN 0
+                ELSE list_min(list_transform(generate_series(1, nb),
+                       i -> ascii(substring(t, i, 1)))) END AS min_px,
+           list_max(list_transform(generate_series(1, least(nb, w * h)),
+                  i -> ascii(substring(t, i, 1)))) AS max_px
+    FROM imgs
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode path (fake codec: payload
+    bytes as row-major uint8 pixels, zero-padded) — pixel stats per
+    image, exact-oracled against ascii() sums."""
+    return decode_image(_media(spark, sf_dir))
+
+
+@register("mm_byte_histogram")  # rows-only: feature arrays are pytest-verified
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin normalized byte-histogram features per payload
+    (mapInPandas; the embedding-model slot)."""
+    return byte_histogram_features(_media(spark, sf_dir)).select(
+        "media_id", F.size("features").alias("dim"), "features"
+    )

@@ -1,0 +1,79 @@
+"""Multimodal operator tests: byte-exact frame slicing, histogram
+features vs a pure-numpy reference, decode stats, and the documented
+resize stub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from irs_990_efiler_database_spark.catalog import load_table
+from irs_990_efiler_database_spark.operators.multimodal import (
+    FRAME_BYTES,
+    byte_histogram_features,
+    decode_image,
+    resize_image,
+    sample_frames,
+    synthetic_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(load_table(spark, SF, "documents")).cache()
+
+
+def test_media_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    row = media.filter(F.col("kind") == "image").first()
+    assert row["meta"]["width"] >= 16 and row["meta"]["height"] >= 1
+
+
+def test_frame_sampling_is_byte_exact(media):
+    frames = {
+        (r["media_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in sample_frames(media, every=4).collect()
+    }
+    assert frames
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    for (mid, idx), frame in frames.items():
+        start = idx * FRAME_BYTES
+        assert frame == payloads[mid][start : start + FRAME_BYTES]
+        assert idx % 4 == 0 and len(frame) == FRAME_BYTES
+
+
+def test_byte_histogram_matches_numpy(media):
+    got = {
+        r["media_id"]: r["features"]
+        for r in byte_histogram_features(media).collect()
+    }
+    for r in media.limit(20).collect():
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        hist = np.bincount(buf >> 4, minlength=16)[:16]
+        want = (hist / max(hist.sum(), 1)).astype(np.float32)
+        assert np.allclose(got[r["media_id"]], want)
+
+
+def test_decode_stats_pad_semantics(media):
+    stats = {r["media_id"]: r for r in decode_image(media).collect()}
+    r = media.filter(F.col("kind") == "image").first()
+    buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+    w, h = r["meta"]["width"], r["meta"]["height"]
+    px = np.zeros(w * h, dtype=np.uint8)
+    px[: min(buf.size, w * h)] = buf[: w * h]
+    s = stats[r["media_id"]]
+    assert s["mean_px"] == pytest.approx(float(px.mean()))
+    assert s["min_px"] == int(px.min()) and s["max_px"] == int(px.max())
+
+
+def test_resize_is_a_documented_stub(media):
+    with pytest.raises(NotImplementedError, match="mapInPandas"):
+        resize_image(media, 32, 32)
