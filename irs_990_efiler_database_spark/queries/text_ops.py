@@ -62,6 +62,205 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "es": ("el", "la", "los", "y", "es", "un", "una"),
+}
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, {_sql_lang_scores()} FROM toks
+    )
+    SELECT doc_id,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language stopword hit counts
+    over the token stream, argmax with a deterministic preference
+    order — the shape of a fastText-style lang filter, as pure
+    codegen'd expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    scores = {}
+    for lang, words in _STOPWORDS.items():
+        ws = [F.lit(w) for w in words]
+        scores[lang] = F.size(
+            F.filter(toks, lambda t: t.isin([w for w in _STOPWORDS[lang]]))
+        ).cast("long")
+    s = {k: F.col(f"s_{k}") for k in _STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0),
+            F.lit("unknown"),
+        )
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id", *[scores[k].alias(f"s_{k}") for k in _STOPWORDS]
+    ).withColumn("lang_pred", pred)
+
+
+_BPE_PATTERN = r"'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pretokenizer counting: regex word/number/punct
+    pieces (the token-budget estimator of a training pipeline) next to
+    plain whitespace tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3 AND doc_id < 50
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: map-side-combined tf, a
+    broadcastable df dimension, smoothed idf (rounded — ln() is not
+    correctly-rounded across libms), window top-k."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = toks.select(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word-bigrams (n-gram frequency analysis):
+    per-row bigram construction, map-side-combined counting, top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""
