@@ -98,6 +98,41 @@ def lsh_bucket(v: Column, planes: int = 8) -> Column:
     return F.array_join(signs, "")
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded
+    cosine ≥ threshold), candidates restricted to same sign-LSH bucket.
+
+    The dedup-by-embedding variant of MinHash-LSH: same
+    bucket-equi-join shape (shuffle on the bucket key, no all-pairs);
+    at 100 TB near-identical vectors land in the same sign bucket by
+    construction, so recall loss only affects borderline pairs."""
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ann_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,

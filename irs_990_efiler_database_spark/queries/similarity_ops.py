@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import ann_topk_bucketed, cosine_topk, l2_norm
+from ..operators.similarity import (
+    ann_topk_bucketed,
+    cosine_topk,
+    embedding_neardup_pairs,
+    l2_norm,
+)
 from . import register
 
 
@@ -164,3 +169,56 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces all-pairs scoring."""
     e = load_table(spark, sf_dir, "embeddings")
     return ann_topk_bucketed(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "fdedup_embedding_cosine",
+    oracle="""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25
+    ),
+    bkt AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM aug
+    ),
+    cpairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             x.embedding AS va, y.embedding AS vb
+      FROM bkt x
+      JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    cdots AS (
+      SELECT id_a, id_b,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS aa,
+             SUM(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS bb
+      FROM cpairs, unnest(generate_series(1, len(va))) AS t(i)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS cos
+      FROM cdots
+    )
+    WHERE cos >= 0.99
+    """,
+)
+def fdedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup over embeddings augmented
+    with planted exact copies (vec_id + 1e6): sign-LSH bucket
+    candidates, rounded-cosine ≥ 0.99 verification."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return embedding_neardup_pairs(aug, threshold=0.99)

@@ -139,3 +139,23 @@ def read_return_xml_files(
 def read_return_bundle(spark: SparkSession, bundle_path: str) -> DataFrame:
     """Scale source: parquet bundles of (url, xml)."""
     return with_parsed_return(spark.read.parquet(bundle_path))
+
+
+def write_return_bundle(
+    spark: SparkSession,
+    path_glob: str | list[str],
+    bundle_path: str,
+    target_partitions: int | None = None,
+) -> None:
+    """One-time consolidation: millions of small XML objects → large
+    parquet bundles of (url, xml) — the first move of the scale design
+    (SURVEY §7: 3M-object S3 listing/open overhead is the killer; after
+    bundling every downstream pass is a columnar scan). Snappy-page
+    text compresses well and the bundle is immutable."""
+    raw = spark.read.text(path_glob, wholetext=True).select(
+        F.input_file_name().alias("url"),
+        F.col("value").alias("xml"),
+    )
+    if target_partitions:
+        raw = raw.repartition(target_partitions)
+    raw.write.mode("overwrite").parquet(bundle_path)

@@ -73,6 +73,41 @@ def test_partition_pruning_layout(result, spark):
     assert {"FISYR=2012", "FISYR=2014"} <= parts
 
 
+def test_bundle_roundtrip_equals_file_source(spark, tmp_path):
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_bundle,
+        write_return_bundle,
+    )
+
+    write_return_bundle(spark, GLOBS, str(tmp_path / "bundle"), target_partitions=4)
+    via_bundle = read_return_bundle(spark, str(tmp_path / "bundle"))
+    direct = read_return_xml_files(spark, GLOBS)
+    a = sorted(r["xml"] for r in via_bundle.select("xml").collect())
+    b = sorted(r["xml"] for r in direct.select("xml").collect())
+    assert a == b
+    res = build_database(
+        spark, str(tmp_path / "out"), bundle_path=str(tmp_path / "bundle"),
+        tables=["CORE"],
+    )
+    assert res.rows["CORE"] == 6
+
+
+def test_index_csv_export_roundtrip(spark, tmp_path):
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sinks import write_csv
+    from irs_990_efiler_database_spark.sources.index import build_index
+
+    idx = build_index(spark, _GLOB)
+    write_csv(idx, str(tmp_path / "index_csv"))
+    back = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .csv(str(tmp_path / "index_csv"))
+    )
+    assert back.count() == idx.count()
+    assert set(back.columns) == set(idx.columns)
+
+
 def test_index_scoped_build(spark, tmp_path):
     from irs_990_efiler_database_spark.queries.index_ops import _GLOB
     from irs_990_efiler_database_spark.sources.index import build_index
