@@ -111,15 +111,57 @@ def compile_core_columns(c: ExprCompiler, xml_col: str = "xml") -> dict[str, Col
     return exprs
 
 
-def build_core(returns: DataFrame, columns: list[str] | None = None) -> DataFrame:
+_NUM_LEAF_SUFFIXES = ("Amt", "Cnt", "Nbr", "Qty")
+_DATE_LEAF_SUFFIXES = ("Dt", "Date")
+
+
+def core_type_map() -> dict[str, str]:
+    """CORE variable → logical type for typed mode, derived from the
+    IRS XSD leaf-name conventions (USAmountType leaves end in Amt,
+    counts in Cnt/Nbr, dates in Dt — SURVEY §1.2): numeric if ANY
+    version's leaf carries a numeric suffix (older XSDs drop the
+    suffix), date likewise; recodes/labels stay string; schedule flags
+    are already boolean; conditional sums are numeric by construction."""
+    spec = load_core_spec()
+    out: dict[str, str] = {}
+    for var, s in spec["vars"].items():
+        kind = s.get("kind")
+        if kind in ("conditional_sum", "sum_with_fallback"):
+            out[var] = "long"
+            continue
+        if kind != "scalar" or "recode_present" in s or s.get("collapse"):
+            continue
+        leaves = [xp.rstrip("/").rsplit("/", 1)[-1] for xp in s.get("xpaths", [])]
+        if any(lf.endswith(_NUM_LEAF_SUFFIXES) for lf in leaves):
+            out[var] = "long"
+        elif any(lf.endswith(_DATE_LEAF_SUFFIXES) for lf in leaves):
+            out[var] = "date"
+    return out
+
+
+def build_core(
+    returns: DataFrame,
+    columns: list[str] | None = None,
+    typed: bool = False,
+) -> DataFrame:
     """returns (url, xml, doc, object_id) → CORE, one row per filing,
     columns in the reference's namedList order (:2768-2850).
 
     ``columns`` overrides the output column list (e.g. deduplicated —
-    the reference's namedList carries ORGDISSOLVED twice)."""
+    the reference's namedList carries ORGDISSOLVED twice).
+
+    ``typed=True`` upgrades the reference's all-string model to real
+    types (amounts/counts → long, dates → date) per ``core_type_map``;
+    the default string mode stays bit-compatible with the golden
+    oracle for parity checks (SURVEY §1.3)."""
     _, builder = build_return_schema()
     c = ExprCompiler(builder)
     exprs = compile_core_columns(c)
     spec = load_core_spec()
     cols = spec["columns"] if columns is None else columns
+    if typed:
+        tmap = core_type_map()
+        exprs = {
+            v: (e.cast(tmap[v]) if v in tmap else e) for v, e in exprs.items()
+        }
     return returns.select([exprs[v].alias(v) for v in cols])

@@ -49,11 +49,22 @@ def _key_exprs(c: ExprCompiler) -> list[Column]:
     ]
 
 
-def _typed(col: Column, data_type: str, typed: bool) -> Column:
+_INT_SUFFIXES = ("Amt", "Cnt", "Nbr", "Qty")
+
+
+def _typed(
+    col: Column, data_type: str, typed: bool, leaves: tuple[str, ...] = ()
+) -> Column:
+    """Typed-mode cast (SURVEY §1.3 upgrade): concordance ``numeric``
+    splits by XSD leaf convention — Amt/Cnt/Nbr are integral, the rest
+    (hours, rates: AverageHoursPerWeek '40.0') are double; an ANSI
+    long cast would reject the decimal forms."""
     if not typed:
         return col
     if data_type == "numeric":
-        return col.cast("long")
+        if any(lf.endswith(_INT_SUFFIXES) for lf in leaves):
+            return col.cast("long")
+        return col.cast("double")
     if data_type == "boolean":
         return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
             col.isin("X", "1", "true")
@@ -87,7 +98,12 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
             )
             v["xpaths"].append(r["xpath"])
         cols = [
-            _typed(c.coalesce_scalar(s["xpaths"]), s["data_type"], typed).alias(var)
+            _typed(
+                c.coalesce_scalar(s["xpaths"]),
+                s["data_type"],
+                typed,
+                tuple(x.rstrip("/").rsplit("/", 1)[-1] for x in s["xpaths"]),
+            ).alias(var)
             for var, s in by_var.items()
         ]
         return src.select(*keys, *cols)
@@ -96,8 +112,18 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
     # variables, union by name (NULL-fill for leaves a version doesn't
     # carry — the reference's ragged bind_rows, :5109-5122)
     typemap = {r["variable"]: r["data_type"] for r in manys}
+    # type each variable from its GLOBAL leaf set (all XSD versions in
+    # all groups): per-group typing would give the same variable long
+    # in one frame and double in another, and the ragged union would
+    # silently widen — the typed schema must not depend on group order
+    groups = concrete_groups(manys)
+    global_leaves: dict[str, tuple[str, ...]] = {}
+    for leaves in groups.values():
+        for rel, var in leaves.items():
+            lf = rel.rsplit("/", 1)[-1] if rel else ""
+            global_leaves[var] = (*global_leaves.get(var, ()), lf)
     frames: list[DataFrame] = []
-    for gp, leaves in concrete_groups(manys).items():
+    for gp, leaves in groups.items():
         real_group = any(rel for rel in leaves)
         if not real_group:
             # divergence at the leaf itself (e.g. the SCHED-O checkbox
@@ -130,7 +156,11 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
                     col = col[seg]
                 members.append(col)
             merged = members[0] if len(members) == 1 else F.coalesce(*members)
-            cols.append(_typed(merged, typemap[var], typed).alias(var))
+            cols.append(
+                _typed(
+                    merged, typemap[var], typed, global_leaves[var]
+                ).alias(var)
+            )
         frames.append(exploded.select(*[F.col(k) for k in KEY_COLS], *cols))
     out = frames[0]
     for f in frames[1:]:

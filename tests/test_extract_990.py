@@ -125,6 +125,44 @@ def test_schedn_table_matches_golden(returns, table):
     assert got == want, f"{table}: spark != golden"
 
 
+def test_typed_core_mode(returns):
+    from datetime import date
+
+    from irs_990_efiler_database_spark.extract.core_builder import (
+        core_type_map,
+    )
+
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    tmap = core_type_map()
+    typed = build_core(returns, columns=cols, typed=True)
+    dtypes = dict(typed.dtypes)
+    assert tmap["GROSSRECEIPTS"] == "long" and dtypes["GROSSRECEIPTS"] == "bigint"
+    assert tmap["STYEAR"] == "date" and dtypes["STYEAR"] == "date"
+    assert dtypes["EIN"] == "string"  # identifiers stay string
+    # values: typed == cast(string-mode) per row
+    strings = {r["URL"]: r for r in _rows_as_dicts(build_core(returns, columns=cols))}
+    for r in _rows_as_dicts(typed):
+        s = strings[r["URL"]]
+        for var, t in tmap.items():
+            sv = s[var]
+            if t == "long":
+                assert r[var] == (int(sv) if sv is not None else None), var
+            elif t == "date":
+                assert r[var] == (
+                    date.fromisoformat(sv) if sv is not None else None
+                ), var
+
+
+def test_typed_rdb_mode(returns):
+    typed = build_rdb_table(returns, "F9-P07-TABLE-01-DTK-COMPENSATION", typed=True)
+    dtypes = dict(typed.dtypes)
+    # concordance numeric + Amt leaf -> bigint; hours/rates -> double
+    assert dtypes["F9_07_PZ_COMP_DIRECT"] == "bigint"
+    assert dtypes["F9_07_PZ_DTK_AVE_HOURS_WEEK"] == "double"
+    rows = _rows_as_dicts(typed)
+    assert any(isinstance(r["F9_07_PZ_COMP_DIRECT"], int) for r in rows)
+
+
 def test_schedn_row_counts(returns):
     # fixture 5 (2014 XSD): 2 liquidation details, 0 dispositions, 1 suppl
     # fixture 6 (2012 XSD): 1 liquidation, 2 dispositions, 1 part-III note
