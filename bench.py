@@ -22,6 +22,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q18_large_volume_orders",
     "join_left_order_fill_counts",
     "win_latest_order_per_customer",
     "agg_pivot_status_by_year",
