@@ -145,9 +145,12 @@ def minhash_lsh_pairs(
     3. exact Jaccard on the surviving pairs' shingle sets.
     The plan contains no cartesian product (asserted in tests)."""
     # the shingle/signature projection feeds several plan branches
-    # (band self-join sides + the verify joins); persist so the
-    # salted-md5 work runs once per document
+    # (band self-join sides + the verify joins); persist AND materialize
+    # eagerly — a lazy persist lets the self-join's parallel branches
+    # race the cache and double-compute the md5 work (observed as 4x
+    # run-to-run bench variance)
     sh = shingled(df, id_col, text_col, n, k, bands, rows).persist()
+    sh.count()
     bandsdf = sh.select(
         "id", F.posexplode("bh").alias("band_idx", "band_hash")
     )
@@ -222,7 +225,10 @@ def simhash_pairs(
     """Near-duplicate pairs by banded SimHash: candidates share at
     least one 15-bit band of the 60-bit fingerprint; verification is
     the Hamming distance (bit_count of xor)."""
-    sh = simhash(df, id_col, text_col)
+    # persist+materialize: the band self-join reads the fingerprint
+    # frame twice, and its explode+60-vote aggregation is the cost
+    sh = simhash(df, id_col, text_col).persist()
+    sh.count()
     nbands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     bandsdf = sh.select(
