@@ -21,6 +21,8 @@ case with the identical downstream plan.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,9 +40,13 @@ from ..plans.xml_schema import XmlSchemaBuilder
 _REPEATED_LEAF_VARS = {"DOMICILE", "FILINGSTATES"}
 
 
+@lru_cache(maxsize=1)
 def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
     """Superset StructType over every xpath in the CORE spec and the
-    per-table concordances, with MANY-table group roots as arrays."""
+    per-table concordances, with MANY-table group roots as arrays.
+
+    Cached: every builder and every query calls this, and the trie is
+    pure metadata (callers treat the returned objects as read-only)."""
     b = XmlSchemaBuilder()
     core = load_core_spec()
     for var, spec in core["vars"].items():
