@@ -65,6 +65,27 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # end-to-end extraction throughput: 2000 synthetic 990 documents →
+    # all 12 output tables + partitioned writes (the reference's own
+    # headline is ≈2-4 docs/sec for the same scope, single R process)
+    import shutil
+    import tempfile
+
+    from irs_990_efiler_database_spark.jobs import build_database
+    from tools.gen_xml_corpus import gen_bundle
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "2000"))
+    tmp = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        gen_bundle(spark, f"{tmp}/bundle", n_docs)  # prep, not timed
+        t0 = time.perf_counter()
+        build_database(spark, f"{tmp}/out", bundle_path=f"{tmp}/bundle")
+        timings[f"x990_build_database_{n_docs}_docs"] = round(
+            time.perf_counter() - t0, 4
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -99,14 +99,25 @@ def build_database(
         result = BuildResult()
         builders = _all_builders()
         selected = tables if tables is not None else list(builders)
+        from pyspark.sql import Observation
+
         for name in selected:
             build, part_cols = builders[name]
             df = build(ok)
             path = f"{out_dir.rstrip('/')}/{name}"
-            n = df.count()
-            # an empty partitioned write leaves no schema on disk —
-            # write empties unpartitioned so the table stays readable
-            write_table(df, path, partition_by=part_cols if n else None)
+            # count DURING the write (Observation) instead of a second
+            # scan per table; an empty partitioned write leaves no
+            # schema on disk, so the (rare, cheap) empty case rewrites
+            # unpartitioned to stay readable
+            obs = Observation()
+            write_table(
+                df.observe(obs, F.count(F.lit(1)).alias("n")),
+                path,
+                partition_by=part_cols,
+            )
+            n = int(obs.get["n"])
+            if n == 0:
+                write_table(df, path, partition_by=None)
             if csv:
                 write_csv(df, f"{path}-csv")
             result.tables[name] = path

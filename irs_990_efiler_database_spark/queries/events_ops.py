@@ -75,6 +75,44 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_last_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+    ),
+    clicks AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts_us,
+           p.ts_us AS asof_ts_us, p.value AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the same user's most recent
+    purchase at or before it (union + window implementation — one
+    shuffle on user_id, no range join; oracle is DuckDB's native
+    ASOF JOIN, so two entirely different algorithms must agree)."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join(
+        clicks, purchases, keys=["user_id"], ts_col="ts_us", payload_cols=["value"]
+    )
+
+
+@register(
     "events_sessionize_gap",
     oracle="""
     WITH seq AS (
