@@ -27,8 +27,19 @@ def asof_join(
     """Left as-of join: every left row + the most recent right payload
     with ``right.ts <= left.ts`` per key group (NULLs if none)."""
     lt = left.withColumn("_side", F.lit(1))
+    # Carry the whole matched right row as ONE struct: carrying each
+    # payload column independently would stitch values from different
+    # right rows whenever the newest row has a NULL in one column —
+    # not as-of semantics. The struct itself is never NULL on a right
+    # row (even if every payload field is), so last(ignorenulls) always
+    # picks the newest right ROW, and all fields unpack from it.
     rt = right.select(
-        *keys, ts_col, *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols]
+        *keys,
+        ts_col,
+        F.struct(
+            F.col(ts_col).alias("__asof_ts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_asof_row"),
     ).withColumn("_side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -36,18 +47,14 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in payload_cols
-    ]
-    carried.append(
-        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
-        .over(w)
-        .alias(f"{prefix}{ts_col}")
-    )
+    matched = F.last("_asof_row", ignorenulls=True).over(w)
     out_cols = [c for c in lt.columns if c != "_side"]
     return (
-        u.select(*out_cols, "_side", *[c for c in carried])
+        u.select(*out_cols, "_side", matched.alias("_m"))
         .filter(F.col("_side") == 1)
-        .drop("_side")
+        .select(
+            *out_cols,
+            *[F.col("_m")[c].alias(f"{prefix}{c}") for c in payload_cols],
+            F.col("_m.__asof_ts").alias(f"{prefix}{ts_col}"),
+        )
     )

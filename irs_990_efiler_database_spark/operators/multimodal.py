@@ -124,39 +124,58 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+def _decode_pixels(fmt: str, payload: bytes, w: int, h: int):
+    """Decode one payload to a flat uint8 pixel array of length w*h.
+
+    ``fake/*`` formats read the payload as row-major uint8 pixels,
+    zero-padded/truncated to the meta-declared dimensions. Real codec
+    formats (image/jpeg, image/png, ...) go through PIL when the
+    library is importable — same return contract, so the rest of the
+    pipeline is codec-agnostic."""
+    import numpy as np
+
+    if not fmt.startswith("fake/"):
+        try:  # pragma: no cover - container ships no PIL
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((w, h))
+            return np.asarray(img, dtype=np.uint8).reshape(-1)
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"real-codec decode for {fmt!r} needs PIL; only fake/* "
+                "payloads decode in this container"
+            ) from exc
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    px = np.zeros(w * h, dtype=np.uint8)
+    px[: min(buf.size, w * h)] = buf[: w * h]
+    return px
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Decode images to pixel stats via Arrow-batched mapInPandas.
 
     Real codecs (PIL) are used when importable; otherwise the
     deterministic fake decode reads the payload as row-major uint8
-    pixels of the meta-declared (width, height), zero-padded."""
-    import numpy as np
+    pixels of the meta-declared (width, height), zero-padded.
+    The batch loop iterates zipped columns (no ``iterrows`` — Arrow
+    already delivered columnar batches; keep them columnar)."""
     import pandas as pd
-
-    try:  # pragma: no cover - container has no PIL
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                w, h = int(r["width"]), int(r["height"])
-                buf = np.frombuffer(r["payload"], dtype=np.uint8)
-                if have_pil and r["format"].startswith(("image/jpeg", "image/png")):
-                    raise NotImplementedError(
-                        "real-codec decode: wire PIL Image.open here"
-                    )
-                px = np.zeros(w * h, dtype=np.uint8)
-                px[: min(buf.size, w * h)] = buf[: w * h]
+            for mid, w, h, fmt, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["format"], pdf["payload"],
+            ):
+                px = _decode_pixels(fmt, payload, int(w), int(h))
                 out.append(
                     (
-                        int(r["media_id"]),
-                        w,
-                        h,
+                        int(mid),
+                        int(w),
+                        int(h),
                         float(px.mean()),
                         int(px.min()),
                         int(px.max()),
@@ -184,6 +203,25 @@ _HIST_SCHEMA = T.StructType(
 )
 
 
+def _batch_histograms(pdf, bins: int):
+    """(n_rows, bins) byte-bin counts for one Arrow batch — one
+    concatenated bincount over the whole batch, zero per-row Python."""
+    import numpy as np
+
+    shift = 8 - bins.bit_length() + 1
+    payloads = pdf["payload"].tolist()
+    lens = np.fromiter(
+        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+    )
+    row_idx = np.repeat(np.arange(len(payloads)), lens)
+    allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    keys = row_idx * bins + (allb >> shift)
+    hist = np.bincount(keys, minlength=len(payloads) * bins).reshape(
+        len(payloads), bins
+    )
+    return hist, lens
+
+
 def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     """L1-normalized byte-histogram feature vector per payload — the
     feature-extraction slot (swap in an encoder model's embedding
@@ -193,28 +231,111 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, feats = [], []
-            for _, r in pdf.iterrows():
-                buf = np.frombuffer(r["payload"], dtype=np.uint8)
-                hist = np.bincount(buf >> (8 - bins.bit_length() + 1), minlength=bins)[
-                    :bins
-                ]
-                total = max(hist.sum(), 1)
-                ids.append(int(r["media_id"]))
-                feats.append((hist / total).astype(np.float32).tolist())
-            yield pd.DataFrame({"media_id": ids, "features": feats})
+            if pdf.empty:
+                yield pd.DataFrame({"media_id": [], "features": []})
+                continue
+            hist, _ = _batch_histograms(pdf, bins)
+            totals = np.maximum(hist.sum(axis=1), 1)
+            feats = (hist / totals[:, None]).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "features": list(feats),
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(batches, _HIST_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize slot — requires a real codec library.
+_HIST_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
 
-    STUB: raises NotImplementedError (this container ships no media
-    libs). The signature and placement are the contract: input media
-    frame → same schema with meta.width/height rewritten and payload
-    re-encoded."""
-    raise NotImplementedError(
-        "resize_image needs PIL/opencv; wire the codec into a mapInPandas "
-        "batch exactly like decode_image"
+
+def byte_histogram_rows(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Exploded byte-histogram: one row per (payload, non-empty bin)
+    with exact count and IEEE-double weight = cnt / n_bytes.
+
+    This is the hashable/SQL-portable shape of
+    ``byte_histogram_features`` (a raw array<float> column can't be
+    value-hashed by an external comparator); the division is a single
+    deterministic double op, so an ANSI-SQL oracle reproduces it
+    bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _HIST_ROWS_SCHEMA.fields]
+        for pdf in it:
+            if pdf.empty:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            hist, lens = _batch_histograms(pdf, bins)
+            rows_i, bins_i = np.nonzero(hist)
+            cnts = hist[rows_i, bins_i]
+            ids = pdf["media_id"].to_numpy(dtype=np.int64)[rows_i]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "bin": bins_i.astype(np.int32),
+                    "cnt": cnts.astype(np.int64),
+                    "weight": cnts / lens[rows_i],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, _HIST_ROWS_SCHEMA
     )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image to (width, height) — nearest-neighbor over
+    the decoded pixel grid, payload re-encoded, meta rewritten.
+
+    Decoding goes through ``_decode_pixels``: fake/* payloads resample
+    the zero-padded row-major grid (deterministic, no media libs
+    needed); real codec formats use PIL when importable. Non-image
+    rows pass through unchanged, so the output keeps the media
+    schema."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = media.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                w, h = int(meta["width"]), int(meta["height"])
+                px = _decode_pixels(meta["format"], payload, w, h).reshape(h, w)
+                rr = (np.arange(height) * h) // height
+                cc = (np.arange(width) * w) // width
+                resized = px[np.ix_(rr, cc)]
+                new_payload = resized.tobytes()
+                new_meta = dict(meta)
+                new_meta.update(
+                    width=width, height=height, n_bytes=len(new_payload)
+                )
+                payloads.append(new_payload)
+                metas.append(new_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.multimodal import (
     FRAME_BYTES,
-    byte_histogram_features,
+    byte_histogram_rows,
     decode_image,
     sample_frames,
     synthetic_media,
@@ -124,10 +124,26 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(_media(spark, sf_dir))
 
 
-@register("mm_byte_histogram")  # rows-only: feature arrays are pytest-verified
-def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bin normalized byte-histogram features per payload
-    (mapInPandas; the embedding-model slot)."""
-    return byte_histogram_features(_media(spark, sf_dir)).select(
-        "media_id", F.size("features").alias("dim"), "features"
+@register(
+    "mm_byte_histogram",
+    oracle=f"""
+    WITH {_SQL_MEDIA}
+    SELECT media_id, CAST(bin AS INT) AS bin,
+           count(*) AS cnt,
+           CAST(count(*) AS DOUBLE) / nb AS weight
+    FROM (
+      SELECT media_id, nb,
+             ascii(substring(t, i, 1)) // 16 AS bin
+      FROM media, unnest(generate_series(1, nb)) AS u(i)
+      WHERE nb > 0
     )
+    GROUP BY media_id, nb, bin
+    """,
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte-histogram features per payload, exploded to one row
+    per non-empty bin (mapInPandas; the embedding-model slot). The
+    weight is a single cnt/n_bytes double division, so the ASCII
+    corpus gets an exact DuckDB oracle; the array<float> feature shape
+    is covered by ``byte_histogram_features`` under pytest."""
+    return byte_histogram_rows(_media(spark, sf_dir))

@@ -204,7 +204,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = toks.select(F.count_distinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -132,9 +132,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5. Scale: region/nation/supplier are broadcast dims; the
-    only shuffles are orders⋈lineitem on orderkey and the final 5-row
-    agg. Date filter prunes orders at the scan."""
+    """TPC-H Q5. Scale: region/nation are hinted broadcast dims;
+    customer/supplier grow with SF, so their join strategy is left to
+    the autoBroadcastJoinThreshold + AQE (broadcast at small SF,
+    shuffle join at 100×) — a forced hint would OOM executors at scale.
+    Date filter prunes orders at the scan."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -147,9 +149,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
         )
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -248,8 +250,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -292,7 +294,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -334,7 +336,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -378,7 +380,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -422,7 +424,7 @@ def q19_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         & F.col("l_quantity").between(10, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),

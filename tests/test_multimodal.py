@@ -12,6 +12,7 @@ from irs_990_efiler_database_spark.catalog import load_table
 from irs_990_efiler_database_spark.operators.multimodal import (
     FRAME_BYTES,
     byte_histogram_features,
+    byte_histogram_rows,
     decode_image,
     resize_image,
     sample_frames,
@@ -74,6 +75,51 @@ def test_decode_stats_pad_semantics(media):
     assert s["min_px"] == int(px.min()) and s["max_px"] == int(px.max())
 
 
-def test_resize_is_a_documented_stub(media):
-    with pytest.raises(NotImplementedError, match="mapInPandas"):
-        resize_image(media, 32, 32)
+def test_byte_histogram_rows_match_features(media):
+    rows = byte_histogram_rows(media).collect()
+    by_id: dict[int, dict[int, tuple[int, float]]] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], {})[r["bin"]] = (r["cnt"], r["weight"])
+    for r in media.limit(20).collect():
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        hist = np.bincount(buf >> 4, minlength=16)[:16]
+        got = by_id.get(r["media_id"], {})
+        assert set(got) == {int(b) for b in np.nonzero(hist)[0]}
+        for b, (cnt, weight) in got.items():
+            assert cnt == int(hist[b])
+            assert weight == hist[b] / buf.size  # exact IEEE division
+
+
+def test_resize_nearest_neighbor_exact(media):
+    out = resize_image(media, 8, 8)
+    assert out.schema == media.schema
+    resized = {
+        r["media_id"]: r
+        for r in out.filter(F.col("kind") == "image").collect()
+    }
+    for r in media.filter(F.col("kind") == "image").limit(10).collect():
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        buf = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        px = np.zeros(w * h, dtype=np.uint8)
+        px[: min(buf.size, w * h)] = buf[: w * h]
+        grid = px.reshape(h, w)
+        rr = (np.arange(8) * h) // 8
+        cc = (np.arange(8) * w) // 8
+        want = grid[np.ix_(rr, cc)].tobytes()
+        got = resized[r["media_id"]]
+        assert bytes(got["payload"]) == want
+        assert got["meta"]["width"] == 8 and got["meta"]["height"] == 8
+        assert got["meta"]["n_bytes"] == 64
+
+
+def test_resize_passes_non_images_through(media):
+    out = resize_image(media, 8, 8)
+    orig = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("kind") != "image").collect()
+    }
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in out.filter(F.col("kind") != "image").collect()
+    }
+    assert got == orig

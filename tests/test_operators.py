@@ -92,3 +92,44 @@ def test_ann_bucketed_is_equijoin_and_subset_of_bruteforce(spark):
     for r in ann_topk_bucketed(e, q, k=50).collect():
         # every ANN hit scores identically to the brute-force path
         assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """The newest right row wins even when one of its payload columns
+    is NULL — all carried values must come from that same row, not be
+    stitched from older rows (true as-of semantics)."""
+    from irs_990_efiler_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7, "old"), (1, 200, None, "new")],
+        "k int, ts int, a int, b string",
+    )
+    out = {
+        r["ts"]: r
+        for r in asof_join(
+            left, right, keys=["k"], ts_col="ts", payload_cols=["a", "b"]
+        ).collect()
+    }
+    # ts=100 matches the (50, a=7, b='old') row
+    assert (out[100]["asof_a"], out[100]["asof_b"], out[100]["asof_ts"]) == (
+        7, "old", 50,
+    )
+    # ts=250 matches the (200, a=NULL, b='new') row; a must be NULL —
+    # NOT 7 carried over from the older row
+    assert (out[250]["asof_a"], out[250]["asof_b"], out[250]["asof_ts"]) == (
+        None, "new", 200,
+    )
+
+
+def test_asof_join_no_match_is_all_null(spark):
+    from irs_990_efiler_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(2, 10)], "k int, ts int")
+    right = spark.createDataFrame([(2, 99, 1)], "k int, ts int, a int")
+    row = asof_join(
+        left, right, keys=["k"], ts_col="ts", payload_cols=["a"]
+    ).first()
+    assert row["asof_a"] is None and row["asof_ts"] is None

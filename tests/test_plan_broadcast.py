@@ -1,0 +1,69 @@
+"""Scale-safety plan tests: SF-proportional tables (customer, part,
+supplier, the tf-idf vocabulary) must NOT carry a forced broadcast
+hint — at 100× scale a hint overrides the size threshold and OOMs
+executors. At test SF they are still small, so the
+autoBroadcastJoinThreshold should pick a broadcast join anyway: these
+tests assert the broadcast happens WITHOUT a hint (threshold/AQE
+decision, not a plan mandate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.1"
+
+
+def _queries():
+    from irs_990_efiler_database_spark.queries import all_queries
+
+    return all_queries()
+
+
+def _logical(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q10_returned_item_customers",
+        "q14_promo_revenue_ratio",
+        "q18_large_volume_orders",
+        "q19_disjunctive_filter_revenue",
+    ],
+)
+def test_sf_scaling_joins_broadcast_by_threshold_not_hint(spark, name):
+    df = _queries()[name](spark, SF)
+    logical = _logical(df)
+    # every ResolvedHint left in the optimized plan names only bounded
+    # dims (nation/region); customer/part/supplier reach the join
+    # planner unhinted
+    for line in logical.splitlines():
+        if "ResolvedHint" in line or "UnresolvedHint" in line:
+            raise AssertionError(f"{name}: stray hint survived: {line}")
+    # at sf0.1 these tables are far below the 64 MB threshold, so the
+    # planner must STILL choose a broadcast join on its own
+    assert "BroadcastHashJoin" in _physical(df), (
+        f"{name}: threshold-based broadcast did not engage at sf0.1"
+    )
+
+
+def test_tfidf_vocab_join_is_unhinted(spark):
+    df = _queries()["text_tfidf_top_terms"](spark, SF)
+    logical = _logical(df)
+    hints = [
+        ln
+        for ln in logical.splitlines()
+        if "ResolvedHint" in ln or "UnresolvedHint" in ln
+    ]
+    # the single-row corpus-size count may stay hinted; the unbounded
+    # vocabulary (document-frequency) table must not be
+    assert len(hints) <= 1, f"vocab join carries a hint: {hints}"
