@@ -95,6 +95,39 @@ def jaccard(a: Column, b: Column) -> Column:
     return (inter.cast("double") / union.cast("double"))
 
 
+def cap_hot_buckets(
+    df: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Drop rows whose bucket key holds more than ``cap`` members.
+
+    Standard LSH practice: a degenerate band key (empty/boilerplate
+    text at corpus scale) otherwise yields O(n²) candidate rows inside
+    that one bucket BEFORE any prefilter runs — AQE skew-join splits
+    the partition but not the row count. Members of an over-cap bucket
+    almost certainly share other, selective band keys (a true near-dup
+    pair collides in ~every band), so recall loss is confined to
+    boilerplate. Dropped keys are observable via
+    ``dropped_bucket_keys`` (same aggregation, inverted filter)."""
+    if cap is None:
+        return df
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    ok = counts.filter(F.col("_bucket_n") <= cap).select(*key_cols)
+    return df.join(ok, key_cols, "left_semi")
+
+
+def dropped_bucket_keys(
+    df: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """The bucket keys (with sizes) that ``cap_hot_buckets`` removes —
+    run this alongside a capped dedup pass to LOG what was skipped
+    instead of silently truncating coverage."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the hash-heavy projection runs on all cores: small inputs
     (a single parquet row group) arrive as 1-2 partitions and would
@@ -132,11 +165,15 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 5, k: int = 16, bands: int = 4, rows: int = 4,
     threshold: float = 0.5, est_prefilter: float = 0.25,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold).
 
     Three-stage funnel, each stage cheaper per-candidate than the next
     is expensive:
+    0. hot-bucket cap — band keys with > ``max_bucket_size`` members
+       are dropped before the self-join (no O(n²) blowup on a
+       degenerate key; see ``cap_hot_buckets``);
     1. banded LSH candidates — shuffle carries (id, band_hash) only;
     2. signature-estimate pre-filter — joins the small (k×32B)
        signature arrays and drops the low-similarity mass before any
@@ -154,6 +191,7 @@ def minhash_lsh_pairs(
     bandsdf = sh.select(
         "id", F.posexplode("bh").alias("band_idx", "band_hash")
     )
+    bandsdf = cap_hot_buckets(bandsdf, ["band_idx", "band_hash"], max_bucket_size)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (
         a.join(
@@ -221,10 +259,13 @@ def simhash(
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     band_bits: int = 15, max_hamming: int = 6,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash: candidates share at
     least one 15-bit band of the 60-bit fingerprint; verification is
-    the Hamming distance (bit_count of xor)."""
+    the Hamming distance (bit_count of xor). Band keys over
+    ``max_bucket_size`` are dropped before the self-join
+    (``cap_hot_buckets``)."""
     # persist+materialize: the band self-join reads the fingerprint
     # frame twice, and its explode+60-vote aggregation is the cost
     sh = simhash(df, id_col, text_col).persist()
@@ -245,6 +286,7 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    bandsdf = cap_hot_buckets(bandsdf, ["band_idx", "band_key"], max_bucket_size)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     return (
         a.join(

@@ -104,6 +104,7 @@ def embedding_neardup_pairs(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded
     cosine ≥ threshold), candidates restricted to same sign-LSH bucket.
@@ -111,12 +112,18 @@ def embedding_neardup_pairs(
     The dedup-by-embedding variant of MinHash-LSH: same
     bucket-equi-join shape (shuffle on the bucket key, no all-pairs);
     at 100 TB near-identical vectors land in the same sign bucket by
-    construction, so recall loss only affects borderline pairs."""
+    construction, so recall loss only affects borderline pairs.
+    Buckets over ``max_bucket_size`` (e.g. the all-zeros bucket a
+    degenerate embedding model emits) are dropped before the
+    self-join — same guard as the text-LSH paths."""
+    from .dedup import cap_hot_buckets
+
     b = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    b = cap_hot_buckets(b, ["bucket"], max_bucket_size)
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

@@ -65,4 +65,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # FileStreamSink logs a WARN + full FileNotFoundException stack
+    # trace whenever a batch read uses a glob path (it probes for a
+    # streaming _spark_metadata dir that legitimately isn't there).
+    # That trace in a bench/job log reads like a real failure — raise
+    # just that logger to ERROR.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j API drift is cosmetic
+        pass
     return spark

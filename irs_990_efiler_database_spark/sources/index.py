@@ -40,7 +40,9 @@ _MAP_SCHEMA = T.MapType(T.StringType(), T.ArrayType(INDEX_ENTRY))
 
 def read_index_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """One row per filing from yearly wrapped-JSON index files."""
-    raw = spark.read.text(path_glob, wholetext=True)
+    from .xml_source import expand_glob
+
+    raw = spark.read.text(expand_glob(spark, path_glob), wholetext=True)
     return (
         raw.select(F.explode(F.from_json("value", _MAP_SCHEMA)).alias("k", "filings"))
         .select(F.explode("filings").alias("f"))

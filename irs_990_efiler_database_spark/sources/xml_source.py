@@ -40,6 +40,28 @@ from ..plans.xml_schema import XmlSchemaBuilder
 _REPEATED_LEAF_VARS = {"DOMICILE", "FILINGSTATES"}
 
 
+def expand_glob(spark: SparkSession, path_glob: str | list[str]) -> list[str]:
+    """Expand glob pattern(s) to concrete paths via Hadoop globStatus
+    (driver-side, works on any Hadoop FS — local, S3A, HDFS).
+
+    Feeding concrete paths to ``spark.read`` sidesteps
+    ``FileStreamSink.hasMetadata``'s single-glob-path probe, which
+    logs a WARN + full FileNotFoundException stack trace on every
+    glob read — noise that reads like a real failure in job logs."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    globs = [path_glob] if isinstance(path_glob, str) else list(path_glob)
+    out: list[str] = []
+    for g in globs:
+        jpath = jvm.org.apache.hadoop.fs.Path(g)
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is not None:
+            out.extend(s.getPath().toString() for s in statuses)
+    return out
+
+
 @lru_cache(maxsize=1)
 def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
     """Superset StructType over every xpath in the CORE spec and the
@@ -135,7 +157,7 @@ def read_return_xml_files(
     ``.option("wholetext", True)`` does not bind on this reader and
     silently falls back to one row per *line*.
     """
-    raw = spark.read.text(path_glob, wholetext=True).select(
+    raw = spark.read.text(expand_glob(spark, path_glob), wholetext=True).select(
         F.input_file_name().alias("url"),
         F.col("value").alias("xml"),
     )
@@ -158,7 +180,7 @@ def write_return_bundle(
     (SURVEY §7: 3M-object S3 listing/open overhead is the killer; after
     bundling every downstream pass is a columnar scan). Snappy-page
     text compresses well and the bundle is immutable."""
-    raw = spark.read.text(path_glob, wholetext=True).select(
+    raw = spark.read.text(expand_glob(spark, path_glob), wholetext=True).select(
         F.input_file_name().alias("url"),
         F.col("value").alias("xml"),
     )

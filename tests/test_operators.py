@@ -133,3 +133,44 @@ def test_asof_join_no_match_is_all_null(spark):
         left, right, keys=["k"], ts_col="ts", payload_cols=["a"]
     ).first()
     assert row["asof_a"] is None and row["asof_ts"] is None
+
+
+def test_hot_bucket_cap_bounds_degenerate_candidates(spark):
+    """1,000 identical docs put every doc in the same band buckets; the
+    cap must keep the candidate self-join from going O(n²)."""
+    from irs_990_efiler_database_spark.operators.dedup import (
+        dropped_bucket_keys,
+        minhash_lsh_pairs,
+        shingled,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated everywhere").alias("text"),
+    )
+    capped = minhash_lsh_pairs(docs, max_bucket_size=100)
+    assert capped.count() == 0  # hot buckets dropped entirely
+    # the dropped keys are observable, not silent
+    bands = shingled(docs).select(
+        "id", F.posexplode("bh").alias("band_idx", "band_hash")
+    )
+    dropped = dropped_bucket_keys(bands, ["band_idx", "band_hash"], 100)
+    rows = dropped.collect()
+    assert len(rows) == 4 and all(r["bucket_n"] == 1000 for r in rows)
+
+
+def test_hot_bucket_cap_passes_small_buckets(spark):
+    """Under-cap buckets flow through unchanged: near-dup pairs among a
+    small group are still found with the cap on."""
+    from irs_990_efiler_database_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again!"),
+            (3, "completely unrelated text about spark shuffle partitioning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=100).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
