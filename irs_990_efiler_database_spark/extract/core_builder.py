@@ -160,8 +160,11 @@ def build_core(
     spec = load_core_spec()
     cols = spec["columns"] if columns is None else columns
     if typed:
+        # try_cast: ANSI mode would otherwise abort the whole build on
+        # one unparseable amount/date; NULL-degrade matches as.numeric
         tmap = core_type_map()
         exprs = {
-            v: (e.cast(tmap[v]) if v in tmap else e) for v, e in exprs.items()
+            v: (e.try_cast(tmap[v]) if v in tmap else e)
+            for v, e in exprs.items()
         }
     return returns.select([exprs[v].alias(v) for v in cols])

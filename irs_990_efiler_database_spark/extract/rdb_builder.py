@@ -57,14 +57,19 @@ def _typed(
 ) -> Column:
     """Typed-mode cast (SURVEY §1.3 upgrade): concordance ``numeric``
     splits by XSD leaf convention — Amt/Cnt/Nbr are integral, the rest
-    (hours, rates: AverageHoursPerWeek '40.0') are double; an ANSI
-    long cast would reject the decimal forms."""
+    (hours, rates: AverageHoursPerWeek '40.0') are double.
+
+    ``try_cast``, not ``cast``: under Spark 4's default ANSI mode a
+    plain cast THROWS on any filing whose field doesn't parse (stray
+    text in an Amt, malformed date), failing the whole build; try_cast
+    degrades the one value to NULL — the reference's as.numeric
+    coercion semantics."""
     if not typed:
         return col
     if data_type == "numeric":
         if any(lf.endswith(_INT_SUFFIXES) for lf in leaves):
-            return col.cast("long")
-        return col.cast("double")
+            return col.try_cast("long")
+        return col.try_cast("double")
     if data_type == "boolean":
         return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
             col.isin("X", "1", "true")

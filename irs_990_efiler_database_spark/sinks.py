@@ -43,9 +43,14 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
-def write_dead_letter(dead: DataFrame, path: str, mode: str = "append") -> None:
-    """Dead-letter sink (FAIL_LIST.csv analog, :5096-5101): append-only
-    parquet of (url, xml, reason, captured_at) for replay."""
+def write_dead_letter(dead: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Dead-letter sink (FAIL_LIST.csv analog, :5096-5101): parquet of
+    (url, xml, reason, captured_at) for replay.
+
+    Default is overwrite-per-run so the DEAD-LETTER table honors the
+    same idempotent-restart guarantee as the data tables (a re-run of
+    build_database must not accumulate duplicate dead rows); pass
+    mode='append' to accumulate across distinct corpora instead."""
     dead.withColumn("captured_at", F.current_timestamp()).write.mode(
         mode
     ).parquet(path)

@@ -175,3 +175,33 @@ def test_schedn_row_counts(returns):
         "SCHED-N-TABLE-02": 2,
         "SCHED-N-TABLE-03": 2,
     }
+
+
+def test_typed_mode_degrades_unparseable_values_to_null(spark):
+    """ANSI mode: a stray-text amount must yield NULL (try_cast), not
+    abort the whole typed build — one bad filing can't fail the job."""
+    from irs_990_efiler_database_spark.sources.xml_source import with_parsed_return
+
+    fixture = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<Return xmlns="http://www.irs.gov/efile" returnVersion="2014v5.0">'
+        "<ReturnHeader><ReturnTypeCd>990</ReturnTypeCd>"
+        "<TaxPeriodEndDt>not-a-date</TaxPeriodEndDt>"
+        "<Filer><EIN>100000001</EIN></Filer></ReturnHeader>"
+        "<ReturnData><IRS990>"
+        "<CYTotalRevenueAmt>twelve thousand</CYTotalRevenueAmt>"
+        "</IRS990></ReturnData></Return>"
+    )
+    raw = spark.createDataFrame(
+        [("file:///t/201400000000000000_public.xml", fixture)], ["url", "xml"]
+    )
+    typed = build_core(
+        with_parsed_return(raw), columns=["EIN", "TOTALREVCURRENT", "ENDYEAR"], typed=True
+    )
+    row = typed.collect()[0]  # must not raise CAST_INVALID_INPUT
+    assert row["EIN"] == "100000001"
+    assert row["TOTALREVCURRENT"] is None
+    assert row["ENDYEAR"] is None  # "not-a-date" NULL-degrades too
+    dtypes = dict(typed.dtypes)
+    assert dtypes["TOTALREVCURRENT"] == "bigint"
+    assert dtypes["ENDYEAR"] == "date"

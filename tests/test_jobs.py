@@ -131,3 +131,13 @@ def test_index_scoped_build(spark, tmp_path):
         tables=["CORE"],
     )
     assert res.rows["CORE"] == 2
+
+
+def test_dead_letter_rerun_is_idempotent(result, spark):
+    """Re-running build_database on the same out_dir must not
+    accumulate duplicate dead-letter rows (same idempotent-restart
+    guarantee as the dynamic-overwrite data tables)."""
+    res, out = result
+    res2 = build_database(spark, str(out), xml_glob=GLOBS)
+    assert res2.dead_rows == 1
+    assert spark.read.parquet(res2.dead_letter_path).count() == 1
