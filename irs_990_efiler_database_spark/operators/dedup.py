@@ -59,18 +59,36 @@ def shingle_base_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature: ONE md5 per shingle, then k
+def minhash_signature_from_hashes(hashes: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature over PRE-HASHED shingles: k
     affine permutations (a_j·h + b_j) mod (2^31−1) — the classic
-    integer minhash; a_j < 2^28 and h < 2^32 keep products in int64."""
-    base = F.transform(shingles, shingle_base_hash)
+    integer minhash; a_j < 2^28 and h < 2^32 keep products in int64.
+
+    Takes the 32-bit base-hash array, not shingle strings: the md5
+    projection must be materialized ONCE in its own select — inlined
+    under each of the k array_min(transform(...)) calls it would be an
+    interpreted (HOFs don't codegen or CSE) k× re-derivation, and the
+    16-way-duplicated md5 subtree bloats the plan enough to slow
+    compile too."""
     sigs = []
     for a, b in perm_constants(k):
         # close over the constants OUTSIDE the lambda — a two-parameter
         # lambda would be read by F.transform as (element, index)
         av, bv = F.lit(a).cast("long"), F.lit(b).cast("long")
-        sigs.append(F.array_min(F.transform(base, lambda h: (av * h + bv) % MERSENNE31)))
+        sigs.append(
+            F.array_min(F.transform(hashes, lambda h: (av * h + bv) % MERSENNE31))
+        )
     return F.array(*sigs)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """MinHash signature straight from shingle strings (one md5 per
+    shingle). Prefer ``shingled`` / ``minhash_signature_from_hashes``
+    in pipelines — this form re-derives the md5 array under every
+    permutation unless the optimizer saves it."""
+    return minhash_signature_from_hashes(
+        F.transform(shingles, shingle_base_hash), k
+    )
 
 
 def band_hashes(sig: Column, bands: int = 4, rows: int = 4) -> Column:
@@ -143,11 +161,24 @@ def shingled(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 5, k: int = 16, bands: int = 4, rows: int = 4,
 ) -> DataFrame:
-    """(id, shingles, minhash signature, band hashes) per document."""
+    """(id, hashed shingle set, minhash signature, band hashes) per
+    document.
+
+    ``sh`` carries the 32-bit md5-derived shingle hashes (longs), not
+    the strings: each stage lives in its own projection so the md5
+    array is computed exactly once (HOF expressions neither codegen
+    nor CSE), the cached/verify-joined payload is 8 B per shingle
+    instead of a string, and downstream Jaccard over the hash sets is
+    identical to string-set Jaccard up to md5-prefix collisions
+    (~2^-32 per pair — and both engines hash identically, so the
+    oracle comparison is exact either way)."""
     norm = normalize_text(F.col(text_col))
     df = _spread(df)
-    out = df.select(F.col(id_col).alias("id"), char_shingles(norm, n).alias("sh"))
-    out = out.withColumn("sig", minhash_signature(F.col("sh"), k))
+    out = df.select(F.col(id_col).alias("id"), char_shingles(norm, n).alias("_shs"))
+    out = out.select("id", F.transform("_shs", shingle_base_hash).alias("sh"))
+    out = out.select(
+        "id", "sh", minhash_signature_from_hashes(F.col("sh"), k).alias("sig")
+    )
     return out.withColumn("bh", band_hashes(F.col("sig"), bands, rows))
 
 

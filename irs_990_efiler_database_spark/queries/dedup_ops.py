@@ -122,20 +122,26 @@ _SQL_SHINGLES = """
 _K = 16
 _ROWS = 4
 # ONE md5 per shingle (32-bit base hash), then k affine permutations —
-# same constants as the Spark builder (operators.dedup.perm_constants)
-_SQL_SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
-    for a, b in perm_constants(_K)
-)
-_SQL_SIG = f"""
+# same constants as the Spark builder (operators.dedup.perm_constants).
+# The Spark pipeline carries the hashed sets (hs) downstream, so the
+# verify stages below compare hs, not shingle strings — both engines
+# hash identically, so the comparison stays exact.
+_SQL_HASHED = """
   hashed AS (
     SELECT doc_id, sh,
            list_transform(sh,
              s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)) AS hs
     FROM sh
-  ),
+  )
+"""
+_SQL_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+    for a, b in perm_constants(_K)
+)
+_SQL_SIG = f"""
+  {_SQL_HASHED},
   sig AS (
-    SELECT doc_id, sh, [{_SQL_SIG_ELEMS}] AS sig FROM hashed
+    SELECT doc_id, sh, hs, [{_SQL_SIG_ELEMS}] AS sig FROM hashed
   )
 """
 
@@ -218,13 +224,13 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS DOUBLE) / {_K}.0 >= 0.25
     )
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(x.sh || y.sh)) AS jaccard
+           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) AS jaccard
     FROM est c
-    JOIN sh x ON x.doc_id = c.id_a
-    JOIN sh y ON y.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(x.sh || y.sh)) >= 0.5
+    JOIN hashed x ON x.doc_id = c.id_a
+    JOIN hashed y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) >= 0.5
     """,
 )
 def fdedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,18 +318,20 @@ def fdedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fdedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SQL_BASE}, {_SQL_SHINGLES}
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_HASHED}
     SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-             / len(list_distinct(x.sh || y.sh)) AS jaccard
-    FROM sh x
-    JOIN sh y
+           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) AS jaccard
+    FROM hashed x
+    JOIN hashed y
       ON y.doc_id = x.doc_id + 1000000
     """,
 )
 def fdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on the known original→mutated pairs —
-    pins the Jaccard arithmetic itself on non-trivial values."""
+    """n-gram Jaccard on the known original→mutated pairs over the
+    md5-hashed shingle sets (identical to string-set Jaccard up to
+    2^-32 collisions; both engines hash identically) — pins the
+    Jaccard arithmetic itself on non-trivial values."""
     sh = shingled(_augmented(spark, sf_dir)).select("id", "sh")
     a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
