@@ -64,6 +64,11 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # the LSH pairs operators persist their shingle/fingerprint
+        # frames for the duration of the returned DataFrame's life;
+        # drop those blocks between queries (untimed) so no query is
+        # charged for a predecessor's leftover cache or its GC pressure
+        spark.catalog.clearCache()
 
     # end-to-end extraction throughput: 2000 synthetic 990 documents →
     # all 12 output tables + partitioned writes (the reference's own
