@@ -165,3 +165,64 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "events_stream_stateful_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us, v_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us, v_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts_us) AS start_us,
+             MAX(ts_us) AS end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(v_us) AS BIGINT) AS value_micros
+      FROM sess
+      GROUP BY user_id, session_seq
+    ), wm AS (
+      SELECT MAX(ts_us) // 1000 AS max_ms FROM seq
+    )
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.value_micros
+    FROM agg a, wm
+    WHERE (a.end_us + 1800000000) // 1000 < wm.max_ms
+    """,
+)
+def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom applyInPandasWithState gap-sessionizer run through
+    the REAL streaming engine (file source → 0-delay watermark →
+    event-time timeouts → availableNow drain). The oracle recomputes
+    the identical sessions with SQL window functions and applies the
+    operator's emission rule — only sessions whose gap has provably
+    elapsed at the final watermark — so the stateful operator's exact
+    output (timestamps, counts, integer-micros sums) sits under the
+    hash gate, not just a row count."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, stateful_sessions, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_stateful_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = stateful_sessions(stream_events(spark, str(tmp / "in")))
+    return run_available_now(
+        stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append"
+    )

@@ -81,15 +81,139 @@ def session_counts(
     )
 
 
+def stateful_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.12): per-user inactivity-gap
+    sessionization with ``applyInPandasWithState`` — the escape hatch
+    for stateful semantics ``F.session_window`` can't express (here:
+    emitting one finalized row per session with its exact start/end
+    and an integer-micros value sum, only once the session can never
+    reopen).
+
+    Mechanics: events are bucketed per user; the open session rides in
+    the group state as (start_us, last_us, n, v_micros); an event
+    farther than ``gap_seconds`` from the last closes the session and
+    emits it. The open tail session is emitted by an EVENT-TIME
+    TIMEOUT at last_us + gap: with a 0-delay watermark, that fires
+    exactly when some event anywhere in the stream proves the gap has
+    passed. Emission rule (ms granularity, Spark's watermark unit):
+    (end_us + gap_us) // 1000 < max_ts_ms — mirrored verbatim by the
+    DuckDB oracle, so the custom operator sits under the same exact
+    hash gate as the built-in windowed aggregations.
+
+    Scale: state is 4 longs per ACTIVE user (not per event); the
+    shuffle carries (user_id, ts_us, v_us) only; timeouts evict state,
+    so memory is bounded by concurrent-session cardinality.
+    """
+    import pandas as pd  # noqa: F401 — Arrow batches arrive as pandas
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_micros", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v_micros", T.LongType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "start_us": [start_us],
+                    "end_us": [last_us],
+                    "n_events": [n],
+                    "value_micros": [v],
+                }
+            )
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple] = []
+        # chronological walk; vectorizing the gap-split would also work
+        # but sessions-per-batch is small and state merge is inherently
+        # sequential at the batch boundary
+        for ts_us, v_us in zip(batch["ts_us"].to_numpy(), batch["v_us"].to_numpy()):
+            ts_us = int(ts_us)
+            v_us = int(v_us)
+            if cur is None:
+                cur = [ts_us, ts_us, 1, v_us]
+            elif ts_us - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [ts_us, ts_us, 1, v_us]
+            else:
+                cur[1] = ts_us
+                cur[2] += 1
+                cur[3] += v_us
+        state.update(tuple(cur))
+        # fire when the global watermark proves the gap has elapsed
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "value_micros": [c[3] for c in closed],
+                }
+            )
+
+    prepped = (
+        events.withWatermark("ts", "0 seconds")
+        .select(
+            "ts",
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            # integer micros: exact, order-free accumulation (a double
+            # running sum would depend on batch arrival order)
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+        )
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_available_now(
-    stream: DataFrame, query_name: str, checkpoint_dir: str
+    stream: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain everything currently in the source into an in-memory sink
     (test/backfill mode) and return the result table."""
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -52,3 +52,54 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path, events_dir):
     want = events_sessionize_gap(spark, SF).select("user_id", "n_events")
     cols = ["user_id", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_sessions_multibatch_deterministic(spark, tmp_path):
+    """State must carry across micro-batches: splitting the source
+    into two files (two availableNow batches, maxFilesPerTrigger=1)
+    must produce byte-identical sessions to the single-batch run —
+    open sessions ride the group state over the batch boundary and
+    close either by a later event or by the event-time timeout."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.streaming import (
+        EVENTS_SCHEMA,
+        stateful_sessions,
+    )
+
+    one = tmp_path / "one"
+    two = tmp_path / "two"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(SF, "events"))  # ts is long ns
+    cut = int(raw.approxQuantile("ts", [0.5], 0.0)[0])
+    raw.write.parquet(str(one / "all"))
+    raw.filter(F.col("ts") <= cut).write.parquet(str(two / "a"))
+    raw.filter(F.col("ts") > cut).write.parquet(str(two / "b"))
+
+    def run(src_dir, name, ckpt, max_files=None):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.readStream.schema(EVENTS_SCHEMA)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        src = reader.parquet(src_dir).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+        stream = stateful_sessions(src)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    cols = ["user_id", "start_us", "end_us", "n_events", "value_micros"]
+    single = _rows(run(str(one) + "/*", "ss_single", str(tmp_path / "c1")), cols)
+    multi = _rows(
+        run(str(two) + "/*", "ss_multi", str(tmp_path / "c2"), max_files=1), cols
+    )
+    assert single == multi
+    assert len(single) > 0
