@@ -174,3 +174,40 @@ def test_hot_bucket_cap_passes_small_buckets(spark):
     )
     pairs = minhash_lsh_pairs(docs, max_bucket_size=100).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """The IVF coarse quantizer is a pure projection: inlined centroid
+    literals, no join, no Exchange anywhere in the plan."""
+    from irs_990_efiler_database_spark.operators.similarity import ivf_assign
+
+    e = load_table(spark, SF, "embeddings")
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    out = ivf_assign(e, cents)
+    assert "Exchange" not in _plan(out)
+    # every vector lands on exactly one centroid, all centroids exist
+    ids = {r["centroid_id"] for r in out.collect()}
+    assert ids <= set(range(8))
+    # a centroid is its own nearest centroid (cosine(v, v) = 1)
+    own = {r["id"]: r["centroid_id"] for r in out.filter(F.col("id") < 8).collect()}
+    assert own == {i: i for i in range(8)}
+
+
+def test_ivf_topk_matches_exact_within_probed_cells(spark):
+    """IVF recall contract: every reported neighbor must be assigned
+    to one of the query's probed cells, and ranking within the
+    candidate set matches the exact brute-force scores."""
+    from irs_990_efiler_database_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF, "embeddings")
+    got = ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3).collect()
+    assert len(got) > 0
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10**6).collect()
+    }
+    for r in got:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos"]
