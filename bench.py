@@ -38,6 +38,12 @@ HEADLINE = [
     "fdedup_simhash_pairs",
     "sim_cosine_topk",
     "sim_ann_lsh_bucketed",
+    "sim_ann_ivf",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q13_customer_order_distribution",
+    "q21_waiting_suppliers",
+    "events_stream_stateful_sessions",
     "idx_build",
     "x990_core",
 ]

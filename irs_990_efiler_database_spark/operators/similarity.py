@@ -209,20 +209,46 @@ def ivf_assign(
     the inline-literal pattern holds at any corpus scale. Ties break
     to the lowest centroid id (array_position finds the FIRST
     maximum, and the literal array is ordered by centroid id)."""
+    spark = corpus.sparkSession
+    cent_sorted = sorted((int(c), list(v)) for c, v in centroids)
+    # centroid norms once, via the SAME decimal-exact l2_norm the
+    # per-row path uses, then inlined as double literals — computing
+    # them per corpus row (as cosine() would) triples the arithmetic
+    # for values that are constants of the quantizer
+    cn = {
+        r["cid"]: r["n"]
+        for r in spark.createDataFrame(cent_sorted, ["cid", "cv"])
+        .select("cid", l2_norm(F.col("cv")).alias("n"))
+        .collect()
+    }
     cent = F.array(
         *[
-            F.struct(F.lit(int(cid)).cast("long").alias("cid"), F.lit(v).alias("cv"))
-            for cid, v in sorted(centroids)
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.lit(v).alias("cv"),
+                F.lit(cn[cid]).alias("cn"),
+            )
+            for cid, v in cent_sorted
         ]
     )
-    scores = F.transform(cent, lambda c: F.round(cosine(F.col(vec_col), c["cv"]), 6))
+    with_norm = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+    )
+    scores = F.transform(
+        cent,
+        lambda c: F.round(
+            _dot_decimal(F.col("v"), c["cv"]).cast("double")
+            / (F.col("vn") * c["cn"]),
+            6,
+        ),
+    )
     # first occurrence of the max (1-based); F.get is 0-based and
     # NULL-safe under ANSI (element_at would throw on a 0 position)
     best = F.array_position(scores, F.array_max(scores))
-    return corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.get(cent, best - 1)["cid"].alias("centroid_id"),
+    return with_norm.select(
+        "id", "v", "vn", F.get(cent, best - 1)["cid"].alias("centroid_id")
     )
 
 
@@ -276,9 +302,17 @@ def ivf_topk(
     probes = (
         qscore.withColumn("prn", F.row_number().over(wprobe))
         .filter(F.col("prn") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("centroid_id"))
+        .select(
+            "query_id",
+            "qv",
+            l2_norm(F.col("qv")).alias("qn"),
+            F.col("cid").alias("centroid_id"),
+        )
     )
 
+    # rerank reuses the corpus norms the assignment already computed
+    # (vn) and the per-query norm (qn) — only the cross dot product is
+    # new work per candidate; the double ops match cosine() exactly
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("id") != F.col("query_id"))
@@ -286,7 +320,11 @@ def ivf_topk(
             "query_id",
             F.col("id").alias("neighbor_id"),
             "centroid_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(
+                _dot_decimal(F.col("qv"), F.col("v")).cast("double")
+                / (F.col("qn") * F.col("vn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
