@@ -67,3 +67,34 @@ def test_tfidf_vocab_join_is_unhinted(spark):
     # the single-row corpus-size count may stay hinted; the unbounded
     # vocabulary (document-frequency) table must not be
     assert len(hints) <= 1, f"vocab join carries a hint: {hints}"
+
+
+# queries whose plan deliberately contains a broadcast nested-loop:
+# a 1-row scalar aggregate cross-joined into the stream (global total,
+# global max, global average) — bounded build side, safe at any SF
+_SCALAR_CROSS = {
+    "q11_important_balance",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "q14_promo_revenue_ratio",  # single-row final aggregate
+    "q17_small_quantity_revenue",
+    "q6_forecast_revenue",
+}
+
+
+def test_no_tpch_plan_has_an_unbounded_cartesian():
+    """Every TPC-H shape must compile to equi-joins (+ the documented
+    1-row scalar cross joins): a CartesianProduct anywhere, or a
+    BroadcastNestedLoopJoin outside the scalar-subquery allowlist,
+    is a 100 TB scale bug regardless of small-SF correctness."""
+    from irs_990_efiler_database_spark.session import get_spark
+
+    spark = get_spark()
+    qs = _queries()
+    names = sorted(n for n in qs if n[0] == "q" and n[1].isdigit())
+    assert len(names) >= 22
+    for name in names:
+        plan = _physical(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name not in _SCALAR_CROSS:
+            assert "BroadcastNestedLoopJoin" not in plan, name
