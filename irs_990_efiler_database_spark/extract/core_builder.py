@@ -41,74 +41,92 @@ from ..sources.xml_source import build_return_schema
 from .compiler import ExprCompiler
 
 
-def _apply_rule(col: Column, rule: str | None, formtype: Column) -> Column:
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _apply_rule_sql(x: str, rule: str | None, formtype: str) -> str:
     if rule == "zeroALL":
-        return F.coalesce(col, F.lit("0"))
+        return f"coalesce({x}, '0')"
     if rule == "zeroPC":
-        return F.when(formtype == "990", F.coalesce(col, F.lit("0"))).otherwise(col)
+        return f"CASE WHEN {formtype} = '990' THEN coalesce({x}, '0') ELSE {x} END"
     if rule == "zeroEZ":
-        return F.when(formtype == "990EZ", F.coalesce(col, F.lit("0"))).otherwise(col)
-    return col
+        return f"CASE WHEN {formtype} = '990EZ' THEN coalesce({x}, '0') ELSE {x} END"
+    return x
 
 
-def _num(col: Column) -> Column:
-    return col.cast("long")
+def _num_sql(x: str) -> str:
+    return f"CAST({x} AS BIGINT)"
 
 
-def compile_core_columns(c: ExprCompiler, xml_col: str = "xml") -> dict[str, Column]:
-    """Compile every CORE variable to a named Column."""
+def compile_core_sql(c: ExprCompiler, xml_col: str = "xml") -> dict[str, str]:
+    """Compile every CORE variable to a SQL expression STRING.
+
+    The whole 237-column projection is composed driver-side as text
+    and crosses to the JVM as one ``selectExpr`` — building the same
+    trees as Column objects costs one py4j round-trip per operator
+    (measured ~4s of plan-build latency per call for this table)."""
     spec = load_core_spec()
     vars_ = spec["vars"]
 
     # FORMTYPE gates the zero rules and the conditional sums; compile first.
-    formtype = c.coalesce_scalar(vars_["FORMTYPE"]["xpaths"])
+    formtype = c._coalesce_scalar_sql(vars_["FORMTYPE"]["xpaths"])
 
-    exprs: dict[str, Column] = {}
+    exprs: dict[str, str] = {}
 
     # pass 1: scalars (incl. recodes + rules)
     for var, s in vars_.items():
         if s.get("kind") != "scalar":
             continue
         if s.get("collapse") == " ":
-            col = c.collapsed_matches(s["xpaths"], " ")
+            x = c._collapsed_matches_sql(s["xpaths"], " ")
         elif "recode_present" in s:
-            col = F.when(c.any_present(s["xpaths"]), F.lit(s["recode_present"]))
+            x = (
+                f"CASE WHEN {c._any_present_sql(s['xpaths'])} "
+                f"THEN {_sq(s['recode_present'])} END"
+            )
         else:
-            col = c.coalesce_scalar(s["xpaths"])
-        exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+            x = c._coalesce_scalar_sql(s["xpaths"])
+        exprs[var] = _apply_rule_sql(x, s.get("rule"), formtype)
 
-    # pass 2: derived variables referencing pass-1 columns
+    # pass 2: derived variables referencing pass-1 expressions
     for var, s in vars_.items():
         kind = s.get("kind")
         if kind == "concat_collapse":
-            parts = [F.coalesce(exprs[v], F.lit("")) for v in s["components"]]
-            exprs[var] = F.nullif(F.concat(*parts), F.lit(""))
+            parts = ", ".join(f"coalesce({exprs[v]}, '')" for v in s["components"])
+            exprs[var] = f"nullif(concat({parts}), '')"
         elif kind == "conditional_sum":
-            pc = sum(
-                (F.coalesce(_num(exprs[v]), F.lit(0)) for v in s["pc_components"]),
-                F.lit(0),
-            ).cast("string")
-            ez = c.coalesce_scalar(s["ez_xpaths"])
-            col = F.when(formtype == "990", pc).otherwise(ez)
-            exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+            total = " + ".join(
+                f"coalesce({_num_sql(exprs[v])}, 0)" for v in s["pc_components"]
+            )
+            pc = f"CAST((0 + {total}) AS STRING)"
+            ez = c._coalesce_scalar_sql(s["ez_xpaths"])
+            x = f"CASE WHEN {formtype} = '990' THEN {pc} ELSE {ez} END"
+            exprs[var] = _apply_rule_sql(x, s.get("rule"), formtype)
         elif kind == "sum_with_fallback":
             comps = [exprs[v] for v in s["pc_components"]]
-            all_null = comps[0].isNull()
-            for comp in comps[1:]:
-                all_null = all_null & comp.isNull()
-            total = sum(
-                (F.coalesce(_num(comp), F.lit(0)) for comp in comps), F.lit(0)
-            ).cast("string")
-            ez = c.coalesce_scalar(s["ez_xpaths"])
-            col = F.when(all_null, ez).otherwise(total)
-            exprs[var] = _apply_rule(col, s.get("rule"), formtype)
+            all_null = " AND ".join(f"({x} IS NULL)" for x in comps)
+            total = " + ".join(f"coalesce({_num_sql(x)}, 0)" for x in comps)
+            ez = c._coalesce_scalar_sql(s["ez_xpaths"])
+            x = (
+                f"CASE WHEN {all_null} THEN {ez} "
+                f"ELSE CAST((0 + {total}) AS STRING) END"
+            )
+            exprs[var] = _apply_rule_sql(x, s.get("rule"), formtype)
         elif kind == "schedule_flag":
-            exprs[var] = F.col(xml_col).contains(s["schedule"])
+            exprs[var] = f"contains(`{xml_col}`, {_sq(s['schedule'])})"
         elif kind == "url":
-            exprs[var] = F.col("url")
+            exprs[var] = "`url`"
         elif kind == "object_id_from_url":
-            exprs[var] = F.col("object_id")
+            exprs[var] = "`object_id`"
     return exprs
+
+
+def compile_core_columns(c: ExprCompiler, xml_col: str = "xml") -> dict[str, Column]:
+    """Column view of ``compile_core_sql`` (one F.expr per variable) —
+    for builders that need individual header columns (Schedule N)."""
+    return {v: F.expr(x) for v, x in compile_core_sql(c, xml_col).items()}
 
 
 _NUM_LEAF_SUFFIXES = ("Amt", "Cnt", "Nbr", "Qty")
@@ -156,7 +174,7 @@ def build_core(
     oracle for parity checks (SURVEY §1.3)."""
     _, builder = build_return_schema()
     c = ExprCompiler(builder)
-    exprs = compile_core_columns(c)
+    exprs = compile_core_sql(c)
     spec = load_core_spec()
     cols = spec["columns"] if columns is None else columns
     if typed:
@@ -164,7 +182,10 @@ def build_core(
         # one unparseable amount/date; NULL-degrade matches as.numeric
         tmap = core_type_map()
         exprs = {
-            v: (e.try_cast(tmap[v]) if v in tmap else e)
-            for v, e in exprs.items()
+            v: (f"try_cast({x} AS {tmap[v]})" if v in tmap else x)
+            for v, x in exprs.items()
         }
-    return returns.select([exprs[v].alias(v) for v in cols])
+    # ONE py4j crossing for the whole 237-column projection
+    return returns.selectExpr(
+        *[f"{exprs[v]} AS `{v}`" for v in cols]
+    )
