@@ -275,3 +275,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@register(
+    "pipeline_training_data_prep",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest
+      FROM q
+    )
+    SELECT digest,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_dups,
+           arg_min(n_tokens, doc_id) AS n_tokens
+    FROM keyed
+    GROUP BY digest
+    """,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality gate (token-length
+    window) → normalize → exact dedup keeping the lowest doc_id —
+    the composed shape of a pretraining corpus cleaning job. Scale:
+    the filter prunes before any shuffle; the only shuffle carries
+    (digest, doc_id, n_tokens) — 48 B/doc, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    q = d.select("doc_id", "text", toks.alias("n_tokens")).filter(
+        F.col("n_tokens").between(20, 1000)
+    )
+    digest = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    keyed = q.select("doc_id", "n_tokens", digest.alias("digest"))
+    return keyed.groupBy("digest").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
