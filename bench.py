@@ -64,10 +64,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # warm the Structured Streaming machinery (state store, micro-batch
-    # planner) on the tiny SF once, so streaming entries measure the
-    # operator, not engine first-start
-    qs["events_stream_tumbling"](spark, "/root/testdata/sf0.001").write.format(
+    # warm the Structured Streaming machinery AND the Python worker
+    # pool (state store, micro-batch planner, Arrow workers) on the
+    # tiny SF once, so streaming entries measure the operator, not
+    # engine first-start — measured ~15-25 s of one-time init
+    qs["events_stream_stateful_sessions"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
     spark.catalog.clearCache()

@@ -224,31 +224,38 @@ def ivf_assign(
     cent = F.array(
         *[
             F.struct(
-                F.lit(cid).cast("long").alias("cid"),
                 F.lit(v).alias("cv"),
                 F.lit(cn[cid]).alias("cn"),
             )
             for cid, v in cent_sorted
         ]
     )
+    cids = F.array(*[F.lit(cid).cast("long") for cid, _ in cent_sorted])
     with_norm = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("vn"),
     )
-    scores = F.transform(
-        cent,
-        lambda c: F.round(
-            _dot_decimal(F.col("v"), c["cv"]).cast("double")
-            / (F.col("vn") * c["cn"]),
-            6,
+    # the centroid literal + K-transform expression lives in ITS OWN
+    # projection: referencing it by column afterwards keeps exactly one
+    # copy in the plan (inlined under array_position/array_max/get it
+    # appears three times — 3x the analysis/codegen cost)
+    scored = with_norm.withColumn(
+        "_scores",
+        F.transform(
+            cent,
+            lambda c: F.round(
+                _dot_decimal(F.col("v"), c["cv"]).cast("double")
+                / (F.col("vn") * c["cn"]),
+                6,
+            ),
         ),
     )
     # first occurrence of the max (1-based); F.get is 0-based and
     # NULL-safe under ANSI (element_at would throw on a 0 position)
-    best = F.array_position(scores, F.array_max(scores))
-    return with_norm.select(
-        "id", "v", "vn", F.get(cent, best - 1)["cid"].alias("centroid_id")
+    best = F.array_position(F.col("_scores"), F.array_max("_scores"))
+    return scored.select(
+        "id", "v", "vn", F.get(cids, best - 1).alias("centroid_id")
     )
 
 
