@@ -579,3 +579,38 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "s_acctbal")
         .orderBy(F.asc("s_nationkey"), F.desc("s_acctbal"), F.asc("s_suppkey"))
     )
+
+
+@register(
+    "agg_salted_skew_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: lineitem price totals per returnflag — a
+    3-value group domain that a direct groupBy would land on 3
+    reducers at any cluster size. The salted two-stage plan spreads
+    each hot key over 16 reducers first; decimal partials make the
+    regrouped result bit-identical to the direct plan (the oracle IS
+    the direct plan)."""
+    from ..operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li,
+        keys=["l_returnflag"],
+        value=F.col("l_extendedprice").cast("decimal(18,2)"),
+        salt_on="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_value").cast("double").alias("sum_price"),
+        "n",
+    )

@@ -63,3 +63,26 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     # keep partition values exactly as written (all-string output model)
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into
+    ``n_buckets`` files keyed by ``bucket_by``, so every later join or
+    aggregation on that key reads co-located buckets with NO exchange.
+
+    This is the pay-once-shuffle-forever path for the 100 TB fact
+    tables (the reference has no analog — its chunked RDS files are
+    keyed by position): bucketed lineitem ⋈ bucketed orders on
+    orderkey is a zero-shuffle sort-merge join (asserted in
+    tests/test_operators.py)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
