@@ -226,3 +226,68 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     return run_available_now(
         stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append"
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(h) = 0 AND GROUPING(d) = 0 THEN 'hour'
+           WHEN GROUPING(d) = 0 THEN 'day'
+           ELSE 'total' END AS grain,
+      strftime(coalesce(h, d, TIMESTAMP '1970-01-01 00:00:00'),
+               '%Y-%m-%d %H:%M:%S') AS bucket,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             time_bucket(INTERVAL '1 day',  CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h, d, event_type), (d, event_type), (event_type))
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day, and
+    total grains for every event type in ONE pass — GROUPING SETS over
+    pre-computed time buckets, so the scan happens once and partial
+    aggregation combines map-side for all three grains. At 100 TB this
+    replaces three separate windowed aggregations with one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+    )
+    # grouping() is only defined inside the aggregate projection, so
+    # the grain label is emitted as an aggregate-list expression
+    grain = (
+        F.when(
+            (F.grouping("h") == 0) & (F.grouping("d") == 0), F.lit("hour")
+        )
+        .when(F.grouping("d") == 0, F.lit("day"))
+        .otherwise(F.lit("total"))
+    )
+    rolled = bucketed.groupingSets(
+        [["h", "d", "event_type"], ["d", "event_type"], ["event_type"]],
+        "h",
+        "d",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        grain.alias("grain"),
+    )
+    return rolled.select(
+        "grain",
+        F.date_format(
+            F.coalesce("h", "d", F.lit("1970-01-01 00:00:00").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )
