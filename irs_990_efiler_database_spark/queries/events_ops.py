@@ -74,6 +74,124 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "events_stream_tumbling_q", str(tmp / "ckpt"))
 
 
+_SLIDING_ORACLE = """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '5 minutes' AS ws
+      FROM events, (SELECT UNNEST([0, 1]) AS k) ks
+    )
+    GROUP BY 1, 2
+    """
+
+
+@register("events_sliding_10x5", oracle=_SLIDING_ORACLE)
+def events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute window, 5-minute slide):
+    every event belongs to exactly window/slide = 2 epoch-aligned
+    windows. The oracle reconstructs Spark's window assignment
+    arithmetically (each event joined to offsets {0,1} of its 5-minute
+    bucket), so the slide semantics themselves are under the hash
+    gate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register("events_stream_sliding", oracle=_SLIDING_ORACLE)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding aggregation run through the Structured
+    Streaming engine (file source → watermark → availableNow drain)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, sliding_counts, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_sliding_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = sliding_counts(stream_events(spark, str(tmp / "in")))
+    return run_available_now(stream, "events_stream_sliding_q", str(tmp / "ckpt"))
+
+
+@register(
+    "events_stream_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us, v,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us, v,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts_us) AS start_us,
+             MAX(ts_us) + 1800000000 AS end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM sess
+      GROUP BY user_id, session_seq
+    ), wm AS (
+      SELECT MAX(ts_us) // 1000 AS max_ms FROM seq
+    )
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_value
+    FROM agg a, wm
+    WHERE a.end_us // 1000 < wm.max_ms
+    """,
+)
+def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``F.session_window`` sessionization through the REAL
+    streaming engine in append mode. Session merge rule: an event
+    strictly less than the gap after the session's last event extends
+    it (window end = last event + gap), so the oracle's new-session
+    predicate is ``diff >= gap`` — the mirror of the batch
+    lag-sessionizer's strict ``>``. Emission rule: append mode only
+    emits sessions whose end has passed the final watermark
+    (ms granularity), reconstructed verbatim by the oracle."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, session_windows, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_sesswin_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = session_windows(stream_events(spark, str(tmp / "in")))
+    return run_available_now(
+        stream, "events_stream_sesswin_q", str(tmp / "ckpt"), output_mode="append"
+    )
+
+
 @register(
     "events_asof_last_purchase",
     oracle="""

@@ -54,6 +54,53 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path, events_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_streaming_sliding_matches_batch(spark, tmp_path, events_dir):
+    from irs_990_efiler_database_spark.queries.events_ops import (
+        events_sliding_10x5,
+    )
+    from irs_990_efiler_database_spark.streaming import sliding_counts
+
+    stream = sliding_counts(stream_events(spark, events_dir))
+    got = run_available_now(stream, "stream_sliding", str(tmp_path / "ckpt"))
+    want = events_sliding_10x5(spark, SF)
+    cols = ["win_start", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # every event belongs to exactly window/slide = 2 windows
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(r["n"] for r in got.collect()) == 2 * n_events
+
+
+def test_session_window_append_emits_closed_sessions(spark, tmp_path, events_dir):
+    """Append-mode session_window with a 0-delay watermark emits every
+    session whose end has provably passed; only sessions still open at
+    the final watermark are withheld."""
+    from irs_990_efiler_database_spark.streaming import session_windows
+
+    stream = session_windows(stream_events(spark, events_dir))
+    got = run_available_now(
+        stream, "stream_sesswin", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # window end = last event + gap; all emitted ends precede the
+    # final watermark (max event time)
+    import pyspark.sql.functions as F
+
+    max_us = (
+        spark.read.parquet(events_dir)
+        .select(F.max(F.expr("ts div 1000")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert all(r["end_us"] // 1000 < max_us // 1000 + 1 for r in rows)
+    # total emitted events == all events minus the open tail sessions
+    total_sessions = (
+        events_sessionize_gap(spark, SF).count()
+    )
+    assert total_sessions - len(rows) <= spark.read.parquet(events_dir).select(
+        "user_id"
+    ).distinct().count()
+
+
 def test_stateful_sessions_multibatch_deterministic(spark, tmp_path):
     """State must carry across micro-batches: splitting the source
     into two files (two availableNow batches, maxFilesPerTrigger=1)
