@@ -23,16 +23,26 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from .extract.core_builder import build_core
 from .extract.rdb_builder import build_rdb_table
 from .extract.schedn_builder import build_schedn_table, schedn_table_names
 from .plans.concordance import load_core_spec, table_names
-from .sinks import write_csv, write_dead_letter, write_table
+from .sinks import read_table, write_csv, write_dead_letter, write_table
 from .sources.index import filter_index
 from .sources.xml_source import (
     read_return_bundle,
     read_return_xml_files,
     split_corrupt,
+    with_parsed_return,
+)
+
+BUNDLE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("xml", T.StringType()),
+    ]
 )
 
 
@@ -131,3 +141,85 @@ def build_database(
         return result
     finally:
         ok.unpersist()
+
+
+def build_database_incremental(
+    spark: SparkSession,
+    out_dir: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    tables: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> BuildResult:
+    """Incremental buildDatabase: a Structured Streaming file source
+    watches ``landing_dir`` for new (url, xml) parquet bundles and runs
+    the SAME parse → 12-table extraction on exactly the new files.
+
+    This replaces the reference's "rebuild everything every few months"
+    cadence (BUILD_SCRIPTS/README.md:260): when the monthly IRS drop
+    lands under the prefix, one ``availableNow`` run processes only the
+    unseen bundles — the checkpoint's source log is the reference's
+    chunk/redo bookkeeping, done by the engine.
+
+    Exactly-once: each micro-batch is ONE parse feeding all tables
+    (``foreachBatch``), and every table write is partitioned by
+    ``(*table_partitions, _batch)`` with dynamic partition overwrite —
+    a retried batch atomically replaces its own ``_batch`` partitions
+    instead of appending duplicates. Read the result with
+    ``read_incremental_table`` (drops the bookkeeping column).
+
+    ``rows``/``dead_rows`` count documents processed by THIS run (a
+    catch-up run over an already-current landing dir reports 0).
+    """
+    from pyspark.sql import Observation
+
+    builders = _all_builders()
+    selected = tables if tables is not None else list(builders)
+    out = out_dir.rstrip("/")
+    result = BuildResult()
+    for name in selected:
+        result.tables[name] = f"{out}/{name}"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        ok, dead = split_corrupt(with_parsed_return(batch))
+        ok = ok.persist()
+        try:
+            for name in selected:
+                build, part_cols = builders[name]
+                df = build(ok).withColumn("_batch", F.lit(batch_id))
+                obs = Observation()
+                write_table(
+                    df.observe(obs, F.count(F.lit(1)).alias("n")),
+                    result.tables[name],
+                    partition_by=(*part_cols, "_batch"),
+                )
+                result.rows[name] = result.rows.get(name, 0) + int(obs.get["n"])
+            dl = dead.withColumn("_batch", F.lit(batch_id)).withColumn(
+                "captured_at", F.current_timestamp()
+            )
+            n_dead = dl.count()
+            if n_dead:
+                result.dead_letter_path = f"{out}/DEAD-LETTER"
+                write_table(dl, result.dead_letter_path, partition_by=("_batch",))
+                result.dead_rows += n_dead
+        finally:
+            ok.unpersist()
+
+    reader = spark.readStream.schema(BUNDLE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(landing_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result
+
+
+def read_incremental_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written by ``build_database_incremental``, hiding
+    the ``_batch`` bookkeeping partition column."""
+    return read_table(spark, path).drop("_batch")

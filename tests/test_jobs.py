@@ -133,6 +133,75 @@ def test_index_scoped_build(spark, tmp_path):
     assert res.rows["CORE"] == 2
 
 
+def test_incremental_build_processes_only_new_files(spark, tmp_path):
+    """Streaming incremental build: first run extracts the staged
+    bundles; a catch-up run with no new files processes nothing; a
+    newly landed bundle is picked up without touching prior output."""
+    import shutil
+
+    from irs_990_efiler_database_spark.jobs import (
+        build_database_incremental,
+        read_incremental_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        write_return_bundle,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tables = ["CORE", "SJ-P02-T01-COMPENSATION"]
+
+    def stage(glob, name):
+        tmp = tmp_path / f"stage_{name}"
+        write_return_bundle(spark, glob, str(tmp), target_partitions=1)
+        parts = sorted(tmp.glob("part-*.parquet"))
+        assert parts
+        shutil.copy(parts[0], landing / f"{name}.parquet")
+
+    stage("tests/fixtures/*.xml", "drop1")
+    res1 = build_database_incremental(
+        spark, out, str(landing), ckpt, tables=tables, max_files_per_trigger=1
+    )
+    assert res1.rows["CORE"] == 6
+    assert res1.dead_rows == 0
+    core = read_incremental_table(spark, res1.tables["CORE"])
+    assert core.count() == 6
+    assert "_batch" not in core.columns
+
+    # incremental output must equal the batch builder's rows
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    direct = build_core(
+        split_corrupt(read_return_xml_files(spark, "tests/fixtures/*.xml"))[0],
+        columns=cols,
+    )
+    key = lambda r: r["URL"]  # noqa: E731
+    got = sorted([r.asDict() for r in core.select(*direct.columns).collect()], key=key)
+    want = sorted([r.asDict() for r in direct.collect()], key=key)
+    assert got == want
+
+    # catch-up run: nothing new to process, output untouched
+    res2 = build_database_incremental(
+        spark, out, str(landing), ckpt, tables=tables, max_files_per_trigger=1
+    )
+    assert res2.rows.get("CORE", 0) == 0
+    assert read_incremental_table(spark, res1.tables["CORE"]).count() == 6
+
+    # a new drop lands (the corrupt doc): only it is processed, and it
+    # goes to the dead letter — prior CORE rows intact
+    stage("tests/fixtures/corrupt/*.xml", "drop2")
+    res3 = build_database_incremental(
+        spark, out, str(landing), ckpt, tables=tables, max_files_per_trigger=1
+    )
+    assert res3.rows.get("CORE", 0) == 0
+    assert res3.dead_rows == 1
+    assert read_incremental_table(spark, res1.tables["CORE"]).count() == 6
+    dl = spark.read.parquet(res3.dead_letter_path)
+    assert dl.count() == 1
+    assert dl.collect()[0]["reason"] == "xml_parse_error"
+
+
 def test_dead_letter_rerun_is_idempotent(result, spark):
     """Re-running build_database on the same out_dir must not
     accumulate duplicate dead-letter rows (same idempotent-restart
