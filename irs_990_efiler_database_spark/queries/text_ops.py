@@ -319,3 +319,172 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dups"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
     )
+
+
+@register(
+    "text_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment: md5 of the
+    document key → bucket 0-99 → 90/5/5 split. Hash-based (not
+    random) so the split is stable across runs, machines, and
+    re-partitions — the property a training pipeline needs for
+    reproducible holdout sets. Pure projection: no shuffle, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "text_decontaminate_13gram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 11)) AS u(i)
+    ),
+    e AS (SELECT doc_id, g FROM grams WHERE doc_id < 50),
+    c AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50)
+    SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+           COUNT(*) AS shared_13grams
+    FROM e JOIN c USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def text_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    13-gram (word-level) with the eval set (here: doc_id < 50), with
+    the count of distinct shared 13-grams per (eval, corpus) pair —
+    the standard n-gram-overlap contamination check run before
+    training.
+
+    Scale shape: the eval set is bounded by definition (benchmark
+    suites, not the corpus), so its distinct 13-grams BROADCAST; the
+    corpus side streams map-side through the hash join — no shuffle of
+    corpus text, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    grams13 = F.when(
+        F.size(t) >= 13,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(12)),
+                lambda i: F.array_join(F.slice(t, i, 13), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams13).alias("g"))
+    ev = grams.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    corp = grams.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("corpus_id"), "g"
+    )
+    return (
+        corp.join(F.broadcast(ev), "g")
+        .groupBy("eval_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_13grams"))
+    )
+
+
+@register(
+    "doc_pack_token_budget",
+    oracle=r"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                  AS BIGINT) AS bin
+      FROM sized
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, bin
+    """,
+)
+def doc_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in doc_id order and cut
+    the stream into 2048-token shards — each document's shard is the
+    one its FIRST token lands in (concat-and-chunk, the standard
+    pretraining packing). Partitioned by `source` so the running sum
+    parallelizes per source shard instead of one global window — the
+    100 TB formulation (a global order would serialize the cumsum)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    sized = d.select("source", "doc_id", n_tok.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    placed = sized.withColumn(
+        "bin", F.floor(start / F.lit(2048.0)).cast("long")
+    )
+    return placed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "doc_sample_stratified",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(concat('0x',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a 10% hash-sample per
+    language stratum, reported as sampled-vs-total counts. The same
+    md5-bucket trick as text_hash_split, so the sample is reproducible
+    and join-stable (sampling twice yields the same rows — unlike
+    rand()-based sampling, which can't be audited after the fact)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(bucket == 0, 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
