@@ -614,3 +614,85 @@ def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_price"),
         "n",
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: exact discrete percentiles (the SQL
+    standard's smallest-value-with-cume_dist>=p). percentile_disc
+    RETURNS an existing data value — no interpolation arithmetic — so
+    the result is engine-portable and, unlike percentile_approx,
+    deterministic. Scale: one shuffle on the group key; Spark computes
+    order statistics per group without a global sort."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), moments AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS s2
+      FROM cents
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(s1 AS DOUBLE) / n / 100.0 AS mean_price,
+           CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000.0
+             AS var_price,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000.0)
+             AS stddev_price
+    FROM moments
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free variance/stddev: built-in stddev accumulates doubles
+    in partition-arrival order (non-deterministic across runs at
+    scale), so this computes the exact integer-cents moments
+    (n, Σc, Σc²) with decimal accumulation — associative, partial-agg
+    friendly, identical on any partitioning — and derives
+    mean/var/stddev in one final double projection per group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    m = o.select("o_orderpriority", c.alias("c")).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c")).cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    var = num / F.col("n") / (F.col("n") - 1) / F.lit(10000.0)
+    return m.select(
+        "o_orderpriority",
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(100.0)).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
