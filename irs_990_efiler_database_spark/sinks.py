@@ -86,3 +86,40 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...] = DEFAULT_PARTITION_COLS,
+) -> None:
+    """Merge-by-partition-rewrite: upsert ``updates`` into an existing
+    partitioned table — the amended-filing story (an IRS correction
+    replaces the prior version of that return; the reference's only
+    recourse is a full rebuild of the year).
+
+    Mechanics: only partitions PRESENT in ``updates`` are touched —
+    the existing table is semi-joined to the updates' distinct
+    partition values (a broadcast join over partition columns, which
+    dynamic partition pruning turns into a pruned scan), matched keys
+    are dropped (anti-join), and the union is written back with
+    dynamic partition overwrite. Untouched partitions' files are never
+    read or rewritten, so the cost is proportional to the amended
+    partitions, not the table."""
+    existing = read_table(spark, path)
+    part_cols = [c for c in partition_by if c in updates.columns]
+    keys = [c for c in key_cols if c in existing.columns]
+    affected = existing.join(
+        F.broadcast(updates.select(*part_cols).distinct()), part_cols, "left_semi"
+    )
+    keep = affected.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    # the write overwrites files the plan reads — materialize the
+    # merged partitions (executor-local blocks, affected partitions
+    # only) and truncate lineage before touching the directory
+    merged = merged.localCheckpoint(eager=True)
+    write_table(merged, path, partition_by=tuple(part_cols))

@@ -202,6 +202,64 @@ def test_incremental_build_processes_only_new_files(spark, tmp_path):
     assert dl.collect()[0]["reason"] == "xml_parse_error"
 
 
+def test_upsert_partitions_amends_in_place(spark, tmp_path):
+    """Amended-filing upsert: a corrected row replaces its prior
+    version by key, a new key inserts, and partitions not named in the
+    update batch are never rewritten (their files stay untouched)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sinks import (
+        read_table,
+        upsert_partitions,
+        write_table,
+    )
+
+    rows = [
+        ("o1", "ORG ONE", "2012", "990"),
+        ("o2", "ORG TWO", "2014", "990"),
+        ("o3", "ORG THREE", "2014", "990EZ"),
+    ]
+    df = spark.createDataFrame(rows, ["OBJECT_ID", "NAME", "FISYR", "FORMTYPE"])
+    path = str(tmp_path / "CORE")
+    write_table(df, path, partition_by=("FISYR", "FORMTYPE"))
+
+    untouched = tmp_path / "CORE" / "FISYR=2012" / "FORMTYPE=990"
+    before = {p.name: os.path.getmtime(p) for p in untouched.glob("*.parquet")}
+    assert before
+
+    updates = spark.createDataFrame(
+        [
+            ("o2", "ORG TWO AMENDED", "2014", "990"),  # replaces o2
+            ("o9", "ORG NINE", "2014", "990"),  # new filing, same partition
+        ],
+        ["OBJECT_ID", "NAME", "FISYR", "FORMTYPE"],
+    )
+    upsert_partitions(
+        spark, path, updates, key_cols=("OBJECT_ID",),
+        partition_by=("FISYR", "FORMTYPE"),
+    )
+
+    back = read_table(spark, path)
+    got = {r["OBJECT_ID"]: r["NAME"] for r in back.collect()}
+    assert got == {
+        "o1": "ORG ONE",
+        "o2": "ORG TWO AMENDED",
+        "o3": "ORG THREE",
+        "o9": "ORG NINE",
+    }
+    # the 2012 partition was not named in the updates: bit-identical files
+    after = {p.name: os.path.getmtime(p) for p in untouched.glob("*.parquet")}
+    assert after == before
+    # idempotent: replaying the same update batch changes nothing
+    upsert_partitions(
+        spark, path, updates, key_cols=("OBJECT_ID",),
+        partition_by=("FISYR", "FORMTYPE"),
+    )
+    assert read_table(spark, path).count() == 4
+
+
 def test_dead_letter_rerun_is_idempotent(result, spark):
     """Re-running build_database on the same out_dir must not
     accumulate duplicate dead-letter rows (same idempotent-restart
