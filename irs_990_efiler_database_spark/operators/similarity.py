@@ -194,14 +194,14 @@ def ann_topk_bucketed(
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float], float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: map every corpus vector to its nearest
     centroid — as a PURE PROJECTION, no join and no shuffle.
 
-    The centroid table (id, vector) is inlined into the plan as an
+    The centroid table (id, vector, norm) is inlined into the plan as an
     array literal, so assignment is `transform` + `array_max` +
     `get` evaluated per row inside the scan stage. At 100 TB the
     quantizer is still only K vectors (a trained k-means output is a
@@ -210,17 +210,14 @@ def ivf_assign(
     to the lowest centroid id (array_position finds the FIRST
     maximum, and the literal array is ordered by centroid id)."""
     spark = corpus.sparkSession
-    cent_sorted = sorted((int(c), list(v)) for c, v in centroids)
-    # centroid norms once, via the SAME decimal-exact l2_norm the
-    # per-row path uses, then inlined as double literals — computing
-    # them per corpus row (as cosine() would) triples the arithmetic
-    # for values that are constants of the quantizer
-    cn = {
-        r["cid"]: r["n"]
-        for r in spark.createDataFrame(cent_sorted, ["cid", "cv"])
-        .select("cid", l2_norm(F.col("cv")).alias("n"))
-        .collect()
-    }
+    cent_sorted = sorted((int(c), list(v), n) for c, v, n in centroids)
+    # centroid norms arrive precomputed with the centroid rows (same
+    # decimal-exact l2_norm as the per-row path, one collect job) and
+    # are inlined as double literals — computing them per corpus row
+    # (as cosine() would) triples the arithmetic for values that are
+    # constants of the quantizer
+    cn = {cid: n for cid, _, n in cent_sorted}
+    cent_sorted = [(cid, v) for cid, v, _ in cent_sorted]
     cent = F.array(
         *[
             F.struct(
@@ -285,15 +282,15 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cent_rows = [
-        (r[0], list(r[1]))
+        (int(r[0]), list(r[1]), float(r[2]))
         for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
+        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
         .collect()  # K rows — the quantizer is bounded by design
     ]
     assigned = ivf_assign(corpus, cent_rows, id_col, vec_col)
 
     cent_df = corpus.sparkSession.createDataFrame(
-        [(int(cid), v) for cid, v in cent_rows], ["cid", "cv"]
+        [(cid, v) for cid, v, _ in cent_rows], ["cid", "cv"]
     )
     qscore = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

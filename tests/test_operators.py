@@ -182,9 +182,13 @@ def test_ivf_assignment_is_shuffle_free(spark):
     from irs_990_efiler_database_spark.operators.similarity import ivf_assign
 
     e = load_table(spark, SF, "embeddings")
+    from irs_990_efiler_database_spark.operators.similarity import l2_norm
+
     cents = [
-        (r[0], list(r[1]))
-        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")))
+        .collect()
     ]
     out = ivf_assign(e, cents)
     assert "Exchange" not in _plan(out)
