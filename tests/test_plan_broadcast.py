@@ -98,3 +98,24 @@ def test_no_tpch_plan_has_an_unbounded_cartesian():
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_CROSS:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The contamination check must broadcast the (bounded) eval-set
+    grams and hash-join the corpus stream — a shuffle or sort-merge
+    join here would move every corpus 13-gram across the wire."""
+    df = _queries()["text_decontaminate_13gram"](spark, SF)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_window_is_partitioned_not_global(spark):
+    """Sequence packing runs its running sum per `source` partition: a
+    global (empty-partitionBy) window would serialize 100 TB through
+    one task. The physical plan must hash-partition on source, never
+    SinglePartition, for the window exchange."""
+    df = _queries()["doc_pack_token_budget"](spark, SF)
+    plan = _physical(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
