@@ -44,6 +44,11 @@ HEADLINE = [
     "q13_customer_order_distribution",
     "q21_waiting_suppliers",
     "events_stream_stateful_sessions",
+    "events_stream_session_window",
+    "events_sliding_10x5",
+    "agg_percentile_disc",
+    "text_decontaminate_13gram",
+    "doc_pack_token_budget",
     "idx_build",
     "x990_core",
 ]
