@@ -120,10 +120,27 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # fixed single-core probe: observed 1x-3x wall-clock
+                # swings across identical runs from invisible co-tenant
+                # contention (guest sees idle CPU, no steal); this
+                # calibrates the host at measurement time so totals are
+                # comparable across rounds (normalize by this value)
+                "cpu_calibration_sec": _cpu_calibration(),
             }
         )
     )
     spark.stop()
+
+
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-thread integer workload (~2 s on an
+    uncontended host)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    assert s == 199999990000000
+    return round(time.perf_counter() - t0, 4)
 
 
 if __name__ == "__main__":
