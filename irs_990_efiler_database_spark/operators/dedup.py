@@ -336,3 +336,54 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: connected
+    components by min-label propagation — the step that turns LSH
+    output into "keep one document per group" (cluster_id = smallest
+    doc id in the component, so the keeper is the label itself).
+
+    Each iteration is one shuffle (edges ⋈ labels, then a min-combine);
+    propagation converges in O(graph diameter) rounds — near-dup
+    clusters are dense (diameter 1-2), so 2-3 rounds in practice, with
+    ``max_iterations`` as the adversarial-chain bound. Lineage is
+    truncated per round (localCheckpoint), the standard guard for
+    iterative Spark plans. Returns (id, cluster_id) for every id
+    appearing in any pair."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        new = (
+            labels.select("id", "lbl")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -345,3 +345,61 @@ def fdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("sh_a", "sh_b")).cast("double")
         ).alias("jaccard"),
     )
+
+
+@register(
+    "fdedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    goodpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM goodpairs
+      UNION
+      SELECT id_b, id_a FROM goodpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach
+    GROUP BY id
+    """,
+)
+def fdedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the verified MinHash-LSH pairs resolved into
+    connected components (cluster_id = smallest member id = the
+    keeper). The Spark side iterates min-label propagation to a
+    fixpoint; the oracle computes the same components with a recursive
+    transitive-closure CTE — two entirely different algorithms must
+    agree on every membership."""
+    from ..operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(_augmented(spark, sf_dir), threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

@@ -239,3 +239,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must label a long chain (worst-case
+    diameter), a clique, and an isolated pair — cluster_id is the
+    smallest member id."""
+    from irs_990_efiler_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 18)]  # component {10..18}
+    clique = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    pair = [(100, 200)]
+    pairs = spark.createDataFrame(chain + clique + pair, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    want = {i: 10 for i in range(10, 19)}
+    want |= {1: 1, 2: 1, 3: 1, 100: 100, 200: 100}
+    assert got == want
