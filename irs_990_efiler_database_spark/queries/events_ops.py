@@ -409,3 +409,46 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+    FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup: the SAME events file is staged
+    TWICE into the landing prefix (at-least-once delivery), and the
+    watermarked dropDuplicates state recovers exactly-once output —
+    the oracle is simply the events table itself, each event once.
+    At scale the dedup state holds only ids inside the watermark
+    horizon; older state is evicted as the watermark advances."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_dedup_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-001.parquet")
+    ev = stream_events(spark, str(tmp / "in")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+    )
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["event_id"]
+    ).drop("ts")
+    return run_available_now(
+        deduped, "events_stream_dedup_q", str(tmp / "ckpt"), output_mode="append"
+    )
