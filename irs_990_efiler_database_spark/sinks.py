@@ -123,3 +123,17 @@ def upsert_partitions(
     # only) and truncate lineage before touching the directory
     merged = merged.localCheckpoint(eager=True)
     write_table(merged, path, partition_by=tuple(part_cols))
+
+
+def write_stata(df: DataFrame, path: str, version: int = 118) -> None:
+    """Stata .dta export of a bounded table — the reference ships its
+    index as Stata/SPSS alongside CSV (Build-Efiler-Index.md:170-193,
+    via haven::write_dta). Stata files are single-file, non-splittable
+    containers, so this is a DRIVER-side export for index-scale data
+    (millions of rows), not a distributed sink — the distributed
+    formats are parquet/CSV; this exists for parity with the
+    reference's downstream-stats-user story."""
+    import pandas as pd  # noqa: F401 — to_stata ships with pandas
+
+    pdf = df.toPandas()
+    pdf.to_stata(path, write_index=False, version=version)

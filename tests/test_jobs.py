@@ -268,3 +268,20 @@ def test_dead_letter_rerun_is_idempotent(result, spark):
     res2 = build_database(spark, str(out), xml_glob=GLOBS)
     assert res2.dead_rows == 1
     assert spark.read.parquet(res2.dead_letter_path).count() == 1
+
+
+def test_index_stata_export_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sinks import write_stata
+    from irs_990_efiler_database_spark.sources.index import build_index
+
+    idx = build_index(spark, _GLOB)
+    out = str(tmp_path / "index.dta")
+    write_stata(idx, out)
+    back = pd.read_stata(out)
+    assert len(back) == idx.count()
+    assert set(back.columns) == set(idx.columns)
+    want = sorted(r["ObjectId"] for r in idx.select("ObjectId").collect())
+    assert sorted(back["ObjectId"]) == want
