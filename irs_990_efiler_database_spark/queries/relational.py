@@ -696,3 +696,35 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_price"),
         F.sqrt(var).alias("stddev_price"),
     )
+
+
+@register(
+    "win_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window family in one query: ntile,
+    percent_rank, cume_dist, rank, dense_rank — deterministic total
+    order (price, then key) so both engines rank identically; the
+    rank ratios are single double divisions, rounded once."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )

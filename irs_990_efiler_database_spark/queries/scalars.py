@@ -274,3 +274,42 @@ def scalar_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_json"),
     )
+
+
+@register(
+    "scalar_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           ROUND(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(30,15)))) AS DOUBLE), 6) AS sum_sq,
+           CASE WHEN len(list_filter(embedding, x -> x > 0.9)) > 0
+                THEN 1 ELSE 0 END AS has_gt09
+    FROM embeddings
+    WHERE vec_id < 300
+    """,
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform / exists) over
+    the embedding column — all evaluated inside the scan projection,
+    no explode (the explode+groupBy formulation shuffles dim× the
+    rows for the same numbers). Sum-of-squares accumulates in decimal
+    so the value is fold-order-free on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    sq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,15)"),
+        ),
+        F.lit(0).cast("decimal(30,15)"),
+        lambda acc, p: (acc + p).cast("decimal(30,15)"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(sq.cast("double"), 6).alias("sum_sq"),
+        F.when(
+            F.exists("embedding", lambda x: x > 0.9), F.lit(1)
+        ).otherwise(F.lit(0)).alias("has_gt09"),
+    )
