@@ -259,3 +259,42 @@ def test_connected_components_chain_and_clique(spark):
     want = {i: 10 for i in range(10, 19)}
     want |= {1: 1, 2: 1, 3: 1, 100: 100, 200: 100}
     assert got == want
+
+
+def test_ivf_train_improves_objective_and_drops_in(spark):
+    """Spherical k-means: the sum of best-centroid cosines must not
+    decrease from the seeded quantizer to the trained one, and the
+    trained centroids drop into the same assignment plan."""
+    from irs_990_efiler_database_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        l2_norm,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+
+    def objective(cents):
+        scored = ivf_assign(e, cents)
+        # re-score each row against its assigned centroid
+        byid = {cid: (v, n) for cid, v, n in cents}
+        total = 0.0
+        rows = scored.collect()
+        for r in rows:
+            cv, cn = byid[r["centroid_id"]]
+            dot = sum(a * b for a, b in zip(r["v"], cv))
+            total += dot / (r["vn"] * cn)
+        return total / len(rows)
+
+    seed = [
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")))
+        .collect()
+    ]
+    trained = ivf_train(e, k=8, iterations=3)
+    assert len(trained) == 8
+    assert objective(trained) >= objective(seed) - 1e-9
+    # drop-in: assignment still covers every vector with the same plan
+    out = ivf_assign(e, trained)
+    assert "Exchange" not in _plan(out)
+    assert out.count() == e.count()
