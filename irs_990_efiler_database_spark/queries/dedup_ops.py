@@ -403,3 +403,47 @@ def fdedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+
+
+@register(
+    "match_blocked_name_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def match_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity matching) — the org-name matching task
+    the 990 ecosystem runs constantly, as blocking + verify: candidate
+    pairs must share a 16-char name-prefix block (an equi-join, so the
+    shuffle carries (block, id, name) and candidates are bounded per
+    block — never all-pairs), then exact edit-distance ≤ 1 verifies.
+    The same funnel shape as the LSH dedup paths, keyed on a domain
+    blocking rule instead of a hash."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1)
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
