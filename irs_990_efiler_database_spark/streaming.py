@@ -20,24 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("value", T.DoubleType()),
-        T.StructField("session_hint", T.LongType()),
-    ]
-)
+def normalize_event_times(df: DataFrame) -> DataFrame:
+    """The same timestamp normalization as ``catalog.load_table``:
+    TIMESTAMP(NANOS)-as-long → µs timestamp, and TIMESTAMP_NTZ → UTC
+    timestamp (the session timezone is pinned to UTC, so the cast is
+    value-preserving and restores functions like ``unix_micros`` that
+    reject NTZ inputs)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over an events parquet prefix; ns → µs
-    timestamps exactly like the batch catalog."""
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet prefix.
+
+    A file stream needs an explicit schema; derive it from the files
+    already under the prefix (one driver-side footer read) so the
+    stream always matches whatever the generator wrote — the events
+    table has shipped both TIMESTAMP(NANOS) and TIMESTAMP_NTZ(µs)
+    encodings across testdata revisions — then apply the exact batch
+    normalization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    static = spark.read.parquet(path)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_times(reader.parquet(path))
 
 
 def tumbling_counts(
@@ -280,3 +293,47 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream.sparkSession.table(query_name)
+
+
+def purchase_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.12): attribute each
+    purchase to every click by the same user in the preceding
+    ``lookback`` — the canonical two-stream event-time join.
+
+    Both sides are watermarked and the join predicate carries an
+    explicit event-time range, which is exactly what lets Spark bound
+    the join state: a click can be evicted once the watermark passes
+    click_ts + lookback (no purchase can still match it), so state is
+    O(events inside the lookback horizon), not O(stream). Inner joins
+    emit a match as soon as both rows have arrived — no watermark delay
+    on emission — so an availableNow drain yields the complete batch
+    answer and the operator sits under the exact DuckDB oracle.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )

@@ -86,9 +86,11 @@ def test_session_window_append_emits_closed_sessions(spark, tmp_path, events_dir
     # final watermark (max event time)
     import pyspark.sql.functions as F
 
+    from irs_990_efiler_database_spark.streaming import normalize_event_times
+
     max_us = (
-        spark.read.parquet(events_dir)
-        .select(F.max(F.expr("ts div 1000")).alias("m"))
+        normalize_event_times(spark.read.parquet(events_dir))
+        .select(F.max(F.unix_micros("ts")).alias("m"))
         .collect()[0]["m"]
     )
     assert all(r["end_us"] // 1000 < max_us // 1000 + 1 for r in rows)
@@ -110,28 +112,25 @@ def test_stateful_sessions_multibatch_deterministic(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from irs_990_efiler_database_spark.streaming import (
-        EVENTS_SCHEMA,
         stateful_sessions,
+        stream_events,
     )
 
     one = tmp_path / "one"
     two = tmp_path / "two"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(table_path(SF, "events"))  # ts is long ns
-    cut = int(raw.approxQuantile("ts", [0.5], 0.0)[0])
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    raw = load_table(spark, SF, "events").withColumn("ts_us", F.unix_micros("ts"))
+    cut = int(raw.approxQuantile("ts_us", [0.5], 0.0)[0])
+    raw = raw.drop("ts_us")
     raw.write.parquet(str(one / "all"))
-    raw.filter(F.col("ts") <= cut).write.parquet(str(two / "a"))
-    raw.filter(F.col("ts") > cut).write.parquet(str(two / "b"))
+    raw.filter(F.unix_micros("ts") <= cut).write.parquet(str(two / "a"))
+    raw.filter(F.unix_micros("ts") > cut).write.parquet(str(two / "b"))
 
     def run(src_dir, name, ckpt, max_files=None):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        reader = spark.readStream.schema(EVENTS_SCHEMA)
-        if max_files is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files)
-        src = reader.parquet(src_dir).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
+        stream = stateful_sessions(
+            stream_events(spark, src_dir, max_files_per_trigger=max_files)
         )
-        stream = stateful_sessions(src)
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
