@@ -387,3 +387,64 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def minhash_lsh_pairs_between(
+    df: DataFrame, new_pred: Column, id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5, k: int = 16, bands: int = 4, rows: int = 4,
+    threshold: float = 0.5, est_prefilter: float = 0.25,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup detection: (new_id, idx_id, jaccard) pairs
+    between the NEW partition of the corpus (rows where ``new_pred``)
+    and the already-INDEXED remainder — the day-2 shape of corpus
+    dedup, where a fresh crawl batch is screened against the standing
+    signature index instead of re-pairing the whole corpus.
+
+    Identical funnel to ``minhash_lsh_pairs`` (bucket cap → banded
+    candidates → signature-estimate prefilter → exact Jaccard) except
+    the band join is new x indexed, never new x new or indexed x
+    indexed: the join cost scales with |new batch|, not |corpus|. In
+    production the indexed side's (id, bands, sig, sh) frame is the
+    persisted signature index; here it is derived in the same job so
+    the DuckDB oracle can replay both sides."""
+    sh = shingled(df, id_col, text_col, n, k, bands, rows).withColumn(
+        "is_new", new_pred
+    ).persist()
+    sh.count()
+    bandsdf = sh.select(
+        "id", "is_new", F.posexplode("bh").alias("band_idx", "band_hash")
+    )
+    bandsdf = cap_hot_buckets(bandsdf, ["band_idx", "band_hash"], max_bucket_size)
+    nb = bandsdf.filter(F.col("is_new")).select(
+        F.col("id").alias("new_id"), "band_idx", "band_hash"
+    )
+    ob = bandsdf.filter(~F.col("is_new")).select(
+        F.col("id").alias("idx_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        nb.join(ob, ["band_idx", "band_hash"])
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    sigs = sh.select("id", "sig")
+    cand = (
+        cand.join(sigs.withColumnsRenamed({"id": "new_id", "sig": "sig_a"}), "new_id")
+        .join(sigs.withColumnsRenamed({"id": "idx_id", "sig": "sig_b"}), "idx_id")
+        .filter(
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k) >= est_prefilter
+        )
+        .select("new_id", "idx_id")
+    )
+    sets_ = sh.select("id", "sh")
+    return (
+        cand.join(sets_.withColumnsRenamed({"id": "new_id", "sh": "sh_a"}), "new_id")
+        .join(sets_.withColumnsRenamed({"id": "idx_id", "sh": "sh_b"}), "idx_id")
+        .select(
+            "new_id",
+            "idx_id",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,88 @@
+"""Mergeable distinct-count sketch (KMV / bottom-k).
+
+The reference has no sketch surface at all — its cardinality questions
+are exact R ``table()``/``unique()`` passes over in-memory frames
+(build_efile_database_functions.R). At 100 TB an exact
+``COUNT(DISTINCT key)`` shuffles every distinct key; the KMV
+(k-minimum-values) sketch answers the same question with one map-side
+pass that keeps only the k smallest *distinct* hash values per
+partition plus a k-row merge — the classic bottom-k estimator
+(Bar-Yossef et al. 2002; the same family Spark's own HLL++
+``approx_count_distinct`` belongs to). Unlike HLL the KMV synopsis is
+exactly reproducible across engines, which is why it can sit under the
+repo's DuckDB hash gate: estimate = (k-1) / h_k with h_k the k-th
+smallest hash normalized into (0, 1].
+
+Hashing is the portable md5-prefix trick shared with the dedup
+operators (operators/dedup.py): the first 15 hex chars = 60 bits,
+byte-identical in Spark and DuckDB, so the sketch *contents* — not
+just the estimate — match cross-engine.
+
+Scale shape: stage 1 is mapInPandas over whatever partitioning the
+scan produced (no shuffle, numpy unique + slice per Arrow batch,
+carrying at most k longs per partition); stage 2 moves n_partitions*k
+longs to one task and reduces them the same way. On a 1000-executor
+cluster that merge input is ~1000*k*8 bytes — kilobytes — the
+treeAggregate shape without leaving the DataFrame API. The sketch is
+trivially mergeable across days/tables: union the bottom-k frames and
+re-reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_POW_60 = float(1 << 60)  # hash domain size: 15 hex chars = 60 bits
+
+
+def kmv_hash(col: Column) -> Column:
+    """60-bit md5-prefix hash, identical in Spark and the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _bottom_k_mapper(k: int):
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            u = np.unique(pdf["h"].to_numpy())  # sorted distinct
+            merged = u if best is None else np.concatenate([best, u])
+            best = np.unique(merged)[:k]
+        if best is not None and best.size:
+            yield pd.DataFrame({"h": best})
+
+    return mapper
+
+
+def kmv_bottom_k(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``col`` — the KMV
+    synopsis itself, as a k-row DataFrame (column ``h``)."""
+    hashed = df.select(kmv_hash(F.col(col)).alias("h"))
+    partials = hashed.mapInPandas(_bottom_k_mapper(k), "h long")
+    # n_partitions * k longs -> one task; the reduce is the same mapper
+    return partials.repartition(1).mapInPandas(_bottom_k_mapper(k), "h long")
+
+
+def kmv_estimate(synopsis: DataFrame, k: int) -> DataFrame:
+    """(k_held, kth_hash, est_distinct) from a KMV synopsis.
+
+    If fewer than k distinct hashes exist the synopsis IS the exact
+    distinct set, so the estimate is the exact count; otherwise the
+    bottom-k estimator (k-1)/normalized(h_k)."""
+    return synopsis.agg(
+        F.count("h").alias("k_held"), F.max("h").alias("kth_hash")
+    ).select(
+        "k_held",
+        "kth_hash",
+        F.when(F.col("k_held") < k, F.col("k_held").cast("double"))
+        .otherwise(
+            (F.col("k_held") - 1).cast("double")
+            / (F.col("kth_hash").cast("double") / F.lit(TWO_POW_60))
+        )
+        .alias("est_distinct"),
+    )

@@ -67,6 +67,7 @@ def _load() -> None:
         relational,
         scalars,
         similarity_ops,
+        sketch_ops,
         text_ops,
         tpch,
     )

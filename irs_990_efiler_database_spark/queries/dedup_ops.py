@@ -24,6 +24,7 @@ from ..operators.dedup import (
     SIMHASH_BITS,
     char_shingles,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
     normalize_text,
     perm_constants,
     shingled,
@@ -446,4 +447,44 @@ def match_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(dist <= 1)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
+
+
+@register(
+    "fdedup_incremental_new_docs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
+      FROM bands n
+      JOIN bands o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+      WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
+    ),
+    est AS (
+      SELECT c.new_id, c.idx_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.idx_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    )
+    SELECT c.new_id, c.idx_id,
+           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) AS jaccard
+    FROM est c
+    JOIN hashed x ON x.doc_id = c.new_id
+    JOIN hashed y ON y.doc_id = c.idx_id
+    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) >= 0.5
+    """,
+)
+def fdedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the augmented near-copies (doc_id >= 1e6)
+    play the role of a fresh crawl batch screened against the standing
+    corpus — band join is strictly new x indexed, so cost scales with
+    the batch, not the corpus (operators.dedup.minhash_lsh_pairs_between)."""
+    return minhash_lsh_pairs_between(
+        _augmented(spark, sf_dir), F.col("id") >= 1_000_000
     )

@@ -452,3 +452,53 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         deduped, "events_stream_dedup_q", str(tmp / "ckpt"), output_mode="append"
     )
+
+
+@register(
+    "events_stream_click_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the real streaming engine:
+    purchases and clicks are two watermarked streams over the same
+    landing prefix, joined on user within a 10-minute lookback
+    (streaming.purchase_click_attribution). The oracle is the plain
+    batch interval join — inner stream-stream joins emit exactly the
+    batch answer once the source drains."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import (
+        purchase_click_attribution,
+        run_available_now,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    clicks = stream_events(spark, str(tmp / "in")).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events(spark, str(tmp / "in")).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = purchase_click_attribution(clicks, purchases)
+    return run_available_now(
+        joined, "events_stream_click_attr_q", str(tmp / "ckpt"), output_mode="append"
+    )

@@ -728,3 +728,39 @@ def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
+
+
+@register(
+    "win_scd2_order_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           CASE WHEN LEAD(o_orderkey) OVER w IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) versioning: each customer's
+    order stream becomes validity intervals — valid_from = the row's
+    date, valid_to = the next row's date (sentinel 9999-12-31 on the
+    open row), is_current on the newest. The same lead()-over-key
+    pattern versions amended 990 filings per (ein, tax period) in the
+    index pipeline; here it runs on orders so the oracle can replay it.
+    One shuffle on the partition key; ties broken by the unique order
+    key so both engines pick identical successors."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )

@@ -1,0 +1,83 @@
+"""Sketch queries: distinct-count synopses under the exact-hash oracle
+gate.
+
+DuckDB mirrors the whole KMV construction in SQL (distinct md5-prefix
+hashes, ORDER BY, LIMIT k), so the comparison covers the synopsis
+contents and the estimator arithmetic, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.sketch import kmv_bottom_k, kmv_estimate
+from . import register
+
+_K = 256
+_TWO60 = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@register(
+    "sketch_kmv_distinct_parts",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM lineitem
+    ),
+    bk AS (SELECT h FROM h ORDER BY h LIMIT {_K}),
+    agg AS (SELECT COUNT(*) AS k_held, MAX(h) AS kth_hash FROM bk)
+    SELECT CAST(k_held AS BIGINT) AS k_held,
+           kth_hash,
+           CASE WHEN k_held < {_K} THEN CAST(k_held AS DOUBLE)
+                ELSE CAST(k_held - 1 AS DOUBLE)
+                     / (CAST(kth_hash AS DOUBLE) / {_TWO60})
+           END AS est_distinct
+    FROM agg
+    """,
+)
+def sketch_kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over lineitem.l_partkey: one map-side
+    bottom-k pass + a k-row merge instead of a full distinct shuffle.
+    The oracle rebuilds the identical synopsis declaratively, so k_held,
+    the k-th hash, and the estimate are all hash-compared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_estimate(kmv_bottom_k(li, "l_partkey", _K), _K)
+
+
+@register(
+    "sketch_kmv_error_vs_exact",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM orders
+    ),
+    bk AS (SELECT h FROM h ORDER BY h LIMIT {_K}),
+    agg AS (SELECT COUNT(*) AS k_held, MAX(h) AS kth_hash FROM bk),
+    ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+    SELECT CAST(agg.k_held AS BIGINT) AS k_held,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN agg.k_held < {_K} THEN CAST(agg.k_held AS DOUBLE)
+                ELSE CAST(agg.k_held - 1 AS DOUBLE)
+                     / (CAST(agg.kth_hash AS DOUBLE) / {_TWO60})
+           END AS est_distinct
+    FROM agg, ex
+    """,
+)
+def sketch_kmv_error_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch next to the exact answer on a column whose
+    cardinality exceeds k, so the estimator path (not the exact-below-k
+    fallback) is what gets verified. The cross join is 1 row x 1 row."""
+    orders = load_table(spark, sf_dir, "orders")
+    est = kmv_estimate(kmv_bottom_k(orders, "o_custkey", _K), _K).select(
+        "k_held", "est_distinct"
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select("k_held", "exact_distinct", "est_distinct")

@@ -488,3 +488,169 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(bucket == 0, 1).otherwise(0)).cast("long").alias("n_sampled"),
     )
+
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "for", "is"]
+
+
+@register(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(len(list_intersect(toks,
+               ['the','a','of','to','and','in','for','is'])) AS BIGINT)
+               AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits,
+           CASE WHEN n_words >= 30 AND n_words <= 100000
+                 AND mean_word_len >= 3.8 AND mean_word_len <= 10.0
+                 AND stop_hits >= 2
+                THEN TRUE ELSE FALSE END AS keep
+    FROM sig
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    standard LLM-corpus filter): word-count bounds, mean-word-length
+    band, and a minimum count of distinct required stopwords. All
+    native array expressions — one projection, zero shuffles, zero
+    Python — so at 100 TB this runs at parquet-scan speed and the keep
+    flag prunes the corpus before any shuffle-bearing stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("mean_word_len"),
+        F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.8)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("stop_hits") >= 2)
+    )
+    return sig.select("doc_id", "n_words", "mean_word_len", "stop_hits", keep.alias("keep"))
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(g3) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           END AS dup_frac
+    FROM g
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: the fraction of word 3-grams
+    that are repeats of an earlier 3-gram in the same document —
+    Gopher's duplicated-n-gram-fraction signal for boilerplate/spam
+    removal. The n-gram list never leaves the row (no explode, no
+    shuffle): built with sequence+transform, measured with
+    array_distinct, all inside one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    g3 = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", g3.alias("g3"))
+    return g.select(
+        "doc_id",
+        F.size("g3").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("g3")).cast("long").alias("n_distinct"),
+        F.when(F.size("g3") == 0, F.lit(0.0))
+        .otherwise(
+            (F.size("g3") - F.size(F.array_distinct("g3"))).cast("double")
+            / F.size("g3")
+        )
+        .alias("dup_frac"),
+    )
+
+
+@register(
+    "text_chunk_fixed",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             generate_subscripts(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 50.0) AS BIGINT) - 1),
+               j -> array_to_string(toks[j*50+1 : j*50+50], ' ')), 1) - 1
+               AS chunk_ix,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 50.0) AS BIGINT) - 1),
+               j -> array_to_string(toks[j*50+1 : j*50+50], ' '))) AS chunk
+      FROM w
+    )
+    SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tokens,
+           md5(chunk) AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size sequence chunking (50 whitespace tokens per chunk) —
+    the context-window segmentation step of a training pipeline. Chunks
+    are built row-locally with sequence+transform+slice and only then
+    exploded, so the shuffle-free scan emits (doc_id, chunk_ix, token
+    count, md5) — the md5 stands in for the chunk payload to keep the
+    gated result narrow. A Python-UDTF twin of this operator is parity-
+    tested in tests/test_udtf.py (API surface); this native form is the
+    scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(50.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * 50 + 1, 50)),
+    )
+    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.size(F.split("chunk", r"\s+")).cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

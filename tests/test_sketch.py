@@ -1,0 +1,50 @@
+"""KMV sketch invariants: accuracy, exact-below-k fallback, and
+mergeability (the property that makes it a sketch, not a sample)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_kmv_estimate_accuracy(spark):
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.operators.sketch import (
+        kmv_bottom_k,
+        kmv_estimate,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    row = kmv_estimate(kmv_bottom_k(li, "l_partkey", 256), 256).collect()[0]
+    if exact <= 256:
+        assert row["est_distinct"] == float(exact)
+    else:
+        # k=256 -> relative standard error ~ 1/sqrt(k-2) ~ 6.3%
+        assert abs(row["est_distinct"] - exact) / exact < 0.25
+
+
+def test_kmv_synopsis_merges(spark):
+    """bottom_k(A ∪ B) == reduce(bottom_k(A) ∪ bottom_k(B)): the
+    synopsis computed over pre-sketched halves equals the synopsis of
+    the whole — unions of daily sketches answer the all-time question
+    without rescanning."""
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.operators.sketch import kmv_bottom_k
+
+    k = 64
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    whole = sorted(r["h"] for r in kmv_bottom_k(li, "l_partkey", k).collect())
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    sk_a = kmv_bottom_k(half_a, "l_partkey", k)
+    sk_b = kmv_bottom_k(half_b, "l_partkey", k)
+    # merging = keep the k smallest distinct of the unioned synopses
+    # (values are already hashed, so reduce them directly)
+    import numpy as np
+
+    u = np.unique(
+        [r["h"] for r in sk_a.collect()] + [r["h"] for r in sk_b.collect()]
+    )[:k]
+    assert [int(x) for x in u] == whole
