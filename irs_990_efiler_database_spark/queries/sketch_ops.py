@@ -81,3 +81,34 @@ def sketch_kmv_error_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
     )
     return est.crossJoin(exact).select("k_held", "exact_distinct", "est_distinct")
+
+
+@register(
+    "sketch_heavy_hitter_users",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id,
+           COUNT(*) AS freq,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= (SELECT n FROM tot) / 120.0
+    """,
+)
+def sketch_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (users with >= 1/120 of all events) via the
+    candidate-superset funnel: map-side local-frequency candidates
+    (pigeonhole superset, no shuffle) -> exact recount of candidate
+    rows only -> threshold filter. The output is provably identical to
+    the direct GROUP BY ... HAVING the oracle runs — but the shuffle
+    carries only candidate rows, which is what survives a 100 TB
+    vocabulary."""
+    from ..operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    out, total = heavy_hitters(ev, "user_id", 120)
+    return out.select(
+        "user_id",
+        "freq",
+        (F.col("freq").cast("double") / F.lit(float(total))).alias("share"),
+    )

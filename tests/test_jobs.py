@@ -312,3 +312,40 @@ def test_fetch_to_bundle_file_urls_end_to_end(spark, tmp_path):
         spark, str(tmp_path / "out"), bundle_path=bundle, tables=["CORE"]
     )
     assert res.rows["CORE"] == 6
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    """64 tiny files -> a handful sized by the byte target; the rows
+    and values survive byte-for-byte (hash-compared)."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import compact_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "frag")
+    src = load_table(spark, SF_SMOKE, "orders")
+    src.repartition(64).write.parquet(path)
+    from pathlib import Path
+
+    assert len(list(Path(path).rglob("*.parquet"))) >= 64
+    before = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct("*")))).alias("h"),
+        )
+        .collect()[0]
+    )
+    n_files = compact_table(spark, path, target_file_bytes=256 * 1024)
+    got_files = list(Path(path).rglob("*.parquet"))
+    assert len(got_files) == n_files < 64
+    after = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct("*")))).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert (before["n"], before["h"]) == (after["n"], after["h"])
