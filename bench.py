@@ -51,6 +51,13 @@ HEADLINE = [
     "doc_pack_token_budget",
     "idx_build",
     "x990_core",
+    "sketch_kmv_distinct_parts",
+    "sketch_heavy_hitter_users",
+    "text_gopher_quality",
+    "text_chunk_fixed",
+    "win_scd2_order_history",
+    "fdedup_incremental_new_docs",
+    "events_stream_click_attribution",
 ]
 
 

@@ -58,3 +58,52 @@ def asof_join(
             F.col("_m.__asof_ts").alias(f"{prefix}{ts_col}"),
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tie_col: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of join: every left row + the EARLIEST right row with
+    ``right.ts >= left.ts`` per key group (NULLs if none) — the
+    "next event after" direction the backward join can't express.
+
+    Same union+window scale shape as ``asof_join`` (one shuffle on the
+    keys, linear scan, no range join): sides are tagged so a right row
+    at the exact left timestamp sorts AFTER the left row (>= includes
+    it), the first non-null right struct over (current row, unbounded
+    following) is the match, and ``tie_col`` makes the pick among
+    equal-timestamp right rows deterministic — required for the exact
+    oracle comparison, where the mirror is ORDER BY ts, tie LIMIT 1."""
+    lt = left.withColumn("_side", F.lit(0))
+    rt = right.select(
+        *keys,
+        ts_col,
+        F.col(tie_col).alias("_tie"),
+        F.struct(
+            F.col(ts_col).alias("__asof_ts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_asof_row"),
+    ).withColumn("_side", F.lit(1))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, "_side", F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = F.first("_asof_row", ignorenulls=True).over(w)
+    out_cols = [c for c in lt.columns if c != "_side"]
+    return (
+        u.select(*out_cols, "_side", matched.alias("_m"))
+        .filter(F.col("_side") == 0)
+        .select(
+            *out_cols,
+            *[F.col("_m")[c].alias(f"{prefix}{c}") for c in payload_cols],
+            F.col("_m.__asof_ts").alias(f"{prefix}{ts_col}"),
+        )
+    )

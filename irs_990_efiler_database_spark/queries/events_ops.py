@@ -502,3 +502,114 @@ def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     return run_available_now(
         joined, "events_stream_click_attr_q", str(tmp / "ckpt"), output_mode="append"
     )
+
+
+@register(
+    "events_asof_next_error",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    err AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+           (SELECT e.event_id FROM err e
+             WHERE e.user_id = p.user_id AND e.ts >= p.ts
+             ORDER BY e.ts, e.event_id LIMIT 1) AS next_error_id,
+           (SELECT epoch_us(CAST(e.ts AS TIMESTAMP)) FROM err e
+             WHERE e.user_id = p.user_id AND e.ts >= p.ts
+             ORDER BY e.ts, e.event_id LIMIT 1) AS next_error_us
+    FROM p
+    """,
+)
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched with the user's
+    earliest error event at or after it (operators.joins.
+    asof_join_forward — union+window, one shuffle, no range join).
+    The oracle is the per-row ORDER BY ts LIMIT 1 subquery the window
+    replaces; ties broken by event_id on both sides."""
+    from ..operators.joins import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    out = asof_join_forward(p, e, ["user_id"], "ts", ["err_id"], tie_col="err_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_err_id").alias("next_error_id"),
+        F.unix_micros("asof_ts").alias("next_error_us"),
+    )
+
+
+@register(
+    "events_stream_click_attribution_outer",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT least(
+               (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 FROM c),
+               (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 FROM p)
+             ) - 1800000 AS wm_ms
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(NULL AS BIGINT) AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           CAST(NULL AS BIGINT) AS click_us
+    FROM p
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 10 MINUTE
+              AND c.ts <= p.ts)
+      AND epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000 < (SELECT wm_ms FROM wm)
+    """,
+)
+def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join under the exact oracle gate: the
+    oracle replays both the interval matches AND the watermark
+    null-emission rule (min-of-sides watermark, ms floor, strict <) —
+    so the streaming engine's outer-join state eviction itself is what
+    gets hash-verified."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import (
+        purchase_click_attribution_outer,
+        run_available_now,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    clicks = stream_events(spark, str(tmp / "in")).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events(spark, str(tmp / "in")).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = purchase_click_attribution_outer(clicks, purchases)
+    return run_available_now(
+        joined,
+        "events_stream_click_attr_outer_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+    )

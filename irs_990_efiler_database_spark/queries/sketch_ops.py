@@ -112,3 +112,60 @@ def sketch_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         (F.col("freq").cast("double") / F.lit(float(total))).alias("share"),
     )
+
+
+@register(
+    "sketch_binned_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM b
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= 0.5 * (SELECT n FROM tot)
+                    THEN CAST(bin AS DOUBLE) * 1000 END) AS p50_bin_est,
+           MIN(CASE WHEN cum >= 0.9 * (SELECT n FROM tot)
+                    THEN CAST(bin AS DOUBLE) * 1000 END) AS p90_bin_est,
+           MIN(CASE WHEN cum >= 0.99 * (SELECT n FROM tot)
+                    THEN CAST(bin AS DOUBLE) * 1000 END) AS p99_bin_est
+    FROM cum
+    """,
+)
+def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram: one map-side
+    combined groupBy over bin ids (the histogram is the mergeable
+    sketch — width 1000 of o_totalprice), a cumulative window over the
+    few hundred bins, and the quantile estimate = the lower edge of the
+    first bin whose cumulative count crosses q*n. Error is bounded by
+    the bin width; the shuffle carries one row per BIN, not per row.
+    Complements agg_percentile_disc (exact, full sort) as the 100 TB
+    path when bin-width error is acceptable."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    b = orders.groupBy(
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.withColumn("cum", F.sum("c").over(w))
+
+    def est(q: float):
+        return F.min(
+            F.when(F.col("cum") >= q * total, F.col("bin") * 1000.0)
+        )
+
+    return cum.agg(
+        F.lit(total).cast("long").alias("n"),
+        est(0.5).alias("p50_bin_est"),
+        est(0.9).alias("p90_bin_est"),
+        est(0.99).alias("p99_bin_est"),
+    )

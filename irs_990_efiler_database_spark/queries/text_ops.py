@@ -490,7 +490,7 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS = ["the", "a", "of", "to", "and", "in", "for", "is"]
+_GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "for", "is"]
 
 
 @register(
@@ -537,7 +537,9 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.size(toks)
         ).alias("mean_word_len"),
-        F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]))
+        )
         .cast("long")
         .alias("stop_hits"),
     )

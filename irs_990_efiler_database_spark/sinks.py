@@ -178,3 +178,30 @@ def compact_table(
     shutil.move(tmp, str(p))
     shutil.rmtree(bak)
     return n_files
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Time-layout sink: partition directories by the event DATE,
+    parquet row groups sorted by the timestamp inside each partition.
+
+    The two-level pruning story for 100 TB event tables: a time-range
+    predicate first prunes whole partition directories (Catalyst
+    partition pruning — scans never even list the other days), then the
+    in-partition sort tightens parquet min/max row-group statistics so
+    the remaining files skip non-matching row groups at the footer
+    level. Same layout the incremental build writes per `_batch`."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .repartition(F.col("event_date"))
+        .sortWithinPartitions(ts_col)
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )

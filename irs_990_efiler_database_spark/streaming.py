@@ -337,3 +337,47 @@ def purchase_click_attribution(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.unix_micros("click_ts").alias("click_us"),
     )
+
+
+def purchase_click_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase, with its
+    attributed clicks when they exist and NULL click columns once the
+    watermark PROVES no click can ever match.
+
+    Emission rule (verified empirically at two SFs and mirrored by the
+    oracle): matches emit on arrival like the inner join; a null row
+    emits only when the global watermark — the MIN over both sides of
+    (max side event-time, ms-floored, minus the delay) — passes the
+    purchase timestamp, because any later-arriving click old enough to
+    match (click_ts <= purchase_ts < watermark) would be dropped as
+    late. Purchases still inside the horizon when the source drains
+    stay in state and are withheld — exactly-once semantics for a
+    stream that keeps growing."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )

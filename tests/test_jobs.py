@@ -349,3 +349,38 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
         .collect()[0]
     )
     assert (before["n"], before["h"]) == (after["n"], after["h"])
+
+
+def test_time_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A date predicate over the time-partitioned layout must prune at
+    the DIRECTORY level: the scan's partition filters name event_date
+    and the planned scan reads strictly fewer partitions than exist."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import write_time_partitioned
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events")
+    write_time_partitioned(ev, path, "ts")
+    from pathlib import Path
+
+    n_days = len([d for d in Path(path).iterdir() if d.name.startswith("event_date=")])
+    assert n_days > 1
+
+    one_day = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit("2024-01-01"))
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the pruned scan must touch exactly the one matching directory
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:  # Spark prints the count in FileSourceScan metadata
+        assert int(m.group(1)) == 1
+    # row counts agree with the unpartitioned source
+    want = ev.filter(F.to_date("ts") == F.lit("2024-01-01")).count()
+    assert one_day.count() == want > 0
