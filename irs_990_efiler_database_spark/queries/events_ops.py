@@ -613,3 +613,61 @@ def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> D
         str(tmp / "ckpt"),
         output_mode="append",
     )
+
+
+@register(
+    "events_funnel_view_to_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(CAST(v.first_view AS TIMESTAMP)) AS first_view_us,
+           epoch_us(CAST(p.first_purchase AS TIMESTAMP)) AS first_purchase_us,
+           CASE WHEN p.user_id IS NULL THEN FALSE ELSE TRUE END AS converted,
+           CASE WHEN p.user_id IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE epoch_us(CAST(p.first_purchase AS TIMESTAMP))
+                     - epoch_us(CAST(v.first_view AS TIMESTAMP))
+           END AS us_to_convert
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the first view and the
+    first purchase AT OR AFTER it, with conversion flag and
+    time-to-convert. Two grouped aggregations + one left join, all on
+    the user key — a single shuffle partitioning reused across every
+    stage."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("first_view").alias("first_view_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            F.col("first_purchase").isNotNull().alias("converted"),
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.unix_micros("first_purchase") - F.unix_micros("first_view"),
+            ).alias("us_to_convert"),
+        )
+    )

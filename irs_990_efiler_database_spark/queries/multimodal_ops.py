@@ -147,3 +147,40 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus gets an exact DuckDB oracle; the array<float> feature shape
     is covered by ``byte_histogram_features`` under pytest."""
     return byte_histogram_rows(_media(spark, sf_dir))
+
+
+@register(
+    "mm_audio_window_rms",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT media_id,
+             unnest(generate_series(1, length(text))) AS i,
+             text
+      FROM a
+    ),
+    v AS (
+      SELECT media_id,
+             CAST((i - 1) // 100 AS BIGINT) AS window_ix,
+             ascii(substring(text, i, 1)) AS val
+      FROM s
+    )
+    SELECT media_id, window_ix,
+           COUNT(*) AS n_samples,
+           sqrt(CAST(SUM(val * val) AS DOUBLE) / COUNT(*)) AS rms
+    FROM v
+    GROUP BY media_id, window_ix
+    """,
+)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over fake-decoded audio samples (100-sample
+    windows): vectorized Arrow batches, three bincounts per batch,
+    zero per-row Python (operators.multimodal.audio_window_rms). The
+    ASCII corpus lets the oracle recompute each sample as ascii(char),
+    so every RMS double is hash-compared."""
+    from ..operators.multimodal import audio_window_rms, synthetic_media
+
+    media = synthetic_media(load_table(spark, sf_dir, "documents"))
+    return audio_window_rms(media)

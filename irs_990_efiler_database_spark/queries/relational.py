@@ -764,3 +764,40 @@ def win_scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.lead("o_orderkey").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "win_rolling_7d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_7d
+    FROM orders
+    WHERE o_custkey < 300
+    """,
+)
+def win_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-7-day spend —
+    the frame is a VALUE range over epoch seconds (604800 preceding),
+    not a row count, so unevenly spaced orders aggregate correctly.
+    Decimal accumulation; ties inside the same second share a frame on
+    both engines by definition of RANGE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )

@@ -656,3 +656,32 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk", r"\s+")).cast("long").alias("n_tokens"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@register(
+    "text_conjunctive_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    )
+    SELECT doc_id
+    FROM toks
+    WHERE list_contains(t, 'spark') AND list_contains(t, 'window')
+    """,
+)
+def text_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (docs containing ALL query terms) —
+    the lookup side of an inverted index. Expressed as row-local
+    membership tests (array_contains over the distinct token set), so
+    the scan streams with zero shuffle and the filter pushes into the
+    projection; at 100 TB the same query runs against the posting-list
+    table the explode+groupBy build would materialize."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.array_contains("t", "spark") & F.array_contains("t", "window"))
+        .select("doc_id")
+    )
