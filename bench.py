@@ -58,6 +58,8 @@ HEADLINE = [
     "win_scd2_order_history",
     "fdedup_incremental_new_docs",
     "events_stream_click_attribution",
+    "events_retention_cohorts",
+    "text_boilerplate_ngrams",
 ]
 
 

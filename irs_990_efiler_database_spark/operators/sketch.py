@@ -143,3 +143,46 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> tuple[DataFrame, int]:
         .filter(F.col("freq") >= total / float(k))
     )
     return out, total
+
+
+def kmv_bottom_k_grouped(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV synopses: (group, h) rows holding each group's k
+    smallest distinct hashes.
+
+    Two-phase shape — the manual map-side combine Python aggregates
+    don't get for free: stage 1 reduces every scan partition to at most
+    k hashes PER GROUP PER PARTITION (mapInPandas, one np.unique per
+    group per batch), so the only shuffle carries n_partitions*k longs
+    per group instead of every raw row; stage 2 merges per group with
+    applyInPandas. The result feeds the same estimator as the global
+    sketch."""
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                u = np.unique(sub["h"].to_numpy())[:k]
+                prev = acc.get(g)
+                acc[g] = u if prev is None else np.unique(
+                    np.concatenate([prev, u])
+                )[:k]
+        for g, u in acc.items():
+            yield pd.DataFrame({group_col: [g] * len(u), "h": u})
+
+    def merge(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        u = np.unique(pdf["h"].to_numpy())[:k]
+        return pd.DataFrame({group_col: [key[0]] * len(u), "h": u})
+
+    gtype = dict(df.dtypes)[group_col]
+    schema = f"{group_col} {gtype}, h long"
+    hashed = df.select(group_col, kmv_hash(F.col(col)).alias("h"))
+    partials = hashed.mapInPandas(partial, schema)
+    return partials.groupBy(group_col).applyInPandas(merge, schema)

@@ -488,3 +488,100 @@ def fdedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_between(
         _augmented(spark, sf_dir), F.col("id") >= 1_000_000
     )
+
+
+@register(
+    "fdedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    goodpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM goodpairs
+      UNION
+      SELECT id_b, id_a FROM goodpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    members AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words
+      FROM base
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, q.n_words,
+             ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                ORDER BY q.n_words DESC, m.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY m.cluster_id) AS cluster_size
+      FROM members m JOIN q ON q.doc_id = m.doc_id
+    )
+    SELECT cluster_id, doc_id AS keeper_id,
+           CAST(n_words AS BIGINT) AS keeper_n_words,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def fdedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (min-label
+    connected components over verified MinHash pairs) composed with a
+    quality signal — each cluster keeps its LONGEST member (word
+    count, tie-broken by id), the standard keep-best policy of a
+    dedup pipeline. One extra shuffle on cluster_id over the cluster
+    memberships; the quality signal is a row-local projection."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    aug = _augmented(spark, sf_dir)
+    pairs = minhash_lsh_pairs(aug, threshold=0.5)
+    members = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = aug.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), "doc_id"
+    )
+    ranked = (
+        members.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_words").cast("long").alias("keeper_n_words"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

@@ -671,3 +671,39 @@ def events_funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("us_to_convert"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP)) / 604800.0) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 604800.0) AS BIGINT)
+             - f.cohort_week AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by the epoch-week
+    of their first event; each (cohort, week offset) cell counts the
+    distinct users still active — the canonical product-analytics
+    rollup. Two aggregations on the user key, then one small
+    distinct-count shuffle on the (cohort, offset) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800.0).cast("long")  # noqa: E731
+    f = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -169,3 +169,57 @@ def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.9).alias("p90_bin_est"),
         est(0.99).alias("p99_bin_est"),
     )
+
+
+_GK = 64
+
+
+@register(
+    "sketch_kmv_users_per_event_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    bk AS (SELECT event_type, h FROM r WHERE rn <= {_GK})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_held,
+           MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < {_GK} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST(COUNT(*) - 1 AS DOUBLE)
+                     / (CAST(MAX(h) AS DOUBLE) / {_TWO60})
+           END AS est_distinct_users
+    FROM bk
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED distinct-count sketch: one KMV synopsis per event_type
+    (distinct users), built with a manual map-side combine so the
+    shuffle carries at most k longs per (group, partition) — the
+    grouped twin of sketch_kmv_distinct_parts."""
+    from ..operators.sketch import kmv_bottom_k_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    syn = kmv_bottom_k_grouped(ev, "event_type", "user_id", _GK)
+    return syn.groupBy("event_type").agg(
+        F.count("h").alias("k_held"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "event_type",
+        "k_held",
+        "kth_hash",
+        F.when(F.col("k_held") < _GK, F.col("k_held").cast("double"))
+        .otherwise(
+            (F.col("k_held") - 1).cast("double")
+            / (F.col("kth_hash").cast("double") / F.lit(float(1 << 60)))
+        )
+        .alias("est_distinct_users"),
+    )

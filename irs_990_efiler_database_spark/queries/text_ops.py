@@ -685,3 +685,75 @@ def text_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.array_contains("t", "spark") & F.array_contains("t", "window"))
         .select("doc_id")
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g3
+      FROM w
+    ),
+    bp AS (
+      SELECT g3 FROM g GROUP BY g3 HAVING COUNT(*) >= 5
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    b AS (
+      SELECT g.doc_id, COUNT(*) AS n_boiler
+      FROM g JOIN bp USING (g3) GROUP BY g.doc_id
+    )
+    SELECT tot.doc_id,
+           tot.n_grams,
+           coalesce(b.n_boiler, 0) AS n_boiler,
+           CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / tot.n_grams AS boiler_frac,
+           CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / tot.n_grams >= 0.1
+             AS flagged
+    FROM tot LEFT JOIN b ON tot.doc_id = b.doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the cross-document twin of
+    text_dup_ngram_fraction): word 3-grams appearing >= 5 times across
+    the corpus are 'boilerplate'; each document reports what fraction
+    of its 3-gram instances are boilerplate and a flag at 10%. Two
+    grouped aggregations over the exploded grams plus one key-only
+    join — the boilerplate set joins by gram hash, deliberately NOT
+    broadcast (it grows with the corpus; AQE picks the strategy)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    g3 = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(g3).alias("g3"))
+    bp = (
+        g.groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("g3")
+    )
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    b = g.join(bp, "g3").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_boiler"))
+    frac = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double") / F.col("n_grams")
+    return (
+        tot.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            frac.alias("boiler_frac"),
+            (frac >= 0.1).alias("flagged"),
+        )
+    )

@@ -104,3 +104,74 @@ def test_salted_aggregation_equals_direct(spark, rows):
         .collect()
     }
     assert got == want
+
+
+_vals = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200)
+
+
+@given(_vals, st.integers(min_value=1, max_value=16))
+@SETTINGS
+def test_kmv_bottom_k_matches_reference(spark, values, k):
+    """The KMV synopsis must equal the k smallest distinct reference
+    hashes regardless of partitioning, duplication, or k vs
+    cardinality."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from irs_990_efiler_database_spark.operators.sketch import kmv_bottom_k
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).repartition(4)
+    got = sorted(r["h"] for r in kmv_bottom_k(df, "v", k).collect())
+    want = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in values
+        }
+    )[:k]
+    assert got == want
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),
+        min_size=1,
+        max_size=300,
+    ).filter(lambda s: s.strip()),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_texts)
+@SETTINGS
+def test_chunker_round_trips_tokens(spark, texts):
+    """Fixed-size chunking must partition each document's token stream
+    exactly: chunk sizes sum to the token count, every chunk except the
+    last is full, and re-joining chunks in order restores the token
+    sequence."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    import irs_990_efiler_database_spark.queries.text_ops as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # text_ops binds load_table at import; patch its module reference
+    orig_load = text_ops.load_table
+    text_ops.load_table = lambda _s, _d, _n: df
+    try:
+        out = text_ops.text_chunk_fixed(spark, "unused").collect()
+    finally:
+        text_ops.load_table = orig_load
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_ix"])
+        assert [r["chunk_ix"] for r in chunks] == list(range(len(chunks)))
+        assert sum(r["n_tokens"] for r in chunks) == len(toks)
+        assert all(r["n_tokens"] == 50 for r in chunks[:-1])
+        assert 1 <= chunks[-1]["n_tokens"] <= 50
