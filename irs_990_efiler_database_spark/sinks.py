@@ -11,7 +11,7 @@ no-op), and every downstream read prunes on tax_year/form_type.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_PARTITION_COLS = ("TAXYR", "FORMTYPE")
@@ -203,5 +203,63 @@ def write_time_partitioned(
         .sortWithinPartitions(ts_col)
         .write.mode(mode)
         .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 10,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet: rows sorted by the interleaved-bit
+    (Morton) code of two columns, so parquet min/max footer statistics
+    stay tight on BOTH dimensions at once — a filter on either column
+    skips most files/row groups, where a single-column sort only ever
+    serves one predicate.
+
+    Mechanics: each column is affinely scaled to [0, 2^bits) from its
+    global min/max (one tiny agg — no sort, no sampling), the Morton
+    code is a codegen'd bit-interleave expression, and the layout is
+    repartitionByRange + sortWithinPartitions on that code: exactly
+    two passes over the data regardless of size."""
+    a, b = cols
+    mm = df.agg(
+        F.min(a).alias("amin"),
+        F.max(a).alias("amax"),
+        F.min(b).alias("bmin"),
+        F.max(b).alias("bmax"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(col: str, lo, hi) -> Column:
+        if hi == lo:
+            return F.lit(0)
+        return F.least(
+            F.lit(top),
+            F.floor(
+                (F.col(col) - F.lit(lo))
+                / F.lit(float(hi - lo))
+                * F.lit(1 << bits)
+            ).cast("long"),
+        )
+
+    x, y = scaled(a, mm["amin"], mm["amax"]), scaled(b, mm["bmin"], mm["bmax"])
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+            + (F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
         .parquet(path)
     )

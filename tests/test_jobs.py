@@ -384,3 +384,78 @@ def test_time_partitioned_write_prunes_partitions(spark, tmp_path):
     # row counts agree with the unpartitioned source
     want = ev.filter(F.to_date("ts") == F.lit("2024-01-01")).count()
     assert one_day.count() == want > 0
+
+
+def test_dynamic_partition_pruning_on_time_layout(spark, tmp_path):
+    """Joining the date-partitioned fact against a filtered dim must
+    inject a dynamicpruningexpression into the scan's PartitionFilters
+    — Catalyst prunes fact partitions at RUNTIME from the dim's
+    surviving keys (the 100 TB join-pruning story; no code in this
+    repo schedules it, the declarative layout earns it)."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import write_time_partitioned
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(load_table(spark, SF_SMOKE, "events"), path, "ts")
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 1), ("2024-01-15", 0)], ["d", "flag"]
+    ).withColumn("d", F.to_date("d"))
+    j = fact.join(dim, fact.event_date == dim.d).filter(F.col("flag") == 1)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == fact.filter(
+        F.col("event_date").isin("2024-01-01", "2024-01-02")
+    ).count()
+
+
+def test_zorder_write_tightens_file_stats(spark, tmp_path):
+    """Z-ordered layout must cluster BOTH key columns: summed per-file
+    min/max extents (from the parquet footers, via pyarrow) shrink
+    substantially versus a round-robin layout of the same data."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import write_zordered
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(li, zpath, ("l_partkey", "l_suppkey"), n_files=8)
+    li.repartition(8).write.parquet(rpath)
+
+    def extent(path, col):
+        total = 0
+        for f in Path(path).rglob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(_col_ix(md, col)).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(_col_ix(md, col)).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += hi - lo
+        return total
+
+    def _col_ix(md, name):
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == name:
+                return i
+        raise KeyError(name)
+
+    for col in ("l_partkey", "l_suppkey"):
+        z, r = extent(zpath, col), extent(rpath, col)
+        assert z < 0.75 * r, (col, z, r)
+    # data survives byte-for-byte
+    assert (
+        spark.read.parquet(zpath).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+        == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    )

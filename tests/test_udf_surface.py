@@ -1,0 +1,69 @@
+"""Remaining UDF/SQL API surface (SURVEY §2.12): a vectorized
+Arrow-batched scalar pandas_udf pinned to its native-expression twin,
+and the spark.sql() text surface pinned to the DataFrame surface over
+the registered views."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pandas_udf_matches_native_norms(spark):
+    """@pandas_udf L2 norm (one Arrow batch per call, numpy inside)
+    must agree with the codegen'd aggregate-expression norm to float
+    tolerance — the demo that the vectorized Python escape hatch and
+    the JVM path compute the same math. The native expression remains
+    the hot path (see sim_vector_norms)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.queries.similarity_ops import (
+        sim_vector_norms,
+    )
+
+    # NB: explicit signature, not type hints — `from __future__ import
+    # annotations` stringifies hints and pandas_udf can't resolve them
+    def _l2(emb):
+        return emb.map(
+            lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
+        )
+
+    l2_py = pandas_udf(_l2, "double")
+    assert pd is not None  # imported for the Arrow batch contract
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: r["n"]
+        for r in e.select("vec_id", l2_py("embedding").alias("n")).collect()
+    }
+    want = {
+        r["vec_id"]: r["l2_norm"] for r in sim_vector_norms(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-6 * (1 + abs(want[k])) for k in want)
+
+
+def test_sql_text_surface_matches_dataframe(spark):
+    """spark.sql() over the registered views must return exactly the
+    DataFrame query's rows — one declarative surface, two syntaxes."""
+    from irs_990_efiler_database_spark.catalog import register_views
+    from irs_990_efiler_database_spark.queries.tpch import q6_forecast_revenue
+
+    register_views(spark, SF_SMOKE)
+    via_sql = spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    ).collect()
+    via_df = q6_forecast_revenue(spark, SF_SMOKE).collect()
+    assert via_sql == via_df
