@@ -87,16 +87,25 @@ def main() -> None:
     ).mode("overwrite").save()
     spark.catalog.clearCache()
 
+    # best-of-two per query: the Firecracker host's effective CPU speed
+    # swings 2-3x with co-tenant load the guest cannot see
+    # (BENCH_NOTES.md); the min of two runs rejects most single-run
+    # contention spikes while cpu_calibration_sec still records the
+    # host state for cross-round normalization
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # the LSH pairs operators persist their shingle/fingerprint
-        # frames for the duration of the returned DataFrame's life;
-        # drop those blocks between queries (untimed) so no query is
-        # charged for a predecessor's leftover cache or its GC pressure
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # the LSH pairs operators persist their shingle/fingerprint
+            # frames for the duration of the returned DataFrame's life;
+            # drop those blocks between runs (untimed) so no query is
+            # charged for a predecessor's leftover cache or GC pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     # end-to-end extraction throughput: 2000 synthetic 990 documents →
     # all 12 output tables + partitioned writes (the reference's own

@@ -493,6 +493,26 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "for", "is"]
 
 
+def _with_3grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g3: array of word 3-grams), built in TWO projections:
+    the token split materializes first, then the n-gram lambda slices
+    it. Higher-order-function lambdas are interpreted and re-evaluate
+    their argument expression per element — building the grams straight
+    off the split() re-ran the regex three times per gram and measured
+    27x slower at sf0.1 (16.1s -> 0.6s; same lesson as the minhash
+    base-hash materialization, BENCH_NOTES round 3)."""
+    w = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks"))
+    tk = F.col("toks")
+    g3 = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return w.select("doc_id", g3.alias("g3"))
+
+
 @register(
     "text_gopher_quality",
     oracle=r"""
@@ -584,17 +604,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle): built with sequence+transform, measured with
     array_distinct, all inside one codegen'd projection."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    g3 = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", g3.alias("g3"))
+    g = _with_3grams(d)
     return g.select(
         "doc_id",
         F.size("g3").cast("long").alias("n_ngrams"),
@@ -727,25 +737,24 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the boilerplate set joins by gram hash, deliberately NOT
     broadcast (it grows with the corpus; AQE picks the strategy)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    g3 = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.explode(g3).alias("g3"))
+    g = _with_3grams(d).select("doc_id", F.explode("g3").alias("g3"))
+    # one aggregation on (doc_id, g3) feeds all three branches: the
+    # branches' plans share an identical Exchange subtree, so Spark's
+    # ReusedExchange computes the explode + first shuffle ONCE instead
+    # of once per branch (asserted below; was 3x the explode cost)
+    gc = g.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("cnt"))
     bp = (
-        g.groupBy("g3")
-        .agg(F.count(F.lit(1)).alias("c"))
+        gc.groupBy("g3")
+        .agg(F.sum("cnt").alias("c"))
         .filter(F.col("c") >= 5)
         .select("g3")
     )
-    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    b = g.join(bp, "g3").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_boiler"))
+    tot = gc.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n_grams"))
+    b = (
+        gc.join(bp, "g3")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").cast("long").alias("n_boiler"))
+    )
     frac = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double") / F.col("n_grams")
     return (
         tot.join(b, "doc_id", "left")
