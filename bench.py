@@ -60,6 +60,9 @@ HEADLINE = [
     "events_stream_click_attribution",
     "events_retention_cohorts",
     "text_boilerplate_ngrams",
+    "mm_audio_window_rms",
+    "sketch_binned_quantiles",
+    "win_rolling_7d_spend",
 ]
 
 

@@ -653,13 +653,16 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested in tests/test_udtf.py (API surface); this native form is the
     scale path."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(50.0)).cast("int")
+    # materialize the split before the lambda references it (HOF
+    # lambdas re-evaluate outer computed expressions per element)
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    tk = F.col("toks")
+    n_chunks = F.ceil(F.size(tk) / F.lit(50.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda j: F.concat_ws(" ", F.slice(toks, j * 50 + 1, 50)),
+        lambda j: F.concat_ws(" ", F.slice(tk, j * 50 + 1, 50)),
     )
-    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk"))
+    c = w.select("doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk"))
     return c.select(
         "doc_id",
         F.col("chunk_ix").cast("long").alias("chunk_ix"),
@@ -738,11 +741,16 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (it grows with the corpus; AQE picks the strategy)."""
     d = load_table(spark, sf_dir, "documents")
     g = _with_3grams(d).select("doc_id", F.explode("g3").alias("g3"))
-    # one aggregation on (doc_id, g3) feeds all three branches: the
-    # branches' plans share an identical Exchange subtree, so Spark's
-    # ReusedExchange computes the explode + first shuffle ONCE instead
-    # of once per branch (asserted below; was 3x the explode cost)
-    gc = g.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("cnt"))
+    # one aggregation on (doc_id, g3) feeds all three branches.
+    # ReusedExchange can NOT deduplicate them: per-branch column
+    # pruning narrows each subtree differently, so the plans are not
+    # canonically equal and the explode would run three times
+    # (verified with .explain: 3x Generate, 0 reuse). Persist the
+    # 48-bytes-per-gram aggregate instead — same eager persist+count
+    # pattern as the LSH builders, and at 100 TB this frame is
+    # |distinct(doc,gram)| rows, far smaller than the corpus.
+    gc = g.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    gc.count()
     bp = (
         gc.groupBy("g3")
         .agg(F.sum("cnt").alias("c"))
