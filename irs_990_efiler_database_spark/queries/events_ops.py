@@ -707,3 +707,60 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_asof_nearest_error",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    err AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+           (SELECT e.event_id FROM err e WHERE e.user_id = p.user_id
+             ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                          - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                      e.ts, e.event_id LIMIT 1) AS nearest_error_id,
+           (SELECT abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                       - epoch_us(CAST(p.ts AS TIMESTAMP)))
+             FROM err e WHERE e.user_id = p.user_id
+             ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                          - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                      e.ts, e.event_id LIMIT 1) AS us_apart
+    FROM p
+    """,
+)
+def events_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of: each purchase matched to the closest
+    error of the same user in EITHER direction — composed from the
+    backward and forward as-of joins (two single-shuffle window passes)
+    plus a row-local pick of the smaller delta; ties prefer the earlier
+    (backward) side, matching the oracle's ORDER BY abs, ts."""
+    from ..operators.joins import asof_join, asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    back = asof_join(p, e, ["user_id"], "ts", ["err_id"], prefix="b_")
+    both = asof_join_forward(
+        back, e, ["user_id"], "ts", ["err_id"], tie_col="err_id", prefix="f_"
+    )
+    d_b = F.unix_micros("ts") - F.unix_micros("b_ts")
+    d_f = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_b = F.col("f_err_id").isNull() | (
+        F.col("b_err_id").isNotNull() & (d_b <= d_f)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(pick_b, F.col("b_err_id"))
+        .otherwise(F.col("f_err_id"))
+        .alias("nearest_error_id"),
+        F.when(pick_b & F.col("b_err_id").isNotNull(), d_b)
+        .otherwise(F.when(~pick_b, d_f))
+        .alias("us_apart"),
+    )

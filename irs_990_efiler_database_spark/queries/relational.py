@@ -801,3 +801,104 @@ def win_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_7d"),
     )
+
+
+@register(
+    "win_zscore_order_value",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS s2
+      FROM orders
+      WHERE o_custkey < 300
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - s1 / n)
+                 / nullif(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0.0), 6)
+             AS zscore
+    FROM s WHERE n >= 2
+    """,
+)
+def win_zscore_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier scoring: each order's z-score against its
+    customer's own distribution. Moments accumulate as exact decimals
+    over an unordered partition window (order-free, so the hash is
+    stable under any shuffle order) and only the final mean/std/score
+    arithmetic runs in doubles — the same exactness discipline as
+    agg_variance_exact, per row instead of per group. Rounded once at
+    emission; zero-variance groups yield NULL via nullif."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+    ).filter(F.col("n") >= 2)
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return s.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.col("s1") / F.col("n"))
+            / F.nullif(std, F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+    )
+
+
+@register(
+    "agg_kanon_release",
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name, c.c_mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_balance
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, c_mktsegment,
+           CASE WHEN n_customers >= 5 THEN n_customers END AS n_customers,
+           CASE WHEN n_customers >= 5 THEN total_balance END AS total_balance,
+           n_customers < 5 AS suppressed
+    FROM g
+    """,
+)
+def agg_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k=5): cells of the
+    (nation, segment) contingency table smaller than k are suppressed
+    (values nulled, flag kept) before publication — the standard
+    small-cell suppression rule for releasing aggregates over
+    sensitive microdata, as a post-aggregation projection that costs
+    nothing extra at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+    ok = F.col("n_customers") >= 5
+    return g.select(
+        "n_name",
+        "c_mktsegment",
+        F.when(ok, F.col("n_customers")).alias("n_customers"),
+        F.when(ok, F.col("total_balance")).alias("total_balance"),
+        (~ok).alias("suppressed"),
+    )
