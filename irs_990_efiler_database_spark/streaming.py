@@ -381,3 +381,69 @@ def purchase_click_attribution_outer(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.unix_micros("click_ts").alias("click_us"),
     )
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous aggregate (the TimescaleDB/Materialize pattern): a
+    streaming-maintained day-grain rollup of the events feed.
+
+    Each micro-batch writes its PARTIAL aggregates — (day, event_type,
+    count, decimal value-sum) — into a partition keyed by ``_batch``
+    with dynamic partition overwrite, so a retried batch atomically
+    replaces its own partials instead of double-counting: the same
+    exactly-once mechanism as the incremental 990 build. Readers merge
+    partials with one tiny aggregation over the rollup table
+    (``read_rollup``) — at 100 TB the merge input is
+    |days x types x batches| rows, not events. Decimal partials make
+    the merge order-free, so the continuous result is bit-identical to
+    the batch rollup (asserted in tests)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        partial = (
+            batch_df.groupBy(
+                F.to_date("ts").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        partial.write.mode("overwrite").partitionBy("_batch").parquet(out_dir)
+
+    q = (
+        stream_events(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge the continuous rollup's per-batch partials into the final
+    (day, event_type, n, total_value) aggregate."""
+    p = spark.read.parquet(out_dir)
+    return (
+        p.groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("v_sum").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -149,3 +149,43 @@ def test_stateful_sessions_multibatch_deterministic(spark, tmp_path):
     )
     assert single == multi
     assert len(single) > 0
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    """The streaming-maintained day rollup must merge to exactly the
+    batch aggregate, across multiple drops and a no-op catch-up run,
+    with a retried batch unable to double-count (dynamic overwrite of
+    its own _batch partition)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.streaming import (
+        continuous_rollup,
+        read_rollup,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).write.parquet(str(landing / "drop1"))
+
+    continuous_rollup(spark, str(landing) + "/*", out, ckpt, max_files_per_trigger=1)
+    # second drop lands; only it is processed
+    ev.filter(F.col("event_id") > mid).write.parquet(str(landing / "drop2"))
+    continuous_rollup(spark, str(landing) + "/*", out, ckpt, max_files_per_trigger=1)
+    # catch-up with nothing new must not change the result
+    continuous_rollup(spark, str(landing) + "/*", out, ckpt, max_files_per_trigger=1)
+
+    want = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    cols = ["day", "event_type", "n", "total_value"]
+    assert _rows(read_rollup(spark, out), cols) == _rows(want, cols)
