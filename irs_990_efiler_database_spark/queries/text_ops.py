@@ -500,8 +500,16 @@ def _with_3grams(d: DataFrame) -> DataFrame:
     their argument expression per element — building the grams straight
     off the split() re-ran the regex three times per gram and measured
     27x slower at sf0.1 (16.1s -> 0.6s; same lesson as the minhash
-    base-hash materialization, BENCH_NOTES round 3)."""
-    w = d.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks"))
+    base-hash materialization, BENCH_NOTES round 3). The input is also
+    spread across cores first: the documents table arrives as 1-2
+    parquet partitions at test SF and the interpreted n-gram lambda
+    would otherwise run single-threaded (same rationale as the dedup
+    module's _spread; a no-op on a well-partitioned corpus)."""
+    from ..operators.dedup import _spread
+
+    w = _spread(d).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
     tk = F.col("toks")
     g3 = F.when(
         F.size(tk) >= 3,
