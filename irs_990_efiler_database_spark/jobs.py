@@ -223,3 +223,35 @@ def read_incremental_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a table written by ``build_database_incremental``, hiding
     the ``_batch`` bookkeeping partition column."""
     return read_table(spark, path).drop("_batch")
+
+
+def validate_database(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Post-build data-quality gate (dbt-test style): declarative
+    invariants over the written tables, returned as
+    {check_name: violation_count} — all zeros means publishable.
+
+    The reference has no automated validation at all (bad documents
+    surface as downstream NA storms); here the checks run as a handful
+    of count aggregations over the partitioned parquet, so the gate
+    costs one scan per table at any scale. Checks:
+
+    - core_ein_format: EIN must be 9 digits
+    - core_url_unique: URL is the document key — no duplicates
+    - core_fisyr_range: fiscal year within the e-file program's history
+    - core_formtype_known: FORMTYPE is one of the program's forms
+    """
+    core = read_table(spark, f"{out_dir}/CORE")
+    checks: dict[str, int] = {}
+    checks["core_ein_format"] = core.filter(
+        ~F.col("EIN").rlike(r"^\d{9}$")
+    ).count()
+    checks["core_url_unique"] = (
+        core.groupBy("URL").count().filter(F.col("count") > 1).count()
+    )
+    checks["core_fisyr_range"] = core.filter(
+        (F.col("FISYR").cast("int") < 2009) | (F.col("FISYR").cast("int") > 2035)
+    ).count()
+    checks["core_formtype_known"] = core.filter(
+        ~F.col("FORMTYPE").isin("990", "990EZ", "990PF")
+    ).count()
+    return checks

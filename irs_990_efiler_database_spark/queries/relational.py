@@ -902,3 +902,37 @@ def agg_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("total_balance")).alias("total_balance"),
         (~ok).alias("suppressed"),
     )
+
+
+@register(
+    "join_null_safe_segment",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    d AS (SELECT DISTINCT seg FROM c)
+    SELECT d.seg, COUNT(*) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg
+    """,
+)
+def join_null_safe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): a plain
+    equi-join silently drops the NULL-segment rows; the null-safe
+    operator keeps them as a real join group. Spark hashes <=> keys
+    like ordinary keys, so the plan is still a hash join — the
+    semantics change, the shuffle shape does not."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    d = c.select("seg").distinct().withColumnRenamed("seg", "d_seg")
+    return (
+        c.join(d, F.col("seg").eqNullSafe(F.col("d_seg")))
+        .groupBy(F.col("d_seg").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

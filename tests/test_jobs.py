@@ -459,3 +459,17 @@ def test_zorder_write_tightens_file_stats(spark, tmp_path):
         spark.read.parquet(zpath).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
         == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
     )
+
+
+def test_validate_database_green_on_fixture_build(result, spark):
+    from irs_990_efiler_database_spark.jobs import validate_database
+
+    _, out = result
+    checks = validate_database(spark, str(out / "CORE").rsplit("/CORE", 1)[0])
+    assert checks == {k: 0 for k in checks}
+    assert set(checks) == {
+        "core_ein_format",
+        "core_url_unique",
+        "core_fisyr_range",
+        "core_formtype_known",
+    }
