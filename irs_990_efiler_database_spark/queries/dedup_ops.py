@@ -585,3 +585,54 @@ def fdedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("long").alias("keeper_n_words"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+@register(
+    "fdedup_shared_chunk_pairs",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 50.0) AS BIGINT) - 1),
+               j -> array_to_string(toks[j*50+1 : j*50+50], ' ')))) AS chunk_md5
+      FROM w
+    ),
+    ok AS (
+      SELECT chunk_md5 FROM c GROUP BY chunk_md5 HAVING COUNT(*) <= 1000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS shared_chunks
+    FROM c a
+    JOIN ok USING (chunk_md5)
+    JOIN c b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def fdedup_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at chunk granularity: documents
+    sharing any identical 50-token chunk (the chunker's md5 keys are
+    the join keys, so the shuffle carries 16-byte digests — never
+    text) with the standard hot-bucket cap before the self-join. This
+    is the suffix-array-free approximation of exact substring dedup
+    that training pipelines run at corpus scale."""
+    from ..operators.dedup import cap_hot_buckets
+    from .text_ops import text_chunk_fixed
+
+    c = text_chunk_fixed(spark, sf_dir).select("doc_id", "chunk_md5")
+    c = cap_hot_buckets(c, ["chunk_md5"], 1000)
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_md5") == F.col("b.chunk_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )

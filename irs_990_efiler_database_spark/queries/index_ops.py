@@ -149,3 +149,36 @@ def idx_semi_join_eins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_index(build_index(spark, _GLOB), eins=eins).select(
         "EIN", "TaxYear", "ObjectId"
     )
+
+
+@register(
+    "idx_amended_supersede",
+    oracle=f"""
+    SELECT EIN, TaxPeriod, ObjectId,
+           CAST(rn AS BIGINT) AS version_rank,
+           rn = 1 AS is_current
+    FROM (
+      SELECT EIN, TaxPeriod, ObjectId,
+             ROW_NUMBER() OVER (PARTITION BY EIN, TaxPeriod
+                                ORDER BY ObjectId DESC) AS rn
+      FROM ({_golden_sql()})
+    )
+    """,
+)
+def idx_amended_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amended-filing resolution at the index level: within an
+    (EIN, TaxPeriod) filing group, later ObjectIds supersede earlier
+    ones (amended returns re-post with a newer id); rank 1 is the
+    filing a rebuild should extract. One window over the group key —
+    the selection step that feeds sinks.upsert_partitions."""
+    from pyspark.sql import Window
+
+    idx = build_index(spark, _GLOB)
+    w = Window.partitionBy("EIN", "TaxPeriod").orderBy(F.col("ObjectId").desc())
+    return idx.select(
+        "EIN",
+        "TaxPeriod",
+        "ObjectId",
+        F.row_number().over(w).cast("long").alias("version_rank"),
+        (F.row_number().over(w) == 1).alias("is_current"),
+    )
