@@ -63,6 +63,8 @@ HEADLINE = [
     "mm_audio_window_rms",
     "sketch_binned_quantiles",
     "win_rolling_7d_spend",
+    "fdedup_shared_chunk_pairs",
+    "events_funnel_view_to_purchase",
 ]
 
 
