@@ -313,3 +313,44 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exists("embedding", lambda x: x > 0.9), F.lit(1)
         ).otherwise(F.lit(0)).alias("has_gt09"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             concat('https://efile.example.org/', replace(o_orderpriority, ' ', '-'), '/doc',
+                    CAST(o_orderkey AS VARCHAR), '.xml?yr=',
+                    CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)) AS url
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'yr=([0-9]+)', 1) AS yr_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the built-in parse_url (host, path, and
+    a named query parameter) — the provenance-extraction scalar a
+    crawl pipeline runs per document; the oracle derives the same
+    pieces with regexes, so Spark's parse_url semantics are what's
+    actually under test."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.concat(
+        F.lit("https://efile.example.org/"),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("-")),
+        F.lit("/doc"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".xml?yr="),
+        F.year("o_orderdate").cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("yr")).alias("yr_param"),
+    )
