@@ -412,10 +412,13 @@ def fdedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
       FROM customer
+    ),
+    ok AS (
+      SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 1000
     )
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-    FROM c a JOIN c b
+    FROM c a JOIN ok USING (blk) JOIN c b
       ON a.blk = b.blk AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
@@ -427,25 +430,51 @@ def match_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (block, id, name) and candidates are bounded per
     block — never all-pairs), then exact edit-distance ≤ 1 verifies.
     The same funnel shape as the LSH dedup paths, keyed on a domain
-    blocking rule instead of a hash."""
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    blocking rule instead of a hash. Real org names are the skewed
+    case ("THE UNITED WAY OF…" blocks), so the blocking key runs
+    behind the same hot-bucket cap as every LSH candidate generator:
+    one degenerate prefix can otherwise cost O(n²) candidates × an
+    O(len²) edit distance. The oracle applies the identical cap, so
+    operator and oracle agree by construction at any SF; dropped
+    blocks are observable via ``dropped_bucket_keys``."""
+    c = load_table(spark, sf_dir, "customer")
+    return blocked_name_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_len=16,
+        max_block_size=1000,
     )
+
+
+def blocked_name_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_len: int = 16,
+    max_dist: int = 1,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Blocking + verify record-linkage core: prefix-block equi-join
+    (shuffle carries only (block, id, name)) behind ``cap_hot_buckets``
+    so a degenerate block never costs O(n²) edit distances, then exact
+    ``levenshtein`` verify on the surviving candidates."""
+    from ..operators.dedup import cap_hot_buckets
+
+    c = records.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.substring(name_col, 1, block_len).alias("blk"),
+    )
+    c = cap_hot_buckets(c, ["blk"], max_block_size)
     a = c.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
-        "blk",
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "blk"
     )
     b = c.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-        "blk",
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "blk"
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 1)
+        .filter(dist <= max_dist)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
 

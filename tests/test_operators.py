@@ -176,6 +176,31 @@ def test_hot_bucket_cap_passes_small_buckets(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_blocked_name_pairs_caps_hot_blocks(spark):
+    """1,000 orgs sharing one 16-char name prefix ("THE UNITED WAY
+    OF…" case) would yield ~500k candidate edit-distances unguarded;
+    the hot-block cap must drop the degenerate block entirely while
+    small blocks still match."""
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        blocked_name_pairs,
+    )
+
+    rows = [(i, f"THE UNITED WAY OF TOWN {i:05d}") for i in range(1000)]
+    # one small block with a genuine near-dup pair
+    rows += [(2000, "ACME FOUNDATION A"), (2001, "ACME FOUNDATION B")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = blocked_name_pairs(
+        df, id_col="id", name_col="name", block_len=16, max_block_size=100
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(2000, 2001)}
+    # uncapped control: the same frame yields unbounded candidates
+    unc = blocked_name_pairs(
+        df, id_col="id", name_col="name", block_len=16, max_dist=10**9,
+        max_block_size=None,
+    )
+    assert unc.count() == 1000 * 999 // 2 + 1
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """The IVF coarse quantizer is a pure projection: inlined centroid
     literals, no join, no Exchange anywhere in the plan."""
