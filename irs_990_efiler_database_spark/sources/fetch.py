@@ -83,21 +83,31 @@ def fetch_to_bundle(
     bundle_path: str,
     partitions: int | None = None,
     retries: int = 2,
+    dead_letter_path: str | None = None,
 ) -> tuple[int, DataFrame]:
     """Fetch → write the scale-source bundle; returns (n_fetched,
     failures frame). Compose with ``build_database(bundle_path=…)``
-    for the full fetch → extract pipeline."""
+    for the full fetch → extract pipeline.
+
+    Failures never pass through the driver: they land in a dead-letter
+    parquet (default ``<bundle_path>_dead_letter``, same pattern as the
+    extract pipeline's parse dead-letters) and the returned frame is
+    the lazy read-back — a bad-S3 day on a 3M-doc build stays on the
+    executors instead of materializing every (url, error) row in
+    driver memory."""
+    from ..sinks import write_dead_letter
+
+    if dead_letter_path is None:
+        dead_letter_path = bundle_path.rstrip("/") + "_dead_letter"
     fetched = fetch_returns(spark, urls, partitions, retries).persist()
     try:
         ok = fetched.filter(F.col("error").isNull()).select("url", "xml")
         ok.write.mode("overwrite").parquet(bundle_path)
         n = spark.read.parquet(bundle_path).count()
         failures = fetched.filter(F.col("error").isNotNull()).select(
-            "url", "error"
+            "url", F.col("error").alias("reason")
         )
-        # materialize failures before unpersist so callers can use them
-        rows = failures.collect()
-        out = spark.createDataFrame(rows, "url string, error string") if rows else failures
-        return n, out
+        write_dead_letter(failures, dead_letter_path)
+        return n, spark.read.parquet(dead_letter_path).select("url", "reason")
     finally:
         fetched.unpersist()

@@ -290,28 +290,32 @@ def test_index_stata_export_roundtrip(spark, tmp_path):
 def test_fetch_to_bundle_file_urls_end_to_end(spark, tmp_path):
     """The distributed fetcher over file:// URLs (the same urllib path
     https takes): good URLs land in the bundle, a missing object
-    becomes a failure row, and the bundle feeds build_database."""
+    becomes a dead-letter row (parquet, never collected on the
+    driver), and the bundle feeds build_database."""
     from pathlib import Path
 
     from irs_990_efiler_database_spark.sources.fetch import fetch_to_bundle
 
     fixtures = sorted(Path("tests/fixtures").glob("*.xml"))
-    assert len(fixtures) == 6
+    assert len(fixtures) >= 6
     urls = [f.resolve().as_uri() for f in fixtures]
     urls.append((tmp_path / "missing_public.xml").as_uri())
 
     bundle = str(tmp_path / "bundle")
     n, failures = fetch_to_bundle(spark, urls, bundle, partitions=3)
-    assert n == 6
+    assert n == len(fixtures)
     fail_rows = failures.collect()
     assert len(fail_rows) == 1
     assert "missing_public.xml" in fail_rows[0]["url"]
-    assert fail_rows[0]["error"]
+    assert fail_rows[0]["reason"]
+    # the dead-letter table is durable on disk for replay
+    dl = spark.read.parquet(bundle + "_dead_letter")
+    assert dl.count() == 1 and "captured_at" in dl.columns
 
     res = build_database(
         spark, str(tmp_path / "out"), bundle_path=bundle, tables=["CORE"]
     )
-    assert res.rows["CORE"] == 6
+    assert res.rows["CORE"] == len(fixtures)
 
 
 def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
