@@ -256,6 +256,69 @@ def ivf_assign(
     )
 
 
+def ivf_assign_broadcast(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float], float]] | DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization via a broadcast centroid join — the
+    K-scalable twin of ``ivf_assign``.
+
+    The literal path inlines K×dim doubles into the plan, which is
+    shuffle-free but makes plan size (and driver analysis/codegen
+    time) grow O(K×dim) — at IVF-realistic K (1024+) × dim 768 that is
+    megabytes of plan. Here the centroid table stays a DataFrame: K
+    rows are packed into ONE (cid, cv, cn)-struct-array row (sorted by
+    cid, so ties still break to the lowest centroid id) and attached
+    to every corpus row through a broadcast join on a constant key
+    (the constant equality folds away, so the physical plan is a
+    BroadcastNestedLoopJoin whose build side is exactly ONE row —
+    cost-identical to a broadcast hash join). Plan size is O(1) in K,
+    the corpus is still never shuffled (only the K-row centroid
+    packing exchanges + one BroadcastExchange), and the per-row argmax
+    arithmetic is identical to the literal path — the two variants are
+    value-equal by construction."""
+    spark = corpus.sparkSession
+    if not isinstance(centroids, DataFrame):
+        centroids = spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in v], float(n))
+                for c, v, n in centroids
+            ],
+            "cid long, cv array<double>, cn double",
+        )
+    packed = centroids.groupBy(F.lit(1).alias("_one")).agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias(
+            "_cents"
+        )
+    )
+    with_norm = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+        F.lit(1).alias("_one"),
+    )
+    scored = with_norm.join(F.broadcast(packed), "_one").withColumn(
+        "_scores",
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.round(
+                _dot_decimal(F.col("v"), c["cv"]).cast("double")
+                / (F.col("vn") * c["cn"]),
+                6,
+            ),
+        ),
+    )
+    best = F.array_position(F.col("_scores"), F.array_max("_scores"))
+    return scored.select(
+        "id",
+        "v",
+        "vn",
+        F.get(F.col("_cents"), best - 1)["cid"].alias("centroid_id"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -264,6 +327,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "broadcast",
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus, probe each
     query's ``nprobe`` nearest centroids, exact-rerank only the
@@ -278,7 +342,9 @@ def ivf_topk(
     probe list; candidate volume is nprobe/K of the corpus, never all
     pairs. Centroids here are the K lowest-id vectors (deterministic,
     oracle-reproducible); a k-means table swaps in without changing
-    the plan."""
+    the plan. ``quantizer`` picks the assignment path: "broadcast"
+    (default — plan size O(1) in K) or "literal" (inlined plan
+    constants; marginally cheaper at tiny K)."""
     from pyspark.sql import Window
 
     cent_rows = [
@@ -287,7 +353,8 @@ def ivf_topk(
         .select(id_col, vec_col, l2_norm(F.col(vec_col)))
         .collect()  # K rows — the quantizer is bounded by design
     ]
-    assigned = ivf_assign(corpus, cent_rows, id_col, vec_col)
+    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    assigned = assign_fn(corpus, cent_rows, id_col, vec_col)
 
     cent_df = corpus.sparkSession.createDataFrame(
         [(cid, v) for cid, v, _ in cent_rows], ["cid", "cv"]
@@ -378,7 +445,9 @@ def ivf_train(
     ]
     dim = len(cents[0][1])
     for _ in range(iterations):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        # broadcast quantizer: per-round plan cost stays O(1) in K
+        # instead of re-analyzing a K×dim literal every Lloyd round
+        assigned = ivf_assign_broadcast(corpus, cents, id_col, vec_col)
         means = (
             assigned.select("centroid_id", F.posexplode("v").alias("d", "x"))
             .groupBy("centroid_id", "d")

@@ -305,10 +305,11 @@ _SQL_IVF = """
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-3: shuffle-free nearest-centroid assignment of the
-    corpus (centroid table inlined into the plan), nprobe=2 centroid
-    cells probed per query, exact decimal rerank inside the probed
-    cells — the second ANN family next to sign-LSH."""
+    """IVF ANN top-3: nearest-centroid assignment of the corpus via
+    the broadcast-packed centroid join (plan size O(1) in K, corpus
+    never shuffled), nprobe=2 centroid cells probed per query, exact
+    decimal rerank inside the probed cells — the second ANN family
+    next to sign-LSH."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")

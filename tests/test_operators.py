@@ -225,6 +225,56 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert own == {i: i for i in range(8)}
 
 
+def test_ivf_broadcast_quantizer_matches_literal_and_scales_plan(spark):
+    """The broadcast-join quantizer must (a) agree with the literal
+    path row-for-row, (b) show a BroadcastHashJoin on the packed
+    centroid row, and (c) keep plan size O(1) in K — a K=256×dim
+    centroid table must NOT appear inlined in the plan text."""
+    import time
+
+    from irs_990_efiler_database_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_broadcast,
+        l2_norm,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    cents = [
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")))
+        .collect()
+    ]
+    lit_out = {
+        r["id"]: r["centroid_id"] for r in ivf_assign(e, cents).collect()
+    }
+    bc = ivf_assign_broadcast(e, cents)
+    bc_out = {r["id"]: r["centroid_id"] for r in bc.collect()}
+    assert bc_out == lit_out
+    # the packed centroid row arrives via a broadcast (constant-key
+    # equality folds away, so the planner emits a nested-loop join
+    # with a ONE-ROW build side — same cost shape as a broadcast hash
+    # join); the corpus side must not shuffle
+    plan = _plan(bc)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    corpus_side = plan.split("Broadcast")[0]
+    assert "Exchange" not in corpus_side
+
+    # K=256 synthetic centroids: plan construction must stay cheap and
+    # the plan text must not carry the 256×dim literal
+    dim = len(cents[0][1])
+    big = [
+        (i, [float((i * 31 + d * 7) % 13) - 6.0 for d in range(dim)], 1.0)
+        for i in range(256)
+    ]
+    t0 = time.monotonic()
+    plan_txt = _plan(ivf_assign_broadcast(e, big))
+    build_sec = time.monotonic() - t0
+    assert len(plan_txt) < 100_000
+    assert build_sec < 10.0
+
+
 def test_ivf_topk_matches_exact_within_probed_cells(spark):
     """IVF recall contract: every reported neighbor must be assigned
     to one of the query's probed cells, and ranking within the
