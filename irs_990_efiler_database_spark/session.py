@@ -57,6 +57,20 @@ def get_spark(
         # model is all-string; inference would read FISYR=2014 as int)
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # RocksDB-backed streaming state: the default HDFS-backed store
+        # keeps every key in executor heap, which bounds stateful
+        # queries (sessions, stream-stream joins, dedup horizon) by
+        # memory at 100x state; RocksDB spills to local disk and
+        # checkpoints incrementally via changelogs
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

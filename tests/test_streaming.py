@@ -35,6 +35,17 @@ def events_dir(tmp_path_factory):
     return str(d)
 
 
+def test_state_store_is_rocksdb(spark):
+    """The session must run streaming state on RocksDB: the default
+    HDFS-backed store keeps all state on executor heap, which is the
+    wrong bound for 100x-state stateful queries. Every streaming
+    parity/oracle test in this module therefore exercises the RocksDB
+    provider."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path, events_dir):
     stream = tumbling_counts(stream_events(spark, events_dir))
     got = run_available_now(stream, "stream_tumbling", str(tmp_path / "ckpt"))
