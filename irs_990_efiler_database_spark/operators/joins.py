@@ -23,9 +23,17 @@ def asof_join(
     ts_col: str,
     payload_cols: list[str],
     prefix: str = "asof_",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the most recent right payload
-    with ``right.ts <= left.ts`` per key group (NULLs if none)."""
+    with ``right.ts <= left.ts`` per key group (NULLs if none).
+
+    ``tie_col`` pins the pick among EQUAL-timestamp right rows to the
+    lowest tie value (they sort tie-descending so ``last`` lands on
+    the minimum) — without it that pick is shuffle-order-dependent,
+    which is fine for data with unique (key, ts) but flaps any exact
+    comparison the moment duplicates appear. Mirrors
+    ``asof_join_forward``'s mandatory tie column."""
     lt = left.withColumn("_side", F.lit(1))
     # Carry the whole matched right row as ONE struct: carrying each
     # payload column independently would stitch values from different
@@ -36,15 +44,22 @@ def asof_join(
     rt = right.select(
         *keys,
         ts_col,
+        *([F.col(tie_col).alias("_tie")] if tie_col else []),
         F.struct(
             F.col(ts_col).alias("__asof_ts"),
             *[F.col(c).alias(c) for c in payload_cols],
         ).alias("_asof_row"),
     ).withColumn("_side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tie_col:
+        # left rows carry NULL _tie; desc_nulls_last keeps them after
+        # right rows only within equal (ts, _side) groups they never
+        # share, so only right-vs-right ordering is affected
+        order.append(F.col("_tie").desc_nulls_last())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col, "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_asof_row", ignorenulls=True).over(w)

@@ -156,8 +156,19 @@ _SQL_BANDS = f"""
            generate_subscripts([{_SQL_BAND_ELEMS}], 1) - 1 AS band_idx,
            unnest([{_SQL_BAND_ELEMS}]) AS band_hash
     FROM sig
+  ),
+  okb AS (
+    SELECT band_idx, band_hash FROM bands
+    GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1000
+  ),
+  cbands AS (
+    SELECT b.doc_id, b.band_idx, b.band_hash
+    FROM bands b JOIN okb USING (band_idx, band_hash)
   )
 """
+# cbands models the operator's max_bucket_size=1000 hot-bucket cap, so
+# every pair-generating oracle below agrees with cap_hot_buckets BY
+# CONSTRUCTION at any SF (an over-cap band drops from both engines).
 
 
 @register(
@@ -210,8 +221,8 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b
+      FROM cbands a
+      JOIN cbands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
@@ -293,8 +304,18 @@ _SQL_SIM_BANDS = f"""
              (simhash >> 0) & 32767, (simhash >> 15) & 32767,
              (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band_key
     FROM sim
+  ),
+  oks AS (
+    SELECT band_idx, band_key FROM simbands
+    GROUP BY band_idx, band_key HAVING COUNT(*) <= 1000
+  ),
+  csimbands AS (
+    SELECT s.doc_id, s.simhash, s.band_idx, s.band_key
+    FROM simbands s JOIN oks USING (band_idx, band_key)
   )
 """
+# csimbands mirrors simhash_pairs' max_bucket_size=1000 cap — oracle
+# and operator drop the same over-cap band keys at any SF.
 
 
 @register(
@@ -303,8 +324,8 @@ _SQL_SIM_BANDS = f"""
     WITH {_SQL_BASE}, {_SQL_TOKHASH}, {_SQL_SIMHASH}, {_SQL_SIM_BANDS}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM simbands a
-    JOIN simbands b
+    FROM csimbands a
+    JOIN csimbands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
@@ -354,8 +375,8 @@ def fdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b
+      FROM cbands a
+      JOIN cbands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
@@ -485,8 +506,8 @@ def blocked_name_pairs(
     WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
     cand AS (
       SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
-      FROM bands n
-      JOIN bands o
+      FROM cbands n
+      JOIN cbands o
         ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
       WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000
     ),
@@ -525,8 +546,8 @@ def fdedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b
+      FROM cbands a
+      JOIN cbands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),

@@ -744,7 +744,12 @@ def events_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.filter(F.col("event_type") == "error").select(
         "user_id", "ts", F.col("event_id").alias("err_id")
     )
-    back = asof_join(p, e, ["user_id"], "ts", ["err_id"], prefix="b_")
+    # tie_col pins equal-timestamp error picks to the lowest err_id —
+    # the oracle's ORDER BY abs, ts, event_id; without it a testdata
+    # regen with duplicate (user_id, ts) errors flaps the hash gate
+    back = asof_join(
+        p, e, ["user_id"], "ts", ["err_id"], prefix="b_", tie_col="err_id"
+    )
     both = asof_join_forward(
         back, e, ["user_id"], "ts", ["err_id"], tie_col="err_id", prefix="f_"
     )

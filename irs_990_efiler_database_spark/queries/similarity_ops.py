@@ -185,10 +185,14 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
       FROM aug
     ),
+    okbkt AS (
+      SELECT bucket FROM bkt GROUP BY bucket HAVING COUNT(*) <= 1000
+    ),
     cpairs AS (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
              x.embedding AS va, y.embedding AS vb
       FROM bkt x
+      JOIN okbkt USING (bucket)
       JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     ),
     cdots AS (

@@ -27,10 +27,13 @@ def write_table(
 
     Partition values are preserved as-is; rows whose partition column
     is NULL land in the Hive default partition and round-trip as NULL.
+
+    Dynamic overwrite is set per-write (writer option), never on the
+    shared session conf — a session-level set would silently change
+    the truncation semantics of every later partitioned overwrite in
+    the same session.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    w = df.write.mode(mode)
+    w = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
     cols = [c for c in (partition_by or ()) if c in df.columns]
     if cols:
         w = w.partitionBy(*cols)
@@ -154,28 +157,77 @@ def compact_table(
     one per micro-batch. At 100 TB that accretes millions of KB-sized
     files and scan planning — not I/O — becomes the bottleneck (one
     footer read + one task per file). Compaction is the standing
-    maintenance job: size the file count from the actual on-disk bytes,
-    rewrite with a round-robin repartition (no keys, so no skew), swap
-    atomically via a sibling directory + rename. Partitioned tables
-    compact per-partition (pass ``partition_by``) so the swap stays
-    partition-atomic and readers never see a half-compacted table."""
+    maintenance job.
+
+    Unpartitioned tables rewrite with a round-robin repartition sized
+    from the on-disk bytes (no keys, so no skew). Partitioned tables
+    compact PER PARTITION: each partition directory's byte total sets
+    its own file count (a global round-robin would scatter every
+    partition's rows across every task and re-fragment the layout into
+    up-to-n files per partition value), implemented as one shuffle on
+    (partition cols, deterministic hash salt mod that partition's file
+    count).
+
+    The swap is rename-ordered (write tmp sibling → rename live dir
+    aside → rename tmp in → delete old), so on a POSIX filesystem each
+    step is atomic and the table is absent only between the two
+    renames — microseconds, and crash-recoverable since both old and
+    new data still exist under sibling names. BEST-EFFORT, not a
+    transaction: a reader that lists the directory inside that window
+    fails and retries; true atomicity needs a table format with a
+    metadata pointer (Delta/Iceberg)."""
     import math
+    import os
     import shutil
     from pathlib import Path
 
     p = Path(path)
     data_files = [f for f in p.rglob("*.parquet") if f.is_file()]
-    total_bytes = sum(f.stat().st_size for f in data_files)
-    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = str(p.with_name(p.name + "._compacting"))
-    w = df.repartition(n_files).write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*[c for c in partition_by if c in df.columns])
-    w.parquet(tmp)
-    bak = str(p.with_name(p.name + "._precompact"))
-    shutil.move(str(p), bak)
-    shutil.move(tmp, str(p))
+    pcols = [c for c in partition_by if c in df.columns]
+    tmp = p.with_name(p.name + "._compacting")
+    if not pcols:
+        total_bytes = sum(f.stat().st_size for f in data_files)
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        df.repartition(n_files).write.mode("overwrite").parquet(str(tmp))
+    else:
+        # per-partition byte totals from the hive directory layout
+        sizes: dict[tuple[str, ...], int] = {}
+        for f in data_files:
+            key = tuple(
+                part.split("=", 1)[1]
+                for part in f.relative_to(p).parts
+                if "=" in part
+            )
+            sizes[key] = sizes.get(key, 0) + f.stat().st_size
+        plan_rows = [
+            (*k, max(1, math.ceil(b / target_file_bytes)))
+            for k, b in sizes.items()
+        ]
+        n_files = sum(r[-1] for r in plan_rows)
+        plan = spark.createDataFrame(
+            plan_rows, [*(f"_p_{c}" for c in pcols), "_nf"]
+        )
+        # join the per-partition file budget on the hive-encoded string
+        # values, then salt deterministically (hash of the non-partition
+        # payload) so each partition value fans into exactly its budget
+        cond = [
+            F.col(c).cast("string").eqNullSafe(F.col(f"_p_{c}"))
+            for c in pcols
+        ]
+        payload = [c for c in df.columns if c not in pcols]
+        salted = (
+            df.join(F.broadcast(plan), cond)
+            .withColumn(
+                "_salt", F.pmod(F.abs(F.hash(*payload)), F.col("_nf"))
+            )
+            .repartition(n_files, *pcols, F.col("_salt"))
+            .drop("_nf", "_salt", *[f"_p_{c}" for c in pcols])
+        )
+        salted.write.mode("overwrite").partitionBy(*pcols).parquet(str(tmp))
+    bak = p.with_name(p.name + "._precompact")
+    os.rename(p, bak)
+    os.rename(tmp, p)
     shutil.rmtree(bak)
     return n_files
 
@@ -194,14 +246,14 @@ def write_time_partitioned(
     partition pruning — scans never even list the other days), then the
     in-partition sort tightens parquet min/max row-group statistics so
     the remaining files skip non-matching row groups at the footer
-    level. Same layout the incremental build writes per `_batch`."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    level. Same layout the incremental build writes per `_batch`.
+    Dynamic overwrite is a per-write option — no session conf leak."""
     (
         df.withColumn("event_date", F.to_date(F.col(ts_col)))
         .repartition(F.col("event_date"))
         .sortWithinPartitions(ts_col)
         .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(path)
     )

@@ -406,7 +406,6 @@ def continuous_rollup(
     the batch rollup (asserted in tests)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         partial = (
             batch_df.groupBy(
                 F.to_date("ts").alias("day"),
@@ -418,7 +417,12 @@ def continuous_rollup(
             )
             .withColumn("_batch", F.lit(batch_id))
         )
-        partial.write.mode("overwrite").partitionBy("_batch").parquet(out_dir)
+        # dynamic overwrite as a per-write option (a retried batch
+        # replaces only its own _batch partition) — never set on the
+        # shared session conf
+        partial.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch").parquet(out_dir)
 
     q = (
         stream_events(spark, landing_dir, max_files_per_trigger)

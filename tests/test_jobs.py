@@ -355,6 +355,60 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert (before["n"], before["h"]) == (after["n"], after["h"])
 
 
+def test_compact_table_partitioned_compacts_within_partitions(spark, tmp_path):
+    """Partitioned compaction must size file counts PER PARTITION
+    DIRECTORY (a global round-robin re-fragments: n files in every
+    partition value). Small partitions collapse to one file each; rows
+    and values survive."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import compact_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "fragp")
+    src = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    src.repartition(16).write.partitionBy("status").parquet(path)
+    statuses = [
+        d.name.split("=", 1)[1]
+        for d in Path(path).iterdir()
+        if d.name.startswith("status=")
+    ]
+    assert all(
+        len(list((Path(path) / f"status={s}").glob("*.parquet"))) >= 8
+        for s in statuses
+    )
+    before = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct("*")))).alias("h"),
+        )
+        .collect()[0]
+    )
+    compact_table(
+        spark, path, target_file_bytes=128 * 1024 * 1024,
+        partition_by=("status",),
+    )
+    # each (tiny) partition compacts to exactly its own budget: 1 file
+    for s in statuses:
+        files = list((Path(path) / f"status={s}").glob("*.parquet"))
+        assert len(files) == 1
+    after = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct("*")))).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert (before["n"], before["h"]) == (after["n"], after["h"])
+
+
 def test_time_partitioned_write_prunes_partitions(spark, tmp_path):
     """A date predicate over the time-partitioned layout must prune at
     the DIRECTORY level: the scan's partition filters name event_date

@@ -124,6 +124,24 @@ def test_asof_join_null_payload_comes_from_matched_row(spark):
     )
 
 
+def test_asof_join_backward_tie_col_picks_min(spark):
+    """Two right rows at the SAME timestamp: tie_col must pin the
+    match to the lowest tie value regardless of shuffle order — the
+    same rule the oracle expresses as ORDER BY ts, tie LIMIT 1."""
+    from irs_990_efiler_database_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 50, 9, "late-id"), (1, 50, 3, "early-id")],
+        "k int, ts int, rid int, tag string",
+    )
+    row = asof_join(
+        left, right, keys=["k"], ts_col="ts", payload_cols=["rid", "tag"],
+        tie_col="rid",
+    ).first()
+    assert (row["asof_rid"], row["asof_tag"]) == (3, "early-id")
+
+
 def test_asof_join_no_match_is_all_null(spark):
     from irs_990_efiler_database_spark.operators.joins import asof_join
 
