@@ -46,19 +46,13 @@ def returns(spark):
 def test_wholetext_one_row_per_file(returns):
     # regression: .option("wholetext", True) silently read one row per
     # LINE; the kwarg form gives one row per file
-    assert returns.count() == len(fixture_files()) == 6
+    assert returns.count() == len(fixture_files()) == 8
 
 
 def test_object_id_derived_from_url(returns):
     ids = {r["object_id"] for r in returns.select("object_id").collect()}
-    assert ids == {
-        "100000001",
-        "100000002",
-        "100000003",
-        "100000004",
-        "100000005",
-        "100000006",
-    }
+    want = {p.name.split("_")[-2] for p in fixture_files()}
+    assert ids == want
 
 
 def _rows_as_dicts(df):
@@ -68,7 +62,7 @@ def _rows_as_dicts(df):
 def test_core_matches_golden(returns):
     cols = list(dict.fromkeys(load_core_spec()["columns"]))
     spark_rows = {r["URL"]: r for r in _rows_as_dicts(build_core(returns, columns=cols))}
-    assert len(spark_rows) == 6
+    assert len(spark_rows) == len(fixture_files())
     for p in fixture_files():
         url = p.resolve().as_uri()
         golden = golden_core_row(url, p.read_text())
@@ -77,6 +71,53 @@ def test_core_matches_golden(returns):
             c: (got[c], golden[c]) for c in cols if got[c] != golden[c]
         }
         assert not diffs, f"{p.name}: {diffs}"
+
+
+def test_deep_coalesce_arms_are_load_bearing(returns):
+    """Schema-vintage drift tolerance (the reason the reference's 6-way
+    pipe-unions exist, build_efile_database_functions.R:4376-4383): the
+    2010 fixture's contractor count lives ONLY at the 3rd arm of the
+    6-arm F9_07_PZ_NUM_HIGH_PAY_CONTXRS chain
+    (Form990PartVIISectionB/NumberOfContractorsGT100K), the 2009 EZ
+    fixture's at the 6th (TotNumCntrctPdOver100KProfSer), and its
+    termination flag ONLY at TERMINATED's 5th arm (TerminationReturn).
+    Each assert first proves the earlier arms are absent from the doc,
+    so a coalesce that silently dropped late arms would fail here."""
+    from irs_990_efiler_database_spark.extract.golden import _scalar, load_doc
+    from irs_990_efiler_database_spark.plans.concordance import table_rows
+
+    docs = {p.name: p for p in fixture_files()}
+    pc = docs["990_2010_100000007_public.xml"]
+    ez = docs["990EZ_2009_100000008_public.xml"]
+
+    arms = [
+        r["xpath"]
+        for r in table_rows("F9-P07-TABLE-00-COMP-OVERVIEW")
+        if r["variable"] == "F9_07_PZ_NUM_HIGH_PAY_CONTXRS"
+    ]
+    assert len(arms) == 6
+    pc_root = load_doc(pc.read_text())
+    assert all(_scalar(pc_root, a) is None for a in arms[:2])
+    assert _scalar(pc_root, arms[2]) == "3"
+    ez_root = load_doc(ez.read_text())
+    assert all(_scalar(ez_root, a) is None for a in arms[:5])
+    assert _scalar(ez_root, arms[5]) == "2"
+
+    t = build_rdb_table(returns, "F9-P07-TABLE-00-COMP-OVERVIEW")
+    got = {
+        r["OBJECT_ID"]: r["F9_07_PZ_NUM_HIGH_PAY_CONTXRS"]
+        for r in t.collect()
+    }
+    assert got["100000007"] == "3"  # via arm 3 of 6
+    assert got["100000008"] == "2"  # via arm 6 of 6
+
+    term_arms = load_core_spec()["vars"]["TERMINATED"]["xpaths"]
+    assert len(term_arms) == 5
+    assert all(_scalar(ez_root, a) is None for a in term_arms[:4])
+    assert _scalar(ez_root, term_arms[4]) == "X"
+    core = build_core(returns, columns=["URL", "TERMINATED"])
+    by_id = {r["URL"]: r["TERMINATED"] for r in core.collect()}
+    assert by_id[ez.resolve().as_uri()] == "X"  # via arm 5 of 5
 
 
 @pytest.mark.parametrize("table", table_names())

@@ -16,6 +16,10 @@ from irs_990_efiler_database_spark.sources.xml_source import (
 
 GLOBS = ["tests/fixtures/*.xml", "tests/fixtures/corrupt/*.xml"]
 
+from irs_990_efiler_database_spark.extract.golden import fixture_files
+
+N_FIX = len(fixture_files())
+
 
 @pytest.fixture(scope="module")
 def result(spark, tmp_path_factory):
@@ -39,7 +43,7 @@ def test_all_tables_written(result):
         "SCHED-N-TABLE-02",
         "SCHED-N-TABLE-03",
     }
-    assert res.rows["CORE"] == 6  # corrupt doc quarantined, not built
+    assert res.rows["CORE"] == N_FIX  # corrupt doc quarantined, not built
 
 
 def test_dead_letter_captured(result, spark):
@@ -89,7 +93,7 @@ def test_bundle_roundtrip_equals_file_source(spark, tmp_path):
         spark, str(tmp_path / "out"), bundle_path=str(tmp_path / "bundle"),
         tables=["CORE"],
     )
-    assert res.rows["CORE"] == 6
+    assert res.rows["CORE"] == N_FIX
 
 
 def test_index_csv_export_roundtrip(spark, tmp_path):
@@ -164,10 +168,10 @@ def test_incremental_build_processes_only_new_files(spark, tmp_path):
     res1 = build_database_incremental(
         spark, out, str(landing), ckpt, tables=tables, max_files_per_trigger=1
     )
-    assert res1.rows["CORE"] == 6
+    assert res1.rows["CORE"] == N_FIX
     assert res1.dead_rows == 0
     core = read_incremental_table(spark, res1.tables["CORE"])
-    assert core.count() == 6
+    assert core.count() == N_FIX
     assert "_batch" not in core.columns
 
     # incremental output must equal the batch builder's rows
@@ -186,7 +190,7 @@ def test_incremental_build_processes_only_new_files(spark, tmp_path):
         spark, out, str(landing), ckpt, tables=tables, max_files_per_trigger=1
     )
     assert res2.rows.get("CORE", 0) == 0
-    assert read_incremental_table(spark, res1.tables["CORE"]).count() == 6
+    assert read_incremental_table(spark, res1.tables["CORE"]).count() == N_FIX
 
     # a new drop lands (the corrupt doc): only it is processed, and it
     # goes to the dead letter — prior CORE rows intact
@@ -196,7 +200,7 @@ def test_incremental_build_processes_only_new_files(spark, tmp_path):
     )
     assert res3.rows.get("CORE", 0) == 0
     assert res3.dead_rows == 1
-    assert read_incremental_table(spark, res1.tables["CORE"]).count() == 6
+    assert read_incremental_table(spark, res1.tables["CORE"]).count() == N_FIX
     dl = spark.read.parquet(res3.dead_letter_path)
     assert dl.count() == 1
     assert dl.collect()[0]["reason"] == "xml_parse_error"
