@@ -142,6 +142,29 @@ def write_stata(df: DataFrame, path: str, version: int = 118) -> None:
     pdf.to_stata(path, write_index=False, version=version)
 
 
+def write_spss(df: DataFrame, path: str) -> None:
+    """SPSS .sav export of a bounded table — completes the reference's
+    index export trio (Build-Efiler-Index.md:170-193 ships CSV, Stata,
+    AND SPSS via haven::write_sav). Like ``write_stata``, .sav is a
+    single-file non-splittable container, so this is a driver-side
+    export for index-scale data, not a distributed sink.
+
+    Gated on ``pyreadstat`` (the pandas-ecosystem .sav writer): absent
+    in this container, so the call degrades to a clear
+    NotImplementedError naming the dependency rather than a stub that
+    pretends to succeed."""
+    pdf = df.toPandas()
+    try:
+        import pyreadstat
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "SPSS export requires the 'pyreadstat' package "
+            "(pip install pyreadstat); CSV and Stata exports are "
+            "dependency-free alternatives"
+        ) from exc
+    pyreadstat.write_sav(pdf, path)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

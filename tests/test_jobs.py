@@ -322,6 +322,48 @@ def test_fetch_to_bundle_file_urls_end_to_end(spark, tmp_path):
     assert res.rows["CORE"] == len(fixtures)
 
 
+def test_fetch_returns_https_smoke(spark):
+    """The real-network arm of the fetcher (the file:// tests exercise
+    the identical urllib code path; this proves the https scheme
+    itself). Runs only where network exists — set
+    SPARK_GRAFT_NET_TESTS=1 to enable."""
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_NET_TESTS"):
+        pytest.skip("network tests disabled (SPARK_GRAFT_NET_TESTS unset)")
+    from irs_990_efiler_database_spark.sources.fetch import fetch_returns
+
+    url = os.environ.get(
+        "SPARK_GRAFT_NET_TEST_URL", "https://www.example.com/"
+    )
+    row = fetch_returns(spark, [url], partitions=1).collect()[0]
+    assert row["error"] is None, row["error"]
+    assert row["xml"]
+
+
+def test_spss_export_roundtrip_or_clear_degrade(spark, tmp_path):
+    """SPSS export: with pyreadstat present the .sav round-trips; in
+    its absence the sink must fail loudly with the dependency named —
+    never silently write nothing."""
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import write_spss
+    from tests.conftest import SF_SMOKE
+
+    df = load_table(spark, SF_SMOKE, "region").select("r_regionkey", "r_name")
+    out = str(tmp_path / "region.sav")
+    try:
+        import pyreadstat  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pyreadstat"):
+            write_spss(df, out)
+        return
+    write_spss(df, out)
+    import pyreadstat
+
+    pdf, _ = pyreadstat.read_sav(out)
+    assert len(pdf) == df.count()
+
+
 def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     """64 tiny files -> a handful sized by the byte target; the rows
     and values survive byte-for-byte (hash-compared)."""
