@@ -686,3 +686,68 @@ def fdedup_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
     )
+
+
+@register(
+    "fdedup_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbands a
+      JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / least(len(list_distinct(x.hs)), len(list_distinct(y.hs))),
+             6) AS containment
+    FROM cand c
+    JOIN hashed x ON x.doc_id = c.id_a
+    JOIN hashed y ON y.doc_id = c.id_b
+    WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / least(len(list_distinct(x.hs)), len(list_distinct(y.hs))),
+             6) >= 0.9
+    """,
+)
+def fdedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs: |A∩B| over
+    the SMALLER shingle set — the measure that catches a document
+    embedded inside a longer one (quote-and-extend spam, page + nav
+    chrome), which symmetric Jaccard under-scores. Same funnel as the
+    LSH paths: capped banded candidates, exact verify on the hashed
+    shingle sets only for surviving pairs. The augmented suffix-copies
+    are near-fully contained in their originals, so the planted truth
+    set separates containment from Jaccard."""
+    from ..operators.dedup import cap_hot_buckets, shingled
+
+    sh = shingled(_augmented(spark, sf_dir)).persist()
+    sh.count()
+    bands = sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
+    bands = cap_hot_buckets(bands, ["band_idx", "band_hash"], 1000)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets_ = sh.select("id", "sh")
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.least(
+            F.size(F.array_distinct("sh_a")), F.size(F.array_distinct("sh_b"))
+        ),
+        6,
+    )
+    return (
+        cand.join(sets_.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets_.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.9)
+    )

@@ -769,3 +769,55 @@ def events_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.when(~pick_b, d_f))
         .alias("us_apart"),
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(SUM(next_us - ts_us) AS BIGINT) AS span_us,
+           round(CAST(SUM(CAST(value * (next_us - ts_us)
+                              AS DECIMAL(30,6))) AS DOUBLE)
+                 / SUM(next_us - ts_us), 6) AS twa_value
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the TimescaleDB
+    `time_weight` hyperfunction): each reading holds until the next
+    one, so the average weights each value by its holding interval —
+    the honest aggregate for sensor/price/state feeds where a plain
+    AVG over-counts bursts. One shuffle on the user key (lead window +
+    grouped sum share it); interval-weighted products accumulate as
+    DECIMAL so the division is order-free. Users with a single event
+    have no holding interval and drop out, mirrored by the oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("ts_us")
+    return seq.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.sum(dur).cast("long").alias("span_us"),
+        F.round(
+            F.sum((F.col("value") * dur).cast("decimal(30,6)")).cast("double")
+            / F.sum(dur),
+            6,
+        ).alias("twa_value"),
+    )

@@ -936,3 +936,44 @@ def join_null_safe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d_seg").alias("seg"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+@register(
+    "profile_orders_columns",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT({c}) AS n_null,
+            COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the 'column statistics' pass every
+    warehouse/catalog runs): per-column row count, null count, and
+    exact distinct count over orders, in ONE scan. The multi-column
+    distinct aggregation plans as a single Expand (k× row replication
+    map-side, combined before the shuffle) — one pass over the table
+    instead of k separate COUNT(DISTINCT) scans; the result is k tiny
+    rows unpivoted driver-free via stack()."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__null`, `{c}__dist`" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct)"
+    )

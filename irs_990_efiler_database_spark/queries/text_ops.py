@@ -782,3 +782,162 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= 0.1).alias("flagged"),
         )
     )
+
+
+_PII_SUFFIX = " contact alex.rivers@example.org or call 555-201-3344 ssn 523-44-1987"
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 50
+                  THEN concat(text, '{_PII_SUFFIX}') ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT)
+             AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_SSN}', '[SSN]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance pass every training
+    pipeline runs before a corpus ships: emails, SSNs, and US phone
+    numbers are counted and replaced with typed placeholders, all as
+    native regexp expressions (zero Python in the row path, zero
+    shuffle — a pure projection that scales with the scan). The
+    fixture corpus carries no organic PII, so documents < 50 get a
+    deterministic planted suffix in BOTH engines; the md5 of the
+    redacted text proves the replacement bytes match exactly, not just
+    the counts. SSNs (3-2-4) redact before phones (3-3-4) so the
+    patterns never shadow each other."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 50, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_SSN,
+            "[SSN]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_SSN), F.lit(0)))
+        .cast("long")
+        .alias("n_ssns"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+@register(
+    "text_lm_unigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(log(CAST(f.cnt AS DOUBLE) / total.n), 9)
+                  AS DECIMAL(24,12)) AS lp
+      FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style proxy for
+    'does this document read like the corpus': every token instance
+    scores log10(corpus_freq/corpus_total) and the document reports
+    the mean. Out-of-distribution junk scores low. Scale shape: one
+    token-count aggregation builds the LM (shuffle carries (token,
+    count)), the corpus total is a one-row broadcast, the score join
+    is key-only on the token, and per-token logprobs round to 9 dp
+    then accumulate as DECIMAL so the per-doc mean is order-free —
+    bit-identical under any shuffle order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    lp = F.round(
+        F.log10(F.col("cnt").cast("double") / F.col("n")), 9
+    ).cast("decimal(24,12)")
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "doc_balance_per_source",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+      FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def doc_balance_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced resampling: cap every source at K=20 documents,
+    picked by md5 order — the deterministic, join-free version of the
+    per-domain/per-language quota pass that keeps one giant crawl
+    source from dominating a training mix. One shuffle on the source
+    key; the md5 ranking makes the sample reproducible across runs
+    and engines (no rand())."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
