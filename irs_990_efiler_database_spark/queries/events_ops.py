@@ -821,3 +821,161 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+@register(
+    "events_json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k')
+                IS NULL) AS BIGINT) AS n_bad
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read: the JSON ``props`` payload is
+    parsed in-plan (``from_json`` with an explicit schema — JVM-side,
+    codegen'd, no Python) and aggregated per event type; rows whose
+    JSON lacks the field count as bad instead of failing the scan.
+    The 100 TB shape: JSON parsing is a pure projection fused into the
+    scan stage, one aggregation shuffle of (type, partials)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(
+        "props", T.StructType([T.StructField("k", T.LongType())])
+    )["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum(F.col("k").isNull().cast("long")).cast("long").alias("n_bad"),
+        )
+    )
+
+
+@register(
+    "events_top_types_per_day",
+    oracle="""
+    SELECT day, event_type, n, rk FROM (
+      SELECT day, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM (
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rk <= 3
+    """,
+)
+def events_top_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k over an aggregate (the 'top N per group' report):
+    daily event-type counts ranked per day, top 3 kept. Scale shape:
+    the aggregation shrinks the data to |days × types| rows BEFORE the
+    rank window, so the window partition is bounded regardless of
+    event volume — never rank the raw stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "events_sequence_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+             (SELECT c.event_id FROM c
+               WHERE c.user_id = v.user_id AND c.ts >= v.ts
+               ORDER BY c.ts, c.event_id LIMIT 1) AS click_id,
+             (SELECT c.ts FROM c
+               WHERE c.user_id = v.user_id AND c.ts >= v.ts
+               ORDER BY c.ts, c.event_id LIMIT 1) AS click_ts
+      FROM v
+    )
+    SELECT view_id, user_id,
+           epoch_us(CAST(view_ts AS TIMESTAMP)) AS view_us,
+           click_id,
+           (SELECT p.event_id FROM p
+             WHERE p.user_id = vc.user_id AND p.ts >= vc.click_ts
+             ORDER BY p.ts, p.event_id LIMIT 1) AS purchase_id
+    FROM vc
+    WHERE click_id IS NOT NULL
+      AND epoch_us(CAST(click_ts AS TIMESTAMP))
+          - epoch_us(CAST(view_ts AS TIMESTAMP)) <= 3600000000
+    """,
+)
+def events_sequence_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered sequence matching (MATCH_RECOGNIZE-lite): for every
+    view, the user's next click within one hour, then the next
+    purchase at or after that click — strict event-order pattern
+    v → c → p composed from two forward as-of joins. Each join is one
+    union+window pass on the user key (the same single-shuffle shape
+    as the as-of family), so an n-step pattern costs n window passes,
+    never n self-joins of the raw stream."""
+    from ..operators.joins import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    vc = asof_join_forward(
+        v, c, ["user_id"], "ts", ["click_id"], tie_col="click_id", prefix="c_"
+    ).filter(
+        F.col("c_click_id").isNotNull()
+        & (F.unix_micros("c_ts") - F.unix_micros("ts") <= 3_600_000_000)
+    )
+    # second hop keys off the CLICK time: re-enter the as-of machinery
+    # with ts = click_ts, carrying the view columns through
+    hop2_left = vc.select(
+        "view_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("c_click_id").alias("click_id"),
+        F.col("c_ts").alias("ts"),
+    )
+    out = asof_join_forward(
+        hop2_left, p, ["user_id"], "ts", ["purchase_id"],
+        tie_col="purchase_id", prefix="p_",
+    )
+    return out.select(
+        "view_id",
+        "user_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        "click_id",
+        F.col("p_purchase_id").alias("purchase_id"),
+    )
