@@ -184,3 +184,122 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media(load_table(spark, sf_dir, "documents"))
     return audio_window_rms(media)
+
+
+_AH_VEC_SQL = ", ".join(
+    f"SUM(CASE WHEN bin = {i} THEN cnt ELSE 0 END)" for i in range(16)
+)
+_AH_HASH_SQL = " + ".join(
+    f"CASE WHEN 16 * cv[{i + 1}] > nb THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+_AH_L1_SQL = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "i -> abs(a.cv[i] * b.nb - b.cv[i] * a.nb)))"
+)
+
+
+@register(
+    "mm_ahash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    ),
+    media AS (
+      SELECT doc_id AS media_id, text AS t,
+             octet_length(encode(text)) AS nb
+      FROM base
+    ),
+    h AS (
+      SELECT media_id, ascii(substring(t, i, 1)) // 16 AS bin
+      FROM media, unnest(generate_series(1, nb)) AS u(i)
+      WHERE nb > 0
+    ),
+    hh AS (
+      SELECT media_id, bin, COUNT(*) AS cnt FROM h GROUP BY media_id, bin
+    ),
+    vec AS (
+      SELECT media_id, [{_AH_VEC_SQL}] AS cv, SUM(cnt) AS nb
+      FROM hh GROUP BY media_id
+    ),
+    vech AS (
+      SELECT media_id, cv, nb, CAST({_AH_HASH_SQL} AS BIGINT) AS ahash
+      FROM vec
+    ),
+    cap AS (
+      SELECT ahash FROM vech GROUP BY ahash HAVING COUNT(*) <= 1000
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b, a.ahash,
+           round(CAST({_AH_L1_SQL} AS DOUBLE) / (a.nb * b.nb), 9) AS l1
+    FROM vech a
+    JOIN cap USING (ahash)
+    JOIN vech b ON a.ahash = b.ahash AND a.media_id < b.media_id
+    WHERE CAST({_AH_L1_SQL} AS DOUBLE) / (a.nb * b.nb) <= 0.01
+    """,
+)
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over media payloads —
+    the multimodal twin of the text LSH funnel: the Arrow-batched
+    byte-histogram features (the embedding-model slot) collapse to a
+    16-bit average-hash (bit b set where bin b holds more than the
+    uniform 1/16 of the bytes — an INTEGER test, 16·cnt > n), candidate
+    pairs must share the hash (equi-join behind the standard hot-bucket
+    cap — never all pairs), and survivors verify on exact L1 histogram
+    distance computed in integer cross-multiplied counts
+    (Σ|cntA·nB − cntB·nA| / (nA·nB)) so the only floating-point op is
+    one final division — no accumulation-order or rounding-tie risk in
+    the hash gate. Planted exact copies (media_id + 1e6) are the truth
+    set: identical histogram, L1 = 0."""
+    from ..operators.dedup import cap_hot_buckets
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    hist = byte_histogram_rows(synthetic_media(aug))
+    vec = hist.groupBy("media_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == i, F.col("cnt")).otherwise(0))
+                for i in range(16)
+            ]
+        ).alias("cv"),
+        F.sum("cnt").alias("nb"),
+    )
+    ahash = None
+    for i in range(16):
+        bit = F.when(16 * F.col("cv")[i] > F.col("nb"), F.lit(1 << i)).otherwise(0)
+        ahash = bit if ahash is None else ahash + bit
+    vech = vec.select("media_id", "cv", "nb", ahash.cast("long").alias("ahash"))
+    vech = cap_hot_buckets(vech, ["ahash"], 1000)
+    a, b = vech.alias("a"), vech.alias("b")
+    l1num = F.aggregate(
+        F.zip_with(
+            F.col("a.cv"),
+            F.col("b.cv"),
+            lambda x, y: F.abs(x * F.col("b.nb") - y * F.col("a.nb")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    l1 = l1num.cast("double") / (F.col("a.nb") * F.col("b.nb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("ahash"),
+            F.round(l1, 9).alias("l1"),
+            l1.alias("_l1raw"),
+        )
+        .filter(F.col("_l1raw") <= 0.01)
+        .drop("_l1raw")
+    )
