@@ -979,3 +979,95 @@ def events_sequence_view_click_purchase(
         "click_id",
         F.col("p_purchase_id").alias("purchase_id"),
     )
+
+
+@register(
+    "events_user_journey",
+    oracle="""
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           array_to_string(steps[1:10], '>') AS journey
+    FROM (
+      SELECT user_id, COUNT(*) AS n,
+             list(event_type ORDER BY ts, event_id) AS steps
+      FROM events
+      GROUP BY user_id
+    )
+    WHERE user_id < 200
+    """,
+)
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey extraction: each user's first 10 events as an
+    ordered 'view>click>purchase…' path string. collect_list order is
+    shuffle-dependent, so the events collect as (ts, event_id, type)
+    STRUCTS and ``array_sort`` imposes the total order inside the row
+    — the deterministic idiom for order-sensitive aggregation (the
+    oracle uses DuckDB's ORDER BY-qualified list() instead; both must
+    agree exactly). One shuffle on the user key; the payload is
+    bounded by the journey cap."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    steps = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ),
+            1,
+            10,
+        ),
+        lambda s: s["et"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(steps, ">").alias("journey"),
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d') AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    )
+    SELECT d.day,
+           CAST(COUNT(*) FILTER (WHERE f.first_day = d.day) AS BIGINT)
+             AS n_new,
+           CAST(COUNT(*) FILTER (WHERE f.first_day <> d.day) AS BIGINT)
+             AS n_returning
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users — the other canonical
+    product-analytics rollup next to cohorts: a user counts as new on
+    the day of their first-ever event, returning on any later active
+    day. Two aggregations on the user key share one partitioning; the
+    final (day) rollup shuffles |days × users-active| rows at most."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day")
+    )
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    j = daily.join(firsts, "user_id")
+    return j.groupBy("day").agg(
+        F.sum((F.col("first_day") == F.col("day")).cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("first_day") != F.col("day")).cast("long"))
+        .cast("long")
+        .alias("n_returning"),
+    )

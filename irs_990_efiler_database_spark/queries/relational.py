@@ -977,3 +977,74 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_null, n_distinct)"
     )
+
+
+@register(
+    "cdc_apply_latest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'I' AS op, o_totalprice AS price
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice + 100 AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey AS k, 2 AS seq, 'D' AS op,
+             CAST(NULL AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    latest AS (
+      SELECT k, seq, op, price,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT k AS o_orderkey, CAST(seq AS BIGINT) AS version, price
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (the Debezium-feed / MERGE INTO
+    semantics): a base snapshot plus an I/U/D change log with sequence
+    numbers collapses to the final state — highest sequence per key
+    wins, deletes drop the row. One shuffle on the key (the ranking
+    window); at scale this is the standing batch-merge that keeps a
+    lakehouse table current from a CDC stream, and composes with
+    ``sinks.upsert_partitions`` for the physical write. The change log
+    here is synthesized deterministically from orders in BOTH
+    engines (every even key updated, every 10th then deleted)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 100).alias("price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("seq").cast("long").alias("version"),
+            "price",
+        )
+    )
