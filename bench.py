@@ -65,6 +65,14 @@ HEADLINE = [
     "win_rolling_7d_spend",
     "fdedup_shared_chunk_pairs",
     "events_funnel_view_to_purchase",
+    # round 4 additions
+    "text_pii_redact",
+    "text_lm_unigram_score",
+    "events_time_weighted_avg",
+    "events_sequence_view_click_purchase",
+    "events_json_props_rollup",
+    "cdc_apply_latest",
+    "profile_orders_columns",
 ]
 
 

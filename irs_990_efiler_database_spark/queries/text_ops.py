@@ -941,3 +941,61 @@ def doc_balance_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "doc_quality_deciles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(log(CAST(f.cnt AS DOUBLE) / total.n), 9)
+                  AS DECIMAL(24,12)) AS lp
+      FROM toks t JOIN freq f USING (tok) CROSS JOIN total
+    ),
+    docscore AS (
+      SELECT doc_id,
+             round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_logprob) AS lo,
+           MAX(avg_logprob) AS hi
+    FROM (
+      SELECT doc_id, avg_logprob,
+             NTILE(10) OVER (ORDER BY avg_logprob, doc_id) AS decile
+      FROM docscore
+    )
+    GROUP BY decile
+    """,
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum bucketing: documents ranked by their unigram
+    LM score and cut into NTILE deciles — the binning step before
+    quality-weighted sampling or curriculum ordering of a training
+    mix. The global NTILE runs over ONE row per document (the already-
+    aggregated scores), and the output is 10 rows; at larger scale the
+    exact global ntile would swap for the mergeable binned-quantile
+    sketch (`sketch_binned_quantiles`) — both shapes exist in the
+    engine."""
+    from pyspark.sql import Window
+
+    scores = text_lm_unigram_score(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    w = Window.orderBy("avg_logprob", "doc_id")
+    return (
+        scores.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob").alias("lo"),
+            F.max("avg_logprob").alias("hi"),
+        )
+    )

@@ -338,3 +338,66 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Snapshot-versioned sink (poor-man's time travel): each write
+    lands under ``_v=N`` for the next monotonic version and becomes
+    visible only when its ``_SUCCESS`` marker exists — readers never
+    observe a half-written snapshot, and history is retained for
+    audits/rollback (the lakehouse-table property the reference's
+    overwrite-in-place RDS files can't offer; a real Delta/Iceberg
+    catalog is the drop-in upgrade).
+
+    Returns the version written. Version discovery is one driver-side
+    directory listing; snapshot data itself is ordinary parquet, so
+    every scan optimization (pruning, pushdown) applies unchanged."""
+    from pathlib import Path
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    current = [
+        int(d.name.split("=", 1)[1])
+        for d in p.iterdir()
+        if d.is_dir() and d.name.startswith("_v=")
+    ]
+    version = (max(current) + 1) if current else 0
+    df.write.mode("errorifexists").parquet(str(p / f"_v={version}"))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table at ``version`` (default: latest COMMITTED
+    version — one with its _SUCCESS marker). Time travel = passing an
+    older version number."""
+    from pathlib import Path
+
+    p = Path(path)
+    committed = sorted(
+        int(d.name.split("=", 1)[1])
+        for d in p.iterdir()
+        if d.is_dir() and d.name.startswith("_v=") and (d / "_SUCCESS").exists()
+    )
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = committed[-1]
+    if version not in committed:
+        raise FileNotFoundError(
+            f"snapshot _v={version} not committed under {path} "
+            f"(have {committed})"
+        )
+    return spark.read.parquet(str(p / f"_v={version}"))
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed snapshot versions, oldest first."""
+    from pathlib import Path
+
+    return sorted(
+        int(d.name.split("=", 1)[1])
+        for d in Path(path).iterdir()
+        if d.is_dir() and d.name.startswith("_v=") and (d / "_SUCCESS").exists()
+    )

@@ -577,3 +577,37 @@ def test_validate_database_green_on_fixture_build(result, spark):
         "core_fisyr_range",
         "core_formtype_known",
     }
+
+
+def test_snapshot_sink_time_travel(spark, tmp_path):
+    """Snapshot versioning: three writes → three committed versions;
+    the default read sees the latest, time travel reads any older
+    version byte-for-byte, and an uncommitted (_SUCCESS-less) snapshot
+    is invisible."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sinks import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    for n in (3, 5, 8):
+        df = spark.range(n).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        write_snapshot(df, path)
+    assert snapshot_versions(path) == [0, 1, 2]
+    assert read_snapshot(spark, path).count() == 8  # latest
+    assert read_snapshot(spark, path, version=0).count() == 3  # time travel
+    # a torn write (no _SUCCESS) must stay invisible to readers
+    torn = Path(path) / "_v=3"
+    shutil.copytree(Path(path) / "_v=2", torn)
+    (torn / "_SUCCESS").unlink()
+    assert snapshot_versions(path) == [0, 1, 2]
+    assert read_snapshot(spark, path).count() == 8
+    # but the next write claims version 4 (never reuses a dirty slot)
+    v = write_snapshot(spark.range(2).select("id", F.col("id").alias("v")), path)
+    assert v == 4 and read_snapshot(spark, path).count() == 2
