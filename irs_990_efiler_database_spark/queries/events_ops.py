@@ -1071,3 +1071,56 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_returning"),
     )
+
+
+@register(
+    "events_stream_enrich_dim",
+    oracle="""
+    SELECT CASE CAST(user_id % 4 AS INT)
+             WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+             WHEN 2 THEN 'gold' ELSE 'vip' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join through the real streaming
+    engine: the events stream joins a broadcast user-segment dimension
+    per micro-batch (no watermark, no join state — the static side
+    re-broadcasts and each batch joins map-side), then rolls up per
+    segment. The dimension is derived deterministically in both
+    engines; the availableNow drain must equal the batch join+rollup
+    exactly."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import (
+        enrich_with_dimension,
+        run_available_now,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_enrich_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+
+    dim = spark.range(100_000).select(
+        F.col("id").alias("user_id"),
+        F.element_at(
+            F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold"), F.lit("vip")),
+            (F.col("id") % 4).cast("int") + 1,
+        ).alias("segment"),
+    )
+    ev = stream_events(spark, str(tmp / "in"))
+    enriched = enrich_with_dimension(ev, dim, key="user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_available_now(agg, "events_stream_enrich_q", str(tmp / "ckpt"))

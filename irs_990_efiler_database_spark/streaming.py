@@ -383,6 +383,22 @@ def purchase_click_attribution_outer(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-STATIC enrichment join: a streaming fact joined to a
+    batch dimension table on ``key`` — the lookup-join every streaming
+    pipeline runs (events × user attributes, clicks × campaign
+    metadata). No watermark and no join state: the static side is
+    (re-)broadcast per micro-batch and each batch joins map-side, so
+    the stream never shuffles and state stays empty regardless of
+    stream length — the cheapest join shape in Structured Streaming.
+    An availableNow drain therefore equals the batch join exactly."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def continuous_rollup(
     spark: SparkSession,
     landing_dir: str,
