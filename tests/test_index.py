@@ -35,3 +35,24 @@ def test_ein_filter_is_broadcast_semi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert out.count() == 3  # one filing per fixture year
+
+
+def test_custom_python_datasource_matches_native_reader(spark):
+    """The Spark-4 Python DataSource connector must return exactly the
+    rows the plan-native wholetext+from_json reader returns, with one
+    input partition per index file (the executor-parallel contract)."""
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.index import read_index_files
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+    )
+
+    spark.dataSource.register(Irs990IndexDataSource)
+    via_ds = spark.read.format("irs990index").load(_GLOB)
+    native = read_index_files(spark, _GLOB)
+    assert via_ds.schema == native.schema
+    key = lambda r: (r["ObjectId"], r["URL"])  # noqa: E731
+    assert sorted(via_ds.collect(), key=key) == sorted(
+        native.collect(), key=key
+    )
+    assert via_ds.rdd.getNumPartitions() == 3  # one per yearly file
