@@ -1048,3 +1048,33 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price",
         )
     )
+
+
+@register(
+    "scd2_as_of_snapshot",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             coalesce(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'),
+                      '9999-12-31') AS valid_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= '1995-06-01' AND valid_to > '1995-06-01'
+    """,
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF date) query against the SCD2 history: the
+    state of every customer's dimension on 1995-06-01 — the interval
+    containing the date, at most one row per key by construction. The
+    half-open [valid_from, valid_to) convention makes the predicate a
+    pair of string comparisons the scan can push down; at scale this
+    is the standard bitemporal snapshot read over an SCD2 table."""
+    hist = win_scd2_order_history(spark, sf_dir)
+    as_of = "1995-06-01"
+    return hist.filter(
+        (F.col("valid_from") <= as_of) & (F.col("valid_to") > as_of)
+    ).select("o_custkey", "o_orderkey", "valid_from", "valid_to")

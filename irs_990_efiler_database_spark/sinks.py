@@ -401,3 +401,36 @@ def snapshot_versions(path: str) -> list[int]:
         for d in Path(path).iterdir()
         if d.is_dir() and d.name.startswith("_v=") and (d / "_SUCCESS").exists()
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: list,
+    partition_by: tuple[str, ...] = DEFAULT_PARTITION_COLS,
+) -> int:
+    """Targeted deletion (the GDPR/right-to-be-forgotten pass): remove
+    every row whose ``key_col`` is in ``values`` by rewriting ONLY the
+    partitions that contain such rows — the delete-shaped sibling of
+    ``upsert_partitions``. Untouched partitions' files are never read
+    or rewritten, so cost is proportional to where the subject's data
+    lives, not the table. Returns the number of rows deleted.
+
+    The key probe is a broadcast IN-filter (a deletion request is a
+    bounded subject list by nature); the partition discovery reuses
+    the same dynamic-partition-overwrite mechanics as the amended
+    -filing upsert."""
+    existing = read_table(spark, path)
+    part_cols = [c for c in partition_by if c in existing.columns]
+    hit = F.col(key_col).isin(values)
+    affected_parts = existing.filter(hit).select(*part_cols).distinct()
+    affected = existing.join(F.broadcast(affected_parts), part_cols, "left_semi")
+    n_deleted = affected.filter(hit).count()
+    if n_deleted == 0:
+        return 0
+    keep = affected.filter(~hit)
+    # the write overwrites files the plan reads — materialize first
+    keep = keep.localCheckpoint(eager=True)
+    write_table(keep, path, partition_by=tuple(part_cols))
+    return n_deleted

@@ -611,3 +611,55 @@ def test_snapshot_sink_time_travel(spark, tmp_path):
     # but the next write claims version 4 (never reuses a dirty slot)
     v = write_snapshot(spark.range(2).select("id", F.col("id").alias("v")), path)
     assert v == 4 and read_snapshot(spark, path).count() == 2
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: deleting one user's rows must remove
+    exactly those rows, preserve everything else byte-for-byte, and
+    leave partitions without that user physically untouched (mtime
+    equality — the cost-proportionality contract)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import delete_rows, write_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "events_gdpr")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_table(ev, path, partition_by=("day",))
+    before = spark.read.parquet(path)
+    n_total = before.count()
+    target = 7  # a user active on only some days
+    n_target = before.filter(F.col("user_id") == target).count()
+    assert 0 < n_target < n_total
+    touched_days = {
+        r["day"]
+        for r in before.filter(F.col("user_id") == target)
+        .select("day")
+        .distinct()
+        .collect()
+    }
+    all_days = {r["day"] for r in before.select("day").distinct().collect()}
+    untouched = sorted(all_days - touched_days)
+    from pathlib import Path
+
+    def mtimes(days):
+        out = {}
+        for d in days:
+            for f in (Path(path) / f"day={d}").glob("*.parquet"):
+                out[str(f)] = f.stat().st_mtime_ns
+        return out
+
+    pre = mtimes(untouched)
+    time.sleep(0.05)
+    n_deleted = delete_rows(spark, path, "user_id", [target], ("day",))
+    assert n_deleted == n_target
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("user_id") == target).count() == 0
+    assert after.count() == n_total - n_target
+    if untouched:
+        assert mtimes(untouched) == pre  # untouched partitions not rewritten
