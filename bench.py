@@ -133,11 +133,16 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_extract_")
     try:
         gen_bundle(spark, f"{tmp}/bundle", n_docs)  # prep, not timed
-        t0 = time.perf_counter()
-        build_database(spark, f"{tmp}/out", bundle_path=f"{tmp}/bundle")
-        timings[f"x990_build_database_{n_docs}_docs"] = round(
-            time.perf_counter() - t0, 4
-        )
+        # best-of-two like every other entry: this is the single most
+        # expensive entry, so one co-tenant contention spike otherwise
+        # dominates the whole headline total (observed 17.9 s -> 93 s
+        # on identical code purely from host load)
+        best = float("inf")
+        for i in range(max(1, runs)):
+            t0 = time.perf_counter()
+            build_database(spark, f"{tmp}/out{i}", bundle_path=f"{tmp}/bundle")
+            best = min(best, time.perf_counter() - t0)
+        timings[f"x990_build_database_{n_docs}_docs"] = round(best, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
