@@ -999,3 +999,53 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_logprob").alias("hi"),
         )
     )
+
+
+@register(
+    "text_inverted_postings",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+    FROM dt
+    GROUP BY tok
+    HAVING COUNT(*) >= 50
+    """,
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the posting lists behind any
+    at-scale conjunctive/boolean search (the scan-per-query
+    `text_conjunctive_search` is the no-index baseline; this is the
+    build-once index): distinct (doc, token) pairs shuffle once on the
+    token, each token's postings emerge sorted (array_sort inside the
+    row — collect_list order is shuffle-dependent) and are fingerprinted
+    so the full list content sits under the hash gate without shipping
+    giant rows. Common tokens only (df ≥ 50) keeps the gated output
+    bounded; the md5 proves the COMPLETE postings list matches."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).distinct()
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return (
+        dt.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(postings).alias("postings_md5"),
+        )
+        .filter(F.col("df") >= 50)
+    )
