@@ -1124,3 +1124,74 @@ def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_available_now(agg, "events_stream_enrich_q", str(tmp / "ckpt"))
+
+
+@register(
+    "events_interval_join_bucketed",
+    oracle="""
+    WITH promos AS (
+      SELECT i AS promo_id,
+             epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+               + i * 5400000000 AS start_us,
+             epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+               + i * 5400000000 + 3600000000 AS end_us
+      FROM unnest(generate_series(0, 19)) AS t(i)
+    )
+    SELECT p.promo_id, e.event_id, e.user_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us
+    FROM events e
+    JOIN promos p
+      ON epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.start_us
+     AND epoch_us(CAST(e.ts AS TIMESTAMP)) < p.end_us
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def events_interval_join_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-interval join via TIME-BUCKET BLOCKING — the scalable
+    plan for 'which promotion window was this purchase inside': the
+    naive theta join (the oracle) is a cartesian filter, O(|events| ×
+    |intervals|); here each interval explodes into the hour buckets it
+    touches and each event maps to its hour bucket, so the join is an
+    EQUI-join on the bucket key (hash join, shuffle on bucket) and the
+    residual range predicate only verifies candidates that share a
+    bucket. Interval count per bucket bounds the fan-out — the same
+    blocking idea as the LSH funnels, keyed on time."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+    hour_us = 3_600_000_000
+    promos = spark.range(20).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(base_us) + F.col("id") * 5_400_000_000).alias("start_us"),
+        (F.lit(base_us) + F.col("id") * 5_400_000_000 + hour_us).alias(
+            "end_us"
+        ),
+    )
+    # explode each interval into every hour bucket it overlaps
+    pb = promos.select(
+        "promo_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / hour_us),
+                F.floor((F.col("end_us") - 1) / hour_us),
+            )
+        ).alias("bucket"),
+    )
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("bucket", F.floor(F.col("ts_us") / hour_us))
+    return (
+        e.join(pb, "bucket")
+        .filter(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") < F.col("end_us"))
+        )
+        .select("promo_id", "event_id", "user_id", "ts_us")
+    )

@@ -1078,3 +1078,58 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.filter(
         (F.col("valid_from") <= as_of) & (F.col("valid_to") > as_of)
     ).select("o_custkey", "o_orderkey", "valid_from", "valid_to")
+
+
+@register(
+    "audit_fk_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    """,
+)
+def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the cross-table counterpart of the
+    single-table data-quality gate (`jobs.validate_database`): orphan
+    counts for three FK relations, each an anti-join (left-anti hash
+    join; the parent side broadcasts when small, AQE decides). The
+    shape every warehouse ingest check runs nightly; at 100 TB each
+    relation is one shuffle (or broadcast) keyed on the FK."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def rel(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        # fully lazy: total and orphan counts are two 1-row aggregates
+        # composed with a (1x1) cross join — nothing lands on the driver
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_child", "n_orphans"
+        )
+
+    return (
+        rel("orders->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(rel("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
