@@ -186,3 +186,38 @@ def kmv_bottom_k_grouped(
     hashed = df.select(group_col, kmv_hash(F.col(col)).alias("h"))
     partials = hashed.mapInPandas(partial, schema)
     return partials.groupBy(group_col).applyInPandas(merge, schema)
+
+
+def hll_distinct(
+    df, col: str, lgk: int = 12, group_by: list[str] | None = None
+):
+    """HyperLogLog distinct-count via Spark's native DataSketches
+    aggregate (``hll_sketch_agg``) — the constant-memory counterpart
+    of the exact-under-oracle KMV family above. Where KMV ships ≤ k
+    hashed longs per group, HLL ships a fixed 2^lgk-register sketch
+    with ~1.04/sqrt(2^lgk) relative error, and sketches are mergeable
+    (``hll_union_agg``) across partitions, days, or tables — the
+    'count distinct users per day, then roll up the month WITHOUT
+    rescanning' primitive. JVM-side the whole way; no oracle can
+    replay the estimator bit-for-bit, so the contract is pinned by
+    error-bound and merge tests instead (tests/test_sketch.py)."""
+    from pyspark.sql import functions as F
+
+    agg = F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(lgk))).alias(
+        f"{col}_distinct_est"
+    )
+    if group_by:
+        return df.groupBy(*group_by).agg(agg)
+    return df.agg(agg)
+
+
+def hll_merge_estimate(sketches, sketch_col: str):
+    """Merge pre-aggregated HLL sketches (one row per shard/day) into
+    a single distinct estimate — the rollup read path."""
+    from pyspark.sql import functions as F
+
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            "distinct_est"
+        )
+    )

@@ -354,3 +354,47 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("yr")).alias("yr_param"),
     )
+
+
+@register(
+    "scalar_pseudonymize_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             sha256(concat('pepper-2024:', CAST(c_custkey AS VARCHAR)))
+               AS token
+      FROM customer
+    ),
+    o AS (
+      SELECT sha256(concat('pepper-2024:', CAST(o_custkey AS VARCHAR)))
+               AS token
+      FROM orders
+    )
+    SELECT c.token, CAST(COUNT(o.token) AS BIGINT) AS n_orders
+    FROM c LEFT JOIN o USING (token)
+    WHERE c.c_custkey <= 200
+    GROUP BY c.token
+    """,
+)
+def scalar_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (keyed tokenization): natural
+    keys are replaced by salted SHA-256 surrogates BEFORE data leaves
+    the trust boundary, and — the property that makes the technique
+    usable — tokenized tables still JOIN on the token exactly as the
+    originals joined on the key. Pure projection (JVM-side sha2) plus
+    one token-keyed join; the released output carries no reversible
+    key. The raw custkey appears only inside the WHERE that bounds the
+    gated output, not in the result."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    tok = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit("pepper-2024:"), F.col(col).cast("string")), 256
+    )
+    ct = c.filter(F.col("c_custkey") <= 200).select(tok("c_custkey").alias("token"))
+    ot = o.select(tok("o_custkey").alias("token").alias("token"))
+    return (
+        ct.join(ot.withColumnRenamed("token", "otoken"),
+                F.col("token") == F.col("otoken"), "left")
+        .groupBy("token")
+        .agg(F.count("otoken").cast("long").alias("n_orders"))
+    )

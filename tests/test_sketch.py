@@ -48,3 +48,31 @@ def test_kmv_synopsis_merges(spark):
         [r["h"] for r in sk_a.collect()] + [r["h"] for r in sk_b.collect()]
     )[:k]
     assert [int(x) for x in u] == whole
+
+
+def test_hll_distinct_error_bound_and_mergeability(spark):
+    """HLL contract: (a) the estimate lands within the published
+    ~1.04/sqrt(2^lgk) relative error of the exact distinct count,
+    (b) merging per-day sketches equals sketching the union — the
+    rollup-without-rescan property that makes HLL the constant-memory
+    companion to the exact KMV family."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.operators.sketch import (
+        hll_distinct,
+        hll_merge_estimate,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = hll_distinct(ev, "user_id").collect()[0][0]
+    tol = 3 * 1.04 / (2**12) ** 0.5  # 3 sigma
+    assert abs(est - exact) <= max(2, tol * exact)
+
+    # mergeability: per-day sketches -> union estimate == whole-table estimate
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = hll_merge_estimate(daily, "sk").collect()[0][0]
+    assert merged == est
