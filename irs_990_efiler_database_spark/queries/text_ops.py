@@ -1049,3 +1049,70 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 50)
     )
+
+
+@register(
+    "text_grouped_ols_fit",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS x,
+             CAST(length(text) AS BIGINT) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM m GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM s
+    """,
+)
+def text_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` surface (the per-group model-fit
+    slot: one pandas frame per group, scikit-style code inside): OLS
+    of chars-per-doc against tokens-per-doc fitted per source. The
+    moment sums accumulate as int64 inside each pandas group (token
+    and char counts are integers, so the sums are EXACT) and the
+    closed-form slope/intercept are two double divisions — which is
+    what lets a SQL oracle replay a Python-fitted model bit-for-bit.
+    Scale: one shuffle on the group key, Arrow both directions, group
+    size bounded by the per-source corpus."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        x = pdf["x"].to_numpy(dtype="int64")
+        y = pdf["y"].to_numpy(dtype="int64")
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n": [n],
+                # no rounding: both engines derive these doubles from
+                # IDENTICAL exact-integer moments, so they are
+                # bit-equal — rounding would only introduce tie-rule
+                # divergence (Python banker's vs SQL half-away)
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        fit, "source string, n long, slope double, intercept double"
+    )
