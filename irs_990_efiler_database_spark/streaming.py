@@ -383,6 +383,60 @@ def purchase_click_attribution_outer(
     )
 
 
+def fanout_exactly_once(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dirs: list[str],
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Multi-sink fan-out with exactly-once per sink: ONE micro-batch
+    read feeds N parquet sinks, each write keyed by ``_batch`` with
+    dynamic partition overwrite — so a batch retried after a crash
+    between sink writes atomically replaces its own partials in every
+    sink instead of double-counting (the classic foreachBatch pitfall:
+    N independent writes are NOT one transaction; per-batch idempotent
+    partitions restore the guarantee). The batch frame is persisted so
+    the N writes share one computation of the micro-batch."""
+
+    def fan(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+            .persist()
+        )
+        try:
+            partial.count()
+            for out in out_dirs:
+                partial.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("_batch").parquet(out)
+        finally:
+            partial.unpersist()
+
+    q = (
+        stream_events(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(fan)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_fanout(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge one fan-out sink's per-batch partials."""
+    p = spark.read.parquet(out_dir)
+    return p.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("v_sum").cast("double").alias("total_value"),
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

@@ -200,3 +200,48 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     )
     cols = ["day", "event_type", "n", "total_value"]
     assert _rows(read_rollup(spark, out), cols) == _rows(want, cols)
+
+
+def test_fanout_exactly_once_across_two_sinks(spark, tmp_path, events_dir):
+    """One micro-batch read feeding two parquet sinks: both sinks must
+    equal the batch answer, stay equal to each other, and a re-run over
+    the same checkpoint (the crash-retry path) must not double-count."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.streaming import (
+        fanout_exactly_once,
+        read_fanout,
+    )
+
+    outs = [str(tmp_path / "sink_a"), str(tmp_path / "sink_b")]
+    ckpt = str(tmp_path / "ckpt")
+    fanout_exactly_once(spark, events_dir, outs, ckpt, max_files_per_trigger=1)
+
+    want = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    for out in outs:
+        got = {
+            r["event_type"]: (r["n"], r["total_value"])
+            for r in read_fanout(spark, out).collect()
+        }
+        assert got == want
+
+    # catch-up re-run: checkpoint says nothing new; sinks unchanged
+    fanout_exactly_once(spark, events_dir, outs, ckpt, max_files_per_trigger=1)
+    for out in outs:
+        got = {
+            r["event_type"]: (r["n"], r["total_value"])
+            for r in read_fanout(spark, out).collect()
+        }
+        assert got == want
