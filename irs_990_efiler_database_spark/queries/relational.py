@@ -1133,3 +1133,87 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
         .unionByName(rel("lineitem->part", li, "l_partkey", p, "p_partkey"))
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
+                  AS DOUBLE) AS med_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority,
+             CAST(abs(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      - CAST(m.med_price AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS adev,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+             m.med_price
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             CAST(quantile_disc(adev, 0.5) AS DOUBLE) AS mad_price
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           m2.mad_price,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(abs(d.price - CAST(d.med_price AS DECIMAL(18,2)))
+                        AS DOUBLE) > 5 * m2.mad_price) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m2 USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, m2.mad_price
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    rank-statistic alternative to the z-score operator (means/stddevs
+    are themselves dragged by the outliers they hunt): per group,
+    median price → absolute deviations → the MAD is their median →
+    flag rows beyond 5×MAD. Two exact ordered-statistic passes
+    (percentile_disc on DECIMAL — discrete, so no interpolation
+    arithmetic to diverge) sharing the group partitioning, then one
+    counting pass; deviations stay DECIMAL until the final compare."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    disc_median = (
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {c}) AS DOUBLE)"
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(disc_median.format(c="price")).alias("med_price")
+    )
+    dev = o.join(med, "o_orderpriority").select(
+        "o_orderpriority",
+        "price",
+        "med_price",
+        F.abs(
+            F.col("price") - F.col("med_price").cast("decimal(18,2)")
+        ).cast("decimal(18,2)").alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr(disc_median.format(c="adev")).alias("mad_price")
+    )
+    return (
+        dev.join(mad, "o_orderpriority")
+        .groupBy("o_orderpriority", "mad_price")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    F.abs(
+                        F.col("price") - F.col("med_price").cast("decimal(18,2)")
+                    ).cast("double")
+                    > 5 * F.col("mad_price")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select("o_orderpriority", "n", "mad_price", "n_outliers")
+    )

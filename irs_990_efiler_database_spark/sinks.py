@@ -434,3 +434,39 @@ def delete_rows(
     keep = keep.localCheckpoint(eager=True)
     write_table(keep, path, partition_by=tuple(part_cols))
     return n_deleted
+
+
+def read_table_tolerant(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Corruption-tolerant scan: skip unreadable parquet files instead
+    of failing the whole job — the read-side counterpart of the
+    dead-letter pattern, for the ops reality that a 100 TB table
+    accumulates the occasional torn object (failed upload, partial
+    replication). Set per-read via the datasource option, never on the
+    session conf: silently tolerating corruption in EVERY read would
+    mask real data loss.
+
+    Pass ``schema`` when the torn file might be the one Spark would
+    infer the schema from (a production table's schema is known); with
+    no schema, inference falls back to the first readable footer."""
+    r = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        r = r.schema(schema)
+        return r.parquet(path)
+    try:
+        return r.parquet(path)
+    except Exception:
+        # the footer Spark sampled for inference was the torn one:
+        # recover the schema from any readable footer, then scan
+        from pathlib import Path as _P
+
+        for f in sorted(_P(path).rglob("*.parquet")):
+            try:
+                sch = spark.read.parquet(str(f)).schema
+                return spark.read.option(
+                    "ignoreCorruptFiles", "true"
+                ).schema(sch).parquet(path)
+            except Exception:
+                continue
+        raise

@@ -663,3 +663,37 @@ def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
     assert after.count() == n_total - n_target
     if untouched:
         assert mtimes(untouched) == pre  # untouched partitions not rewritten
+
+
+def test_tolerant_read_skips_torn_file(spark, tmp_path):
+    """A truncated parquet object fails the strict scan but the
+    tolerant reader returns every surviving row; the strict default
+    stays strict (corruption must not be silently tolerated
+    everywhere)."""
+    from pathlib import Path
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.sinks import read_table_tolerant
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "t")
+    load_table(spark, SF_SMOKE, "region").repartition(4).write.parquet(path)
+    files = sorted(Path(path).glob("part-*.parquet"))
+    assert len(files) == 4
+    good_rows = 0
+    for f in files[1:]:
+        import pyarrow.parquet as pq
+
+        good_rows += pq.read_metadata(f).num_rows
+    # tear the first file (truncate to half); drop its checksum
+    # sidecar so the local FS serves the torn bytes like an object
+    # store would, instead of failing the read at the CRC layer
+    data = files[0].read_bytes()
+    files[0].write_bytes(data[: len(data) // 2])
+    crc = files[0].parent / f".{files[0].name}.crc"
+    if crc.exists():
+        crc.unlink()
+
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()
+    assert read_table_tolerant(spark, path).count() == good_rows

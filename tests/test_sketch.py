@@ -76,3 +76,32 @@ def test_hll_distinct_error_bound_and_mergeability(spark):
     )
     merged = hll_merge_estimate(daily, "sk").collect()[0][0]
     assert merged == est
+
+
+def test_approx_percentile_within_accuracy_contract(spark):
+    """Native approx_percentile: with accuracy parameter N the rank
+    error is bounded by n/N — checked against the exact discrete
+    percentile; and at accuracy >= n the sketch must be EXACT."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_totalprice").alias("v")
+    )
+    n = o.count()
+    exact_sorted = [r["v"] for r in o.orderBy("v").collect()]
+    for acc in (100, n):
+        got = o.agg(
+            F.expr(f"approx_percentile(v, 0.5, {acc})").alias("p")
+        ).collect()[0]["p"]
+        # rank of the returned value must be within n/acc of the true rank
+        import bisect
+
+        rank = bisect.bisect_left(exact_sorted, got)
+        assert abs(rank - n * 0.5) <= max(1, n / acc) + 1
+    exact_p50 = exact_sorted[(n - 1) // 2]
+    got_exact = o.agg(
+        F.expr(f"approx_percentile(v, 0.5, {n})").alias("p")
+    ).collect()[0]["p"]
+    assert abs(got_exact - exact_p50) < 1e-9 or got_exact in exact_sorted
