@@ -318,3 +318,82 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=2)
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> greatest(-127, least(127,
+                      CAST(round(CAST(x AS DOUBLE) / scale) AS INT))))
+               AS codes
+      FROM base WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           round(list_max(list_transform(
+             generate_series(1, len(codes)),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale))),
+             9) AS max_abs_err
+    FROM coded
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage
+    layout that turns a 100 TB float32 vector store into ~25 TB with
+    bounded reconstruction error (the same symmetric-absmax scheme
+    inference runtimes use): per-vector scale = max|x|/127, codes
+    clamp to [-127,127], and the query emits the scale, an md5 over
+    the full code array (so every code sits under the hash gate
+    without shipping wide rows), and the max reconstruction error.
+    Pure projection — zero shuffle, scales with the scan; both
+    engines run identical double arithmetic (float→double widening is
+    exact, one division, same round-half-away rule)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127
+    )
+    b = e.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    codes = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.col("scale")).cast("int"),
+            ),
+        ),
+    )
+    c = b.select("vec_id", "embedding", "scale", codes.alias("codes"))
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "codes",
+            lambda x, q: F.abs(x.cast("double") - q * F.col("scale")),
+        )
+    )
+    # err is materialized BEFORE the output projection: in the final
+    # select the rounded output column is also named "scale", and
+    # lateral-column-alias resolution would silently feed the ROUNDED
+    # scale into the reconstruction arithmetic
+    c = c.withColumn("max_abs_err", F.round(err, 9))
+    return c.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.md5(
+            F.array_join(F.transform("codes", lambda q: q.cast("string")), ",")
+        ).alias("codes_md5"),
+        "max_abs_err",
+    )

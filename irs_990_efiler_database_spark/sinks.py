@@ -470,3 +470,32 @@ def read_table_tolerant(
             except Exception:
                 continue
         raise
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the snapshot sink: drop all but the newest
+    ``keep_last`` committed versions (plus any uncommitted debris),
+    returning the versions removed. Old snapshots are what make time
+    travel possible AND what makes the table grow without bound — this
+    is the standing maintenance job that bounds it, the same role
+    VACUUM plays for a Delta/Iceberg table."""
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    committed = sorted(
+        int(d.name.split("=", 1)[1])
+        for d in p.iterdir()
+        if d.is_dir() and d.name.startswith("_v=") and (d / "_SUCCESS").exists()
+    )
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+    removed = []
+    for d in sorted(p.iterdir()):
+        if not (d.is_dir() and d.name.startswith("_v=")):
+            continue
+        v = int(d.name.split("=", 1)[1])
+        committed_ok = (d / "_SUCCESS").exists()
+        if v not in keep and (not committed_ok or v in set(committed) - keep):
+            shutil.rmtree(d)
+            removed.append(v)
+    return sorted(removed)

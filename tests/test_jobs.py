@@ -697,3 +697,24 @@ def test_tolerant_read_skips_torn_file(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.parquet(path).count()
     assert read_table_tolerant(spark, path).count() == good_rows
+
+
+def test_vacuum_snapshots_keeps_newest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sinks import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    for n in (2, 4, 6, 8):
+        write_snapshot(spark.range(n).select("id", (F.col("id") + 1).alias("v")), path)
+    assert snapshot_versions(path) == [0, 1, 2, 3]
+    removed = vacuum_snapshots(path, keep_last=2)
+    assert removed == [0, 1]
+    assert snapshot_versions(path) == [2, 3]
+    assert read_snapshot(spark, path).count() == 8
+    assert read_snapshot(spark, path, version=2).count() == 6
