@@ -1195,3 +1195,63 @@ def events_interval_join_bucketed(
         )
         .select("promo_id", "event_id", "user_id", "ts_us")
     )
+
+
+@register(
+    "events_spike_detection",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, wstart, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY wstart
+                          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+               AS trail_sum,
+             COUNT(n) OVER (PARTITION BY event_type ORDER BY wstart
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+               AS trail_n
+      FROM w
+    )
+    SELECT event_type,
+           strftime(wstart, '%Y-%m-%d %H:%M:%S') AS win_start,
+           n, CAST(trail_sum AS BIGINT) AS trail_sum,
+           CAST(trail_n AS BIGINT) AS trail_n
+    FROM t
+    WHERE trail_n >= 3 AND n * trail_n > 2 * trail_sum
+    """,
+)
+def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection (the alerting query over any event
+    feed): per type, 5-minute window counts compared against the
+    trailing-6-window mean; a window fires when its count exceeds 2×
+    that mean. The comparison is cross-multiplied INTEGERS
+    (n·trail_n > 2·trail_sum), so no floating-point mean ever enters
+    the predicate — deterministic at any scale. One aggregation
+    shrinks the stream to |types × windows| rows BEFORE the trailing
+    window runs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type", F.window("ts", "5 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("w.start"))
+        .rowsBetween(-6, -1)
+    )
+    t = w.select(
+        "event_type",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        F.sum("n").over(trail).cast("long").alias("trail_sum"),
+        F.count("n").over(trail).cast("long").alias("trail_n"),
+    )
+    return t.filter(
+        (F.col("trail_n") >= 3)
+        & (F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum"))
+    )
