@@ -718,3 +718,38 @@ def test_vacuum_snapshots_keeps_newest(spark, tmp_path):
     assert snapshot_versions(path) == [2, 3]
     assert read_snapshot(spark, path).count() == 8
     assert read_snapshot(spark, path, version=2).count() == 6
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on the table path: a later writer adds a
+    column; mergeSchema reads unify old and new files (old rows NULL
+    for the new column) and the partition layout keeps pruning. This
+    is the metadata-drift story at the STORAGE layer — the extraction
+    layer's version-coalesce handles it at the SOURCE layer."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(
+        F.col("id"), F.lit("a").alias("seg")
+    )
+    v1.write.partitionBy("seg").parquet(path)
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("seg"), (F.col("id") * 10).alias("score")
+    )
+    v2.write.mode("append").partitionBy("seg").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "seg", "score"}
+    assert merged.count() == 8
+    old = merged.filter(F.col("seg") == "a")
+    assert old.filter(F.col("score").isNull()).count() == 5
+    new = {r["id"]: r["score"] for r in merged.filter(F.col("seg") == "b").collect()}
+    assert new == {5: 50, 6: 60, 7: 70}
+    # partition pruning still applies on the evolved table
+    plan = (
+        merged.filter(F.col("seg") == "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(seg" in plan
