@@ -79,3 +79,40 @@ def test_pipeline_builds_skips_and_rebuilds_surgically(spark, tmp_path):
     assert r3.built == ["quality_docs", "source_stats"]
     assert r3.skipped == ["raw_docs"]
     assert _mtimes(str(Path(out) / "raw_docs")) == pre_raw
+
+
+def test_result_cache_hits_on_plan_equivalence(spark, tmp_path):
+    """Same logical plan (even via different construction order) must
+    share one cache entry; a genuinely different query must miss; a
+    hit must not rewrite the cached files."""
+    from irs_990_efiler_database_spark.plans.result_cache import (
+        cached_run,
+        plan_fingerprint,
+    )
+
+    cache = str(tmp_path / "qcache")
+    o = load_table(spark, SF, "orders")
+    q1 = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r1, hit1 = cached_run(spark, q1, cache)
+    assert not hit1
+    want = {r["o_orderpriority"]: r["n"] for r in r1.collect()}
+
+    # an equivalent plan built independently — same fingerprint
+    q2 = load_table(spark, SF, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert plan_fingerprint(q1) == plan_fingerprint(q2)
+    pre = _mtimes(cache)
+    time.sleep(0.05)
+    r2, hit2 = cached_run(spark, q2, cache)
+    assert hit2
+    assert {r["o_orderpriority"]: r["n"] for r in r2.collect()} == want
+    assert _mtimes(cache) == pre  # hit rewrote nothing
+
+    # a different query misses and gets its own entry
+    q3 = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    _, hit3 = cached_run(spark, q3, cache)
+    assert not hit3
+    assert plan_fingerprint(q3) != plan_fingerprint(q1)
