@@ -836,3 +836,85 @@ def match_multipass_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
         )
     )
+
+
+@register(
+    "fdedup_eval_metrics",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbands a
+      JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    pred AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    truth AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      FROM documents WHERE doc_id < 25
+    ),
+    tp AS (
+      SELECT COUNT(*) AS n FROM pred JOIN truth USING (id_a, id_b)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(tp.n AS BIGINT) AS n_tp,
+           CAST(tp.n AS DOUBLE) / (SELECT COUNT(*) FROM pred)
+             AS precision_vs_planted,
+           CAST(tp.n AS DOUBLE) / (SELECT COUNT(*) FROM truth) AS recall
+    FROM tp
+    """,
+)
+def fdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation harness: the MinHash-LSH pipeline
+    scored against the PLANTED truth set (the 25 known suffix-mutated
+    copies) — recall tells you the funnel's candidate generation +
+    verify thresholds keep the pairs they must; 'precision vs planted'
+    is a lower bound (organic near-dups in the corpus count against
+    it, legitimately). The measure-your-own-pipeline query every
+    production dedup deployment runs on a labeled sample before
+    touching thresholds. Counts are exact integers; the two final
+    ratios are single double divisions."""
+    pred = minhash_lsh_pairs(_augmented(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    truth = d.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    n_pred = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_tp = pred.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tp")
+    )
+    return (
+        n_pred.crossJoin(n_truth)
+        .crossJoin(n_tp)
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_tp",
+            (F.col("n_tp").cast("double") / F.col("n_pred")).alias(
+                "precision_vs_planted"
+            ),
+            (F.col("n_tp").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )
