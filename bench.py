@@ -77,6 +77,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    _calib_start = _cpu_calibration()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
@@ -160,8 +161,13 @@ def main() -> None:
                 # swings across identical runs from invisible co-tenant
                 # contention (guest sees idle CPU, no steal); this
                 # calibrates the host at measurement time so totals are
-                # comparable across rounds (normalize by this value)
-                "cpu_calibration_sec": _cpu_calibration(),
+                # comparable across rounds (normalize by this value).
+                # start + end probes bracket the run: a quiet start
+                # with a loaded end means MID-RUN contention inflated
+                # some entries (observed: a run whose start probe read
+                # 0.76 s but whose tail entries ran 2-5x slow)
+                "cpu_calibration_sec": _calib_start,
+                "cpu_calibration_end_sec": _cpu_calibration(),
             }
         )
     )

@@ -309,9 +309,10 @@ _SQL_IVF = """
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-3: nearest-centroid assignment of the corpus via
-    the broadcast-packed centroid join (plan size O(1) in K, corpus
-    never shuffled), nprobe=2 centroid cells probed per query, exact
+    """IVF ANN top-3: shuffle-free nearest-centroid assignment (auto
+    quantizer — inlined literal at this tiny K, broadcast-packed
+    centroid join beyond 8192 plan scalars so plan size stays O(1) at
+    IVF-realistic K), nprobe=2 centroid cells probed per query, exact
     decimal rerank inside the probed cells — the second ANN family
     next to sign-LSH."""
     from ..operators.similarity import ivf_topk
