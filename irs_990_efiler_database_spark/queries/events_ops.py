@@ -1255,3 +1255,126 @@ def events_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trail_n") >= 3)
         & (F.col("n") * F.col("trail_n") > 2 * F.col("trail_sum"))
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, MIN(d) AS start_day, MAX(d) AS end_day,
+             COUNT(*) AS len
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           strftime(start_day, '%Y-%m-%d') AS start_day,
+           strftime(end_day, '%Y-%m-%d') AS end_day,
+           CAST(len AS BIGINT) AS streak_days
+    FROM streaks
+    WHERE len >= 2
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks ≥ 2) — the classic sessionize-on-a-calendar problem,
+    solved with the date-minus-row_number island key (consecutive days
+    share it, any gap breaks it). One shuffle on the user key serves
+    both the distinct-day collapse and the ranking window; streak
+    aggregation reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("island")
+    )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS now_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    rfm AS (
+      SELECT e.user_id,
+             a.now_us - MAX(epoch_us(CAST(e.ts AS TIMESTAMP))) AS recency_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events e
+      JOIN anchor a ON e.event_type = 'purchase'
+      GROUP BY e.user_id, a.now_us
+    )
+    SELECT user_id, recency_us, CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_us, user_id) AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quartile
+    FROM rfm
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles over
+    purchases) — the canonical customer-scoring rollup. The per-user
+    aggregation shrinks the stream before the three global NTILE
+    windows run (one row per purchasing user into each; tie-broken by
+    user_id so both engines rank identically); monetary sums
+    accumulate as DECIMAL. At corpus scale the global ntiles would
+    swap for the binned-quantile sketch — both shapes exist."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "now_us")
+        .agg(
+            (F.col("now_us") - F.max(F.unix_micros("ts"))).alias("recency_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_us", "user_id"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .cast("long")
+        .alias("m_quartile"),
+    )
