@@ -175,3 +175,102 @@ def test_chunker_round_trips_tokens(spark, texts):
         assert sum(r["n_tokens"] for r in chunks) == len(toks)
         assert all(r["n_tokens"] == 50 for r in chunks[:-1])
         assert 1 <= chunks[-1]["n_tokens"] <= 50
+
+
+# ---- hot-bucket cap invariants -------------------------------------
+
+_bucket_rows = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 5)),  # (id, bucket key)
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(_bucket_rows, st.integers(1, 8))
+@SETTINGS
+def test_cap_hot_buckets_invariants(spark, rows, cap):
+    """(a) no surviving bucket exceeds the cap; (b) every under-cap
+    row survives untouched; (c) survivors ∪ dropped-bucket members
+    partition the input exactly."""
+    from collections import Counter
+
+    from irs_990_efiler_database_spark.operators.dedup import (
+        cap_hot_buckets,
+        dropped_bucket_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(i, r, b) for i, (r, b) in enumerate(rows)], "i long, r long, b long"
+    )
+    kept = cap_hot_buckets(df, ["b"], cap).collect()
+    sizes = Counter(b for _, b in rows)
+    kept_sizes = Counter(row["b"] for row in kept)
+    assert all(n <= cap for n in kept_sizes.values())
+    want_kept = {b for b, n in sizes.items() if n <= cap}
+    assert set(kept_sizes) == want_kept
+    for b in want_kept:
+        assert kept_sizes[b] == sizes[b]
+    dropped = {
+        row["b"]: row["bucket_n"]
+        for row in dropped_bucket_keys(df, ["b"], cap).collect()
+    }
+    assert dropped == {b: n for b, n in sizes.items() if n > cap}
+    assert len(kept) + sum(dropped.values()) == len(rows)
+
+
+# ---- backward as-of tie rule ---------------------------------------
+
+_tie_rows = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 50)),  # (ts, tie id)
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t,
+)
+
+
+@given(st.integers(0, 10), _tie_rows)
+@SETTINGS
+def test_asof_backward_tie_col_matches_reference(spark, left_ts, right_rows):
+    """With tie_col, the backward as-of must pick the LATEST ts ≤ left
+    and, among equal timestamps, the SMALLEST tie value — the oracle's
+    ORDER BY ts DESC, tie LIMIT 1."""
+    left = spark.createDataFrame([(1, left_ts)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, ts, tid) for ts, tid in right_rows], "k int, ts int, tid int"
+    )
+    row = asof_join(
+        left, right, keys=["k"], ts_col="ts", payload_cols=["tid"],
+        tie_col="tid",
+    ).first()
+    eligible = [(ts, tid) for ts, tid in right_rows if ts <= left_ts]
+    if not eligible:
+        assert row["asof_tid"] is None
+    else:
+        best_ts = max(ts for ts, _ in eligible)
+        best_tid = min(tid for ts, tid in eligible if ts == best_ts)
+        assert (row["asof_ts"], row["asof_tid"]) == (best_ts, best_tid)
+
+
+# ---- BPE merge fold ------------------------------------------------
+
+_word = st.text(alphabet="ab", min_size=1, max_size=8)
+
+
+@given(st.lists(_word, min_size=1, max_size=8), st.integers(1, 4))
+@SETTINGS
+def test_bpe_train_matches_reference_on_random_corpora(spark, words, n):
+    """The distributed trainer's merge sequence equals the pure-Python
+    Sennrich reference on adversarial two-letter corpora (maximal tie
+    density — every pair is a near-tie, so the lexicographic rule is
+    load-bearing in almost every round)."""
+    from collections import Counter
+
+    from irs_990_efiler_database_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _ref_bpe
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=n)
+    want = _ref_bpe(dict(Counter(words)), n)
+    assert got == [tuple(m) for m in want]
