@@ -398,3 +398,44 @@ def scalar_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("otoken").cast("long").alias("n_orders"))
     )
+
+
+@register(
+    "scalar_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus_3_months,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function suite (the §2.8 calendar surface in one
+    gated row set): extract family, Sunday-1 day-of-week, month end,
+    calendar-aware month addition, ISO week truncation, day diffs —
+    each pinned against the other engine's independent calendar
+    implementation, which is exactly where engines silently disagree
+    (week start conventions, month-end clamping, DOW origin)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        F.datediff(d, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
+    )

@@ -119,3 +119,19 @@ def test_pack_window_is_partitioned_not_global(spark):
     plan = _physical(df)
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The hint surface: merge forces sort-merge, shuffle_hash forces
+    shuffled hash — the manual overrides for when a user knows better
+    than the optimizer (huge build side, known-sorted inputs)."""
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    plan_m = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    plan_h = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_h
