@@ -1378,3 +1378,52 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_quartile"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS row_n FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / tot.row_n AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model input: what follows what, with
+    row-normalized probabilities). One user-key window pass builds the
+    bigrams, the transition counts shrink to |types²| rows before the
+    normalizing join, and each probability is one integer-over-integer
+    double division — deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )

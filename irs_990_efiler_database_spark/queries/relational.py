@@ -1217,3 +1217,56 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "n", "mad_price", "n_outliers")
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority, o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(s * s) AS DECIMAL(38,0)) AS sum_sq,
+             CAST(SUM(s) AS DECIMAL(38,0)) AS total
+      FROM cents GROUP BY 1
+    )
+    SELECT o_orderpriority, n_customers,
+           CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE)
+                                     * CAST(total AS DOUBLE)) AS hhi
+    FROM m
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration index (Herfindahl–Hirschman): per order
+    priority, the sum of squared customer revenue shares — 1/n for a
+    perfectly even market, →1 for a monopoly. Revenue moves as integer
+    cents and the squared sums as DECIMAL(38,0) (exact, order-free);
+    the index itself is a ratio of two doubles derived from those
+    exact integers — the same compute-exact-divide-once discipline as
+    the variance and OLS operators."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    cents = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum("c").cast("decimal(38,0)").alias("s")
+    )
+    m = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("sum_sq"),
+        F.sum("s").cast("decimal(38,0)").alias("total"),
+    )
+    return m.select(
+        "o_orderpriority",
+        "n_customers",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )
