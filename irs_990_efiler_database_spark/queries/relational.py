@@ -1270,3 +1270,69 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderpriority,
+             quantile_disc(price, 0.05) AS lo,
+             quantile_disc(price, 0.95) AS hi
+      FROM b GROUP BY o_orderpriority
+    )
+    SELECT b.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(bounds.lo AS DOUBLE) AS DOUBLE) AS p05,
+           CAST(CAST(bounds.hi AS DOUBLE) AS DOUBLE) AS p95,
+           CAST(SUM(CAST(greatest(bounds.lo, least(bounds.hi, b.price))
+                         AS DECIMAL(18,2)))
+                AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM b JOIN bounds USING (o_orderpriority)
+    GROUP BY b.o_orderpriority, bounds.lo, bounds.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clip at p05/p95, then average) — the robust
+    central-tendency estimate that keeps sample size, unlike trimming.
+    Exact discrete percentiles (percentile_disc on DECIMAL — values
+    from the data, no interpolation) bound the clip; clipped values
+    stay DECIMAL through the sum so the mean is one double division.
+    Two passes sharing the group partitioning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    disc = "percentile_disc({p}) WITHIN GROUP (ORDER BY price)"
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr(disc.format(p=0.05)).alias("lo"),
+        F.expr(disc.format(p=0.95)).alias("hi"),
+    )
+    j = o.join(bounds, "o_orderpriority")
+    # Spark's percentile_disc emits DOUBLE even over DECIMAL input;
+    # cast the (exact data-value) bounds back so the clipped sum stays
+    # DECIMAL — a double sum is shuffle-order-dependent
+    lo = F.col("lo").cast("decimal(18,2)")
+    hi = F.col("hi").cast("decimal(18,2)")
+    clipped = F.greatest(lo, F.least(hi, F.col("price")))
+    return (
+        j.groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(clipped).cast("double") / F.count(F.lit(1))).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("lo").cast("double").alias("p05"),
+            F.col("hi").cast("double").alias("p95"),
+            "winsorized_mean",
+        )
+    )

@@ -1116,3 +1116,54 @@ def text_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInPandas(
         fit, "source string, n long, slope double, intercept double"
     )
+
+
+@register(
+    "text_lang_label_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang, {_sql_lang_scores()} FROM toks
+    ),
+    pred AS (
+      SELECT doc_id, lang AS lang_claimed,
+             CASE
+               WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es'
+             END AS lang_pred
+      FROM scores
+    )
+    SELECT lang_claimed, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN lang_claimed = lang_pred THEN TRUE ELSE FALSE END
+             AS agree
+    FROM pred
+    GROUP BY 1, 2
+    """,
+)
+def text_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the corpus's CLAIMED language column
+    cross-tabulated against the detector's prediction — the confusion
+    matrix every pipeline builds before trusting upstream metadata
+    (mislabeled language is a classic silent training-data defect).
+    Pure composition: the lang-ID projection feeds one small
+    (claimed × predicted) aggregation."""
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_claimed")
+    )
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang_claimed", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "agree", F.col("lang_claimed") == F.col("lang_pred")
+        )
+    )
