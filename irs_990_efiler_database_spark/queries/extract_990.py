@@ -76,3 +76,50 @@ def _register_schedn(table: str) -> None:
 
 for _t in schedn_table_names():
     _register_schedn(_t)
+
+
+def _termination_oracle() -> str:
+    # composed golden oracle: the CORE golden rows joined to the
+    # SCHED-N-TABLE-00 golden rows — two independent ElementTree
+    # derivations the Spark join must reproduce
+    core = golden_core_sql()
+    sn = golden_schedn_sql("SCHED-N-TABLE-00")
+    return f"""
+    WITH core AS ({core}),
+    sn AS ({sn})
+    SELECT core.URL, core.EIN, core.NAME, core.FISYR,
+           core.TERMINATED, core.DISCOPS, core.SCHEDN,
+           sn.SN_PZ_01_ASSETSDISTRIBUTED AS assets_distributed,
+           sn.SN_PZ_01_EXEMPTSTATUSTERMINATED AS exempt_status_terminated
+    FROM core LEFT JOIN sn USING (URL)
+    WHERE core.TERMINATED IS NOT NULL OR core.SCHEDN
+    """
+
+
+@register("x990_termination_report", oracle=_termination_oracle())
+def x990_termination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table 990 analysis: organizations that terminated or
+    filed Schedule N, with their CORE header and the Schedule N
+    disposition answers — the join a researcher actually runs over the
+    built database (the reference leaves this to downstream Stata
+    users; here it is a first-class engine query). The Spark side
+    joins the REAL builder outputs; the oracle composes the two
+    independent ElementTree goldens, so builder + join semantics sit
+    under one hash."""
+    from pyspark.sql import functions as F
+
+    returns = _returns(spark)
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    core = build_core(returns, columns=cols).select(
+        "URL", "EIN", "NAME", "FISYR", "TERMINATED", "DISCOPS", "SCHEDN"
+    )
+    sn = build_schedn_table(returns, "SCHED-N-TABLE-00").select(
+        "URL",
+        F.col("SN_PZ_01_ASSETSDISTRIBUTED").alias("assets_distributed"),
+        F.col("SN_PZ_01_EXEMPTSTATUSTERMINATED").alias(
+            "exempt_status_terminated"
+        ),
+    )
+    return core.join(sn, "URL", "left").filter(
+        F.col("TERMINATED").isNotNull() | F.col("SCHEDN")
+    )
