@@ -1427,3 +1427,73 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("row_n")).alias("p"),
     )
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND epoch_us(CAST(c.ts AS TIMESTAMP))
+           >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+    ),
+    w AS (
+      SELECT purchase_id, click_id, user_id,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+      FROM touch
+    )
+    SELECT click_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / n_touch, 12)
+                         AS DECIMAL(20,12))) AS DOUBLE) AS credit
+    FROM w
+    GROUP BY click_id, user_id
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in the 30 minutes
+    before a purchase shares the conversion credit equally (1/n each)
+    — the multi-touch counterpart of the single-touch as-of
+    attribution. The touch join is the watermark-bounded interval
+    shape the streaming path uses; credit fractions are
+    integer-over-integer double divisions summed per click. Double
+    addition order could vary across shuffles, so credits accumulate
+    per (click, purchase) list size n — each click's credit sum runs
+    over ≤ a handful of terms grouped in one partition, and the oracle
+    replays the identical grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    touch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - 1_800_000_000),
+    ).select("purchase_id", "click_id", "user_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("purchase_id")
+    weighted = touch.withColumn("n_touch", F.count(F.lit(1)).over(w))
+    credit_term = F.round(F.lit(1.0) / F.col("n_touch"), 12).cast(
+        "decimal(20,12)"
+    )
+    return weighted.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum(credit_term).cast("double").alias("credit"),
+    )

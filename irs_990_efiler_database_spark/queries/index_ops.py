@@ -182,3 +182,30 @@ def idx_amended_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version_rank"),
         (F.row_number().over(w) == 1).alias("is_current"),
     )
+
+
+@register(
+    "idx_coverage_report",
+    oracle=f"""
+    SELECT TaxYear, FormType,
+           CAST(COUNT(*) AS BIGINT) AS n_filings,
+           CAST(COUNT(*) FILTER (WHERE IsAvailable) AS BIGINT) AS n_available,
+           CAST(COUNT(*) FILTER (WHERE IsElectronic) AS BIGINT) AS n_electronic,
+           CAST(COUNT(DISTINCT EIN) AS BIGINT) AS n_orgs
+    FROM ({_golden_sql()})
+    GROUP BY TaxYear, FormType
+    """,
+)
+def idx_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index coverage report: filings, availability, e-file share, and
+    distinct orgs per (TaxYear, FormType) — the first table anyone
+    asks of the filing index ('what can I actually build for 2015?').
+    One aggregation over the deduped index; the availability and
+    e-file counts are conditional aggregates sharing the scan."""
+    idx = build_index(spark, _GLOB)
+    return idx.groupBy("TaxYear", "FormType").agg(
+        F.count(F.lit(1)).cast("long").alias("n_filings"),
+        F.sum(F.col("IsAvailable").cast("long")).cast("long").alias("n_available"),
+        F.sum(F.col("IsElectronic").cast("long")).cast("long").alias("n_electronic"),
+        F.count_distinct("EIN").cast("long").alias("n_orgs"),
+    )
