@@ -1497,3 +1497,40 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
         F.sum(credit_term).cast("double").alias("credit"),
     )
+
+
+@register(
+    "events_burst_users",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS m,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS peak_per_min,
+           CAST(COUNT(*) AS BIGINT) AS active_minutes,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CASE WHEN MAX(n) >= 5 THEN TRUE ELSE FALSE END AS burst_flag
+    FROM w
+    GROUP BY user_id
+    """,
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot detection: per-user peak events-per-minute (plus
+    active-minute and total counts), flagged at ≥5/min — the
+    rate-limit screen that separates scripted traffic from humans.
+    Two aggregations sharing the user partitioning; the minute
+    bucketing is pure arithmetic, so the stream shrinks before any
+    per-user state accumulates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "user_id", F.window("ts", "1 minute").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return w.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_per_min"),
+        F.count(F.lit(1)).cast("long").alias("active_minutes"),
+        F.sum("n").cast("long").alias("total_events"),
+        (F.max("n") >= 5).alias("burst_flag"),
+    )
