@@ -1534,3 +1534,55 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_events"),
         (F.max("n") >= 5).alias("burst_flag"),
     )
+
+
+@register(
+    "events_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, SUM(n) AS total FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(tot.total AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(round(
+             -(CAST(c.n AS DOUBLE) / tot.total)
+               * log2(CAST(c.n AS DOUBLE) / tot.total), 12)
+             AS DECIMAL(20,12))) AS DOUBLE), 9) AS entropy_bits
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id, tot.total
+    """,
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy (bits) of each user's
+    event-type distribution — 0 for single-action users, log2(k) for
+    uniform k-type behavior; the feature that separates scripted
+    single-purpose traffic from organic use. Probabilities are
+    integer-over-integer divisions; each −p·log2 p term rounds to
+    12 dp and accumulates as DECIMAL (the engine's rule for float
+    sums), then one 9-dp rounded emission."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(20,12)")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.sum(term).cast("double"), 9).alias("entropy_bits"),
+        )
+        .select(
+            "user_id",
+            F.col("total").cast("long").alias("n_events"),
+            "n_types",
+            "entropy_bits",
+        )
+    )

@@ -398,3 +398,66 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_md5"),
         "max_abs_err",
     )
+
+
+@register(
+    "sim_recall_at_k",
+    oracle=f"""
+    WITH {_SQL_DOTS},
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= 3
+    ),
+    {_SQL_BUCKETS},
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bscored
+      )
+      WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_3
+    FROM exact e
+    LEFT JOIN ann a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the sign-LSH bucketed
+    search against the exact brute-force top-3, per query — the
+    similarity-search twin of the dedup precision/recall harness
+    (every ANN deployment measures recall on a labeled sample before
+    trusting the index). Both search paths already exist in the
+    engine; this composes them with one membership join, and the
+    oracle composes their two independent SQL derivations."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, k=3).select("query_id", "neighbor_id")
+    ann = ann_topk_bucketed(e, q, k=3).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    j = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "ann_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("ann_neighbor").cast("long").alias("n_hit"),
+        (
+            F.count("ann_neighbor").cast("double") / F.count(F.lit(1))
+        ).alias("recall_at_3"),
+    )
