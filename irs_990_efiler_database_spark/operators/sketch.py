@@ -68,6 +68,17 @@ def kmv_bottom_k(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     return partials.repartition(1).mapInPandas(_bottom_k_mapper(k), "h long")
 
 
+def kmv_merge(k: int, *synopses: DataFrame) -> DataFrame:
+    """Merge KMV synopses (the sketch's defining property): the
+    bottom-k of a union of sets equals the bottom-k of the union of
+    the sets' bottom-k synopses. Input is a few k-row frames, so the
+    merge is one k*len(synopses)-row task."""
+    merged = synopses[0]
+    for s in synopses[1:]:
+        merged = merged.unionAll(s)
+    return merged.repartition(1).mapInPandas(_bottom_k_mapper(k), "h long")
+
+
 def kmv_estimate(synopsis: DataFrame, k: int) -> DataFrame:
     """(k_held, kth_hash, est_distinct) from a KMV synopsis.
 

@@ -62,12 +62,14 @@ def _load() -> None:
         dedup_ops,
         events_ops,
         extract_990,
+        graph_ops,
         index_ops,
         multimodal_ops,
         relational,
         scalars,
         similarity_ops,
         sketch_ops,
+        stats_ops,
         text_ops,
         tpch,
     )

@@ -223,3 +223,221 @@ def sketch_kmv_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .alias("est_distinct_users"),
     )
+
+
+_IK = 64  # intersection-sketch size: below the ~150 distinct users at
+# small SF so the estimator path (not the exact fallback) is exercised
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_IK}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_IK}),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT {_IK}),
+    ea AS (SELECT COUNT(*) AS kh, MAX(h) AS mh FROM ka),
+    eb AS (SELECT COUNT(*) AS kh, MAX(h) AS mh FROM kb),
+    eu AS (SELECT COUNT(*) AS kh, MAX(h) AS mh FROM ku),
+    x AS (
+      SELECT
+        (SELECT CASE WHEN kh < {_IK} THEN CAST(kh AS DOUBLE)
+                ELSE CAST(kh - 1 AS DOUBLE) / (CAST(mh AS DOUBLE) / {_TWO60})
+                END FROM ea) AS est_a,
+        (SELECT CASE WHEN kh < {_IK} THEN CAST(kh AS DOUBLE)
+                ELSE CAST(kh - 1 AS DOUBLE) / (CAST(mh AS DOUBLE) / {_TWO60})
+                END FROM eb) AS est_b,
+        (SELECT CASE WHEN kh < {_IK} THEN CAST(kh AS DOUBLE)
+                ELSE CAST(kh - 1 AS DOUBLE) / (CAST(mh AS DOUBLE) / {_TWO60})
+                END FROM eu) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_inter,
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'click') AS exact_a,
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'purchase') AS exact_b,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+               INTERSECT
+               SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+           ) AS exact_inter
+    FROM x
+    """,
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable KMV sketches:
+    |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is
+    the bottom-k MERGE of the two per-set synopses — never a rescan of
+    the union. This is the sketch algebra that lets per-day / per-shard
+    synopses answer cross-segment overlap questions at 100 TB with
+    kilobytes of state; exact counts ride along for the error audit.
+    (The inclusion–exclusion estimate can go slightly negative for
+    disjoint sets; it is reported raw, un-clamped.)"""
+    from ..operators.sketch import kmv_bottom_k, kmv_estimate, kmv_merge
+
+    e = load_table(spark, sf_dir, "events")
+    a = kmv_bottom_k(e.filter(F.col("event_type") == "click"), "user_id", _IK)
+    b = kmv_bottom_k(
+        e.filter(F.col("event_type") == "purchase"), "user_id", _IK
+    )
+    a = a.persist()
+    b = b.persist()
+    u = kmv_merge(_IK, a, b)
+
+    def est(syn, name):
+        return kmv_estimate(syn, _IK).select(F.col("est_distinct").alias(name))
+
+    exact = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union_sz"),
+            F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0)).alias(
+                "exact_inter"
+            ),
+        )
+    )
+    counts = e.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    return (
+        est(a, "est_a")
+        .crossJoin(est(b, "est_b"))
+        .crossJoin(est(u, "est_union"))
+        .crossJoin(counts)
+        .crossJoin(exact.select("exact_inter"))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_inter"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+        )
+    )
+
+
+_CMS_D = 3  # count-min depth (independent hash rows)
+_CMS_W = 64  # count-min width (buckets per row)
+
+
+@register(
+    "sketch_cms_freq_error",
+    oracle=f"""
+    WITH g AS (SELECT unnest([0, 1, 2]) AS i),
+    rows_ AS (
+      SELECT g.i,
+             CAST(concat('0x', substring(
+                    md5(CAST(g.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM events e, g
+    ),
+    counters AS (
+      SELECT i, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    pb AS (
+      SELECT p.user_id, g.i,
+             CAST(concat('0x', substring(
+                    md5(CAST(g.i AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM probes p, g
+    ),
+    est AS (
+      SELECT pb.user_id, MIN(c.c) AS est_n
+      FROM pb JOIN counters c USING (i, bucket)
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events
+      WHERE user_id < 20 GROUP BY 1
+    )
+    SELECT x.user_id, x.exact_n, est.est_n,
+           est.est_n - x.exact_n AS overcount
+    FROM exact x JOIN est ON est.user_id = x.user_id
+    """,
+)
+def sketch_cms_freq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its one-sided error
+    audited against exact counts: d={_CMS_D} portable md5 hash rows x
+    w={_CMS_W} buckets — the counter table is d*w rows REGARDLESS of
+    input scale (one map-side-combined aggregation), mergeable across
+    shards/days by cell-wise addition, and probing is a broadcast join
+    of the probe keys against the tiny counter frame. Estimate =
+    min over rows (never undercounts); `overcount` is the collision
+    inflation, the quantity that shrinks as w grows."""
+    e = load_table(spark, sf_dir, "events")
+
+    def bucket(i: F.Column, key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            i.cast("string"), F.lit(":"), key.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rows = e.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_CMS_D)])
+        ).alias("i"),
+        F.col("user_id"),
+    ).select("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+    counters = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    probes = (
+        e.filter(F.col("user_id") < 20).select("user_id").distinct()
+    )
+    pb = probes.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"),
+    ).select("user_id", "i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+    est = (
+        pb.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    exact = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )

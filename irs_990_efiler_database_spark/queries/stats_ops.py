@@ -1,0 +1,320 @@
+"""Statistical / analytical operators the reference computes ad-hoc in
+R (cor(), chisq.test(), sample() over collected frames — e.g. the
+exploratory passes in the reference's analysis notebooks) re-expressed
+as distributed one-pass aggregations.
+
+Determinism rules (see queries/__init__.py): every moment is
+accumulated in DECIMAL fixed-point (associative, order-free) and cast
+to DOUBLE only in the final per-row projection, so the value hash
+matches the DuckDB oracle on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS HUGEINT)) AS sq,
+             SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sp,
+             SUM(CAST(round(l_discount * 100) AS HUGEINT)) AS sd,
+             SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sqq,
+             SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS spp,
+             SUM(CAST(round(l_discount * 100) AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS HUGEINT)) AS sdd,
+             SUM(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sqp,
+             SUM(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS HUGEINT)) AS sqd,
+             SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(round(l_discount * 100) AS HUGEINT)) AS spd
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n * sqp - sq * sp AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                 / sqrt(CAST(n * spp - sp * sp AS DOUBLE)), 6) AS corr_qty_price,
+           round(CAST(n * sqd - sq * sd AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                 / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_qty_disc,
+           round(CAST(n * spd - sp * sd AS DOUBLE)
+                 / sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                 / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_price_disc
+    FROM m
+"""
+
+
+@register("stat_corr_pairs", oracle=_CORR_ORACLE)
+def stat_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pairwise Pearson correlation matrix (quantity, price,
+    discount) from exact integer-unit moments.
+
+    Built-in ``corr()`` accumulates doubles in partition-arrival order
+    — non-reproducible under shuffle. Here every measure is scaled to
+    an integer (cents / hundredths), the ten co-moments are summed in
+    DECIMAL(38,0) — associative, partial-agg friendly — and each
+    correlation is three double ops in the final projection. The scale
+    factors cancel algebraically, so no unit correction is needed.
+    One scan, one shuffle of 10 decimals per group. (At sf≳1000 the
+    decimal co-moments approach 38 digits; the combine would switch to
+    double at a documented precision cost.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(19,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    d = F.round(F.col("l_discount") * 100).cast("decimal(19,0)")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    m = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"), d.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec(F.col("q")).alias("sq"),
+            dec(F.col("p")).alias("sp"),
+            dec(F.col("d")).alias("sd"),
+            dec(F.col("q") * F.col("q")).alias("sqq"),
+            dec(F.col("p") * F.col("p")).alias("spp"),
+            dec(F.col("d") * F.col("d")).alias("sdd"),
+            dec(F.col("q") * F.col("p")).alias("sqp"),
+            dec(F.col("q") * F.col("d")).alias("sqd"),
+            dec(F.col("p") * F.col("d")).alias("spd"),
+        )
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.round(num / F.sqrt(vx) / F.sqrt(vy), 6)
+
+    return m.select(
+        "l_returnflag",
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event_type x user segment)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT event_type, user_id % 4 AS seg, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.event_type, c.seg, c.o,
+             SUM(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             SUM(c.o) OVER (PARTITION BY c.seg) AS ct,
+             SUM(c.o) OVER () AS n
+      FROM cells c
+    ),
+    contrib AS (
+      SELECT CAST(round(
+               (o - CAST(rt AS DOUBLE) * ct / n)
+               * (o - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n), 6) AS DECIMAL(18,6)) AS x
+      FROM tot
+    )
+    SELECT CAST(SUM(x) AS DOUBLE) AS chi2,
+           CAST((SELECT (COUNT(DISTINCT event_type) - 1)
+                        * (COUNT(DISTINCT user_id % 4) - 1) FROM events)
+                AS BIGINT) AS dof
+    FROM contrib
+"""
+
+
+@register("stat_chi2_independence", oracle=_CHI2_ORACLE)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of event_type and a user
+    segment (user_id mod 4): one contingency-cell aggregation, window
+    marginals over the tiny cell frame, per-cell (O-E)^2/E.
+
+    Determinism: each cell's contribution is a double expression over
+    exact integer counts (identical on any engine), rounded once and
+    summed in DECIMAL — the only cross-row float sum is replaced by an
+    exact decimal sum of already-rounded values. The cell frame is
+    |event_types| x |segments| rows regardless of input scale, so the
+    unpartitioned windows are bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", (F.col("user_id") % 4).alias("seg"))
+        .groupBy("event_type", "seg")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("seg")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    x = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6).cast(
+        "decimal(18,6)"
+    )
+    dof = cells.agg(
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("seg") - 1)
+        ).cast("long").alias("dof")
+    )
+    return tot.select(x.alias("x")).agg(
+        F.sum("x").cast("double").alias("chi2")
+    ).crossJoin(dof)
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill with forward fill (time-series regularization)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 50
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(mind AS TIMESTAMP),
+                                         CAST(maxd AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    )
+    SELECT c.user_id, strftime(c.d, '%Y-%m-%d') AS day,
+           LAST_VALUE(dy.v IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled,
+           dy.v IS NULL AS is_gap
+    FROM cal c
+    LEFT JOIN daily dy ON dy.user_id = c.user_id AND dy.d = c.d
+"""
+
+
+@register("events_gap_fill_ffill", oracle=_GAP_FILL_ORACLE)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily totals densified to a
+    full calendar (min..max day per user) with gaps forward-filled from
+    the last observed value — the resample/ffill step a feature
+    pipeline needs before fixed-length windowing.
+
+    Scale shape: the calendar explode produces span-length rows per
+    user (bounded by days, not events); the left join and the
+    ignore-nulls last() window share one hash partitioning on user_id,
+    so densify + fill is a single shuffle. Daily totals are decimal
+    sums cast to double once, so filled values hash identically
+    cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mind", "maxd", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.last("v", ignorenulls=True).over(w).alias("val_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (priority sampling, bottom-k by u/w)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             (CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / o_totalprice AS pk
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY pk, o_orderkey) AS rn
+      FROM keyed
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice AS weight
+    FROM ranked WHERE rn <= 20
+"""
+
+
+@register("sample_weighted_priority", oracle=_WSAMPLE_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 20 orders per priority class, inclusion
+    probability proportional to order value — priority sampling
+    (Duffield/Lund/Thorup): key = uniform(row)/weight, keep the k
+    smallest keys per group.
+
+    The uniform is a 32-bit md5 prefix of the row key (+1 so it is
+    never zero) — no transcendental functions, only one IEEE division,
+    so the selection is bit-reproducible across engines and runs,
+    unlike rand()-based sampling. Scale: per-group top-k by key is a
+    partial top-k per partition then a k-row merge per group (Spark
+    window + filter under AQE); the corpus is scanned once, nothing
+    but (group, key, id) shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    )
+    keyed = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        (u.cast("double") / F.col("o_totalprice")).alias("pk"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("pk", "o_orderkey")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("weight"),
+        )
+    )
