@@ -1167,3 +1167,84 @@ def text_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agree", F.col("lang_claimed") == F.col("lang_pred")
         )
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ),
+    nb AS (SELECT COUNT(*) AS n FROM bi),
+    bcnt AS (
+      SELECT bigram, COUNT(*) AS c FROM bi GROUP BY 1 HAVING COUNT(*) >= 5
+    )
+    SELECT b.bigram, b.c AS n_pair,
+           round(ln((CAST(b.c AS DOUBLE) / nb.n)
+                    / ((CAST(cx.c AS DOUBLE) / nu.n)
+                       * (CAST(cy.c AS DOUBLE) / nu.n))), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt cx ON cx.w = split_part(b.bigram, ' ', 1)
+    JOIN ucnt cy ON cy.w = split_part(b.bigram, ' ', 2)
+    CROSS JOIN nu CROSS JOIN nb
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs — the
+    collocation / multi-word-expression detector a tokenizer-training
+    or phrase-mining pass runs over a corpus: PMI = ln(p(x,y) /
+    (p(x)p(y))) with probabilities from exact unigram/bigram counts.
+
+    Scale shape: two map-side-combined count aggregations (unigrams,
+    bigrams) over one tokenization, then the >= 5-count bigram frame
+    joins the vocabulary-bounded unigram counts twice (AQE picks
+    broadcast when the vocab is small); the corpus totals ride in as
+    1-row cross joins. The PMI double is computed with one fixed op
+    order from exact integer counts on both engines, rounded once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    )
+    bi = d.select(F.explode(grams).alias("bigram"))
+    uni = d.select(F.explode(t).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("nu"))
+    nb = bi.agg(F.count(F.lit(1)).alias("nb"))
+    bcnt = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    cx = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    cy = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    joined = (
+        bcnt.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(nu)
+        .crossJoin(nb)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("nb"))
+            / (
+                (F.col("cx").cast("double") / F.col("nu"))
+                * (F.col("cy").cast("double") / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    return joined.select("bigram", "n_pair", pmi.alias("pmi"))

@@ -46,6 +46,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink: the columnar interchange format for Hive/Trino-side
+    consumers (JVM-native writer, zlib block compression, same
+    predicate-pushdown/column-pruning story as parquet on re-read)."""
+    w = df.write.mode(mode)
+    cols = [c for c in (partition_by or ()) if c in df.columns]
+    if cols:
+        w = w.partitionBy(*cols)
+    w.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export — the interchange format LLM training
+    pipelines consume (one JSON object per line, nested columns kept
+    as nested JSON, gzip-compressed shards; each output file is an
+    independently readable shard so downstream loaders parallelize by
+    file)."""
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+
 def write_dead_letter(dead: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Dead-letter sink (FAIL_LIST.csv analog, :5096-5101): parquet of
     (url, xml, reason, captured_at) for replay.

@@ -753,3 +753,45 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(seg" in plan
+
+
+def test_orc_export_roundtrip(spark, tmp_path):
+    """ORC sink round-trips values, schema, and partitioning; the
+    partition-pruned re-read scans only the selected directory."""
+    from irs_990_efiler_database_spark.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2020), (3, "c", 2021)],
+        "id long, name string, year int",
+    )
+    write_orc(df, str(tmp_path / "orc"), partition_by=("year",))
+    back = spark.read.orc(str(tmp_path / "orc"))
+    assert sorted(back.columns) == ["id", "name", "year"]
+    assert {(r.id, r.name, int(r.year)) for r in back.collect()} == {
+        (1, "a", 2020), (2, "b", 2020), (3, "c", 2021),
+    }
+    pruned = back.filter(back.year == 2021)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 1
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+
+
+def test_jsonl_export_roundtrip(spark, tmp_path):
+    """JSONL sink preserves nested structures and gzips each shard."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", ["a", "b"]), (2, "world", [])],
+        "doc_id long, text string, tags array<string>",
+    ).withColumn("meta", F.struct(F.lit("en").alias("lang")))
+    write_jsonl(df, str(tmp_path / "jsonl"))
+    shards = glob.glob(str(tmp_path / "jsonl" / "*.json.gz"))
+    assert shards, "expected gzip-compressed json shards"
+    back = spark.read.json(str(tmp_path / "jsonl"))
+    rows = {r.doc_id: r for r in back.collect()}
+    assert rows[1].text == "hello" and list(rows[1].tags) == ["a", "b"]
+    assert rows[1].meta.lang == "en" and list(rows[2].tags) == []
