@@ -20,6 +20,7 @@ that is what puts these operators under the driver's oracle gate.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> 60-bit token hashes
@@ -447,4 +448,72 @@ def minhash_lsh_pairs_between(
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. 2007): (id_a, id_b, jaccard) for
+    every pair with Jaccard >= ``threshold`` — NO false negatives,
+    unlike the probabilistic MinHash-LSH path.
+
+    Principle: order each doc's shingle set rarest-token-first (global
+    document frequency ascending); two sets with Jaccard >= t MUST
+    share a token within each other's first |x| - ceil(t*|x|) + 1
+    tokens, so the equi-join runs only over those prefixes. The skew
+    that kills naive token joins is structurally absent here: frequent
+    tokens sort to the END of every doc and never enter a prefix, so
+    per-token candidate lists stay small without a lossy hot-bucket
+    cap — which is what makes this the exact-recall complement to
+    minhash_lsh_pairs at corpus scale.
+
+    Shape: one shingle projection (persisted, reused thrice), one
+    (token -> df) aggregation, one prefix self-join, one verify join
+    over candidates only.
+    """
+    t = float(threshold)
+    docs = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            char_shingles(normalize_text(F.col(text_col)), n),
+            shingle_base_hash,
+        ).alias("sh"),
+    ).persist()
+    tok = docs.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
+    dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    w = PWindow.partitionBy("id").orderBy("dfc", "h")
+    pref = (
+        tok.join(dfc, "h")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)
+        )
+        .select("id", "h")
+    )
+    a = pref.select(F.col("id").alias("id_a"), "h")
+    b = pref.select(F.col("id").alias("id_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    xa = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )

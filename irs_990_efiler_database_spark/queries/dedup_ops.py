@@ -918,3 +918,49 @@ def fdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tp").cast("double") / F.col("n_truth")).alias("recall"),
         )
     )
+
+
+@register(
+    "fdedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_HASHED},
+    tok AS (
+      SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hashed
+    ),
+    dfc AS (SELECT h, COUNT(*) AS dfc FROM tok GROUP BY 1),
+    pos AS (
+      SELECT t.doc_id, t.h, t.sz,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.dfc, t.h) AS pos
+      FROM tok t JOIN dfc d USING (h)
+    ),
+    pref AS (
+      SELECT doc_id, h FROM pos
+      WHERE pos <= sz - CAST(CEIL(0.5 * sz) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) AS jaccard
+    FROM cand c
+    JOIN hashed x ON x.doc_id = c.id_a
+    JOIN hashed y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / len(list_distinct(x.hs || y.hs)) >= 0.5
+    """,
+)
+def fdedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall near-dup pairs via prefix filtering (AllPairs /
+    PPJoin): the deterministic complement to the MinHash-LSH path —
+    same (id_a, id_b, jaccard >= 0.5) contract, but candidates come
+    from a rarest-shingle-first prefix join with a no-false-negative
+    guarantee instead of probabilistic banding. Skew-safe without a
+    bucket cap: frequent shingles sort to the end of every prefix
+    order and never generate candidates
+    (operators.dedup.prefix_filter_pairs)."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_augmented(spark, sf_dir))

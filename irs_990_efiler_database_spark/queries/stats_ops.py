@@ -318,3 +318,149 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (item-item association)
+# ---------------------------------------------------------------------------
+
+_COOC_ORACLE = """
+    WITH ok AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 100
+    ),
+    b AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok USING (l_orderkey)
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS support
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           CAST(p.support AS DOUBLE) / sqrt(CAST(ca.c AS DOUBLE) * cb.c)
+             AS cosine,
+           CAST(p.support AS DOUBLE) * n.n_orders / (CAST(ca.c AS DOUBLE) * cb.c)
+             AS lift
+    FROM pairs p
+    JOIN ic ca ON ca.l_partkey = p.part_a
+    JOIN ic cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+"""
+
+
+@register("rec_item_cooccurrence", oracle=_COOC_ORACLE)
+def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item association mining over order baskets: support,
+    cosine, and lift for part pairs co-purchased in >= 2 orders — the
+    co-occurrence statistics behind 'bought-together' recommendation
+    and feature co-selection.
+
+    Scale shape: the per-basket self-join is quadratic in BASKET size,
+    not corpus size; baskets above 100 distinct items are excluded
+    up-front (mirrored in the oracle) so a degenerate mega-basket
+    cannot produce O(n^2) rows. Item counts join back AQE-sized; the
+    association doubles are single fixed-order expressions over exact
+    counts, no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .filter(F.col("nd") <= 100)
+        .select("l_orderkey")
+    )
+    b = (
+        li.join(ok, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pa = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    pb = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(n)
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb"))
+            ).alias("cosine"),
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-mean imputation (missing-value repair)
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = """
+    WITH m AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type <> 'error'
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS s,
+             SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.event_type = 'error'
+                THEN m.s / m.n ELSE e.value END AS value_imputed,
+           e.event_type = 'error' AS was_missing
+    FROM events e JOIN m USING (user_id)
+    WHERE m.n > 0
+"""
+
+
+@register("impute_group_mean", oracle=_IMPUTE_ORACLE)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair: 'error' events stand in for rows whose
+    measurement is unusable; each is replaced by the per-user mean of
+    the usable rows (decimal-exact sum, one double division — the only
+    mean construction whose hash survives distributed summation).
+
+    Shape: one grouped aggregate + one equi-join on the same key — at
+    scale both sides share a single hash partitioning on user_id, and
+    users with no usable rows are excluded (no silent NULL fill)."""
+    e = load_table(spark, sf_dir, "events")
+    usable = F.col("event_type") != "error"
+    m = e.groupBy("user_id").agg(
+        F.sum(F.when(usable, F.col("value").cast("decimal(18,6)")))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.when(usable, 1).otherwise(0)).alias("n"),
+    )
+    return (
+        e.join(m, "user_id")
+        .filter(F.col("n") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(~usable, F.col("s") / F.col("n"))
+            .otherwise(F.col("value"))
+            .alias("value_imputed"),
+            (~usable).alias("was_missing"),
+        )
+    )
