@@ -102,3 +102,62 @@ def graph_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.lit(_BASE) + F.sum("contrib")).cast("long").alias("pr"))
         )
     return ranks.select("node", "pr")
+
+
+_TRI_ORACLE = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM pairs) AS n_edges
+    FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts appearing
+    together in >= 2 orders) — the clustering-coefficient primitive,
+    via the ordered two-path + closing-edge join: every triangle
+    {a<b<c} is counted exactly once as path a->b->c closed by (a,c).
+
+    Scale design: edges are ORIENTED low-id -> high-id before the
+    self-join, the standard degree-bounding trick — the two-path build
+    fans out on forward-degree only, and each closing check is an
+    equi-join on the edge key. All three legs share the edge frame
+    (persisted once); no vertex ever enumerates its full undirected
+    neighborhood squared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    right = b.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        b.join(right, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    paths = edges.join(e2, edges.v == e2.b).select("u", "v", "c")
+    closing = edges.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    tri = paths.join(
+        closing, (paths.u == closing.cu) & (paths.c == closing.cv)
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(n_edges)

@@ -464,3 +464,145 @@ def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~usable).alias("was_missing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B conversion comparison)
+# ---------------------------------------------------------------------------
+
+_ZTEST_ORACLE = """
+    WITH seg AS (
+      SELECT user_id % 2 AS grp,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_conv
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        (SELECT n_users FROM seg WHERE grp = 0) AS n0,
+        (SELECT n_conv FROM seg WHERE grp = 0) AS c0,
+        (SELECT n_users FROM seg WHERE grp = 1) AS n1,
+        (SELECT n_conv FROM seg WHERE grp = 1) AS c1
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z_stat
+    FROM w
+"""
+
+
+@register("stat_two_proportion_ztest", oracle=_ZTEST_ORACLE)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B comparison of the purchase-event proportion between two
+    user arms (user_id parity): per-arm trial and success counts in
+    one map-side-combined aggregation, then the pooled two-proportion
+    z statistic — the experiment-analysis primitive, computed from
+    four exact integers in one fixed-order double expression (no
+    rounding needed; both engines evaluate the identical IEEE ops)."""
+    e = load_table(spark, sf_dir, "events")
+    seg = (
+        e.select(
+            (F.col("user_id") % 2).alias("grp"),
+            "user_id",
+            (F.col("event_type") == "purchase").alias("is_conv"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("is_conv"), 1).otherwise(0)).alias("n_conv"),
+        )
+    )
+    w = (
+        seg.groupBy()
+        .pivot("grp", [0, 1])
+        .agg(F.first("n_users").alias("n"), F.first("n_conv").alias("c"))
+        .select(
+            F.col("0_n").alias("n0"),
+            F.col("0_c").alias("c0"),
+            F.col("1_n").alias("n1"),
+            F.col("1_c").alias("c1"),
+        )
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (r0 - r1) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        r0.alias("rate0"), r1.alias("rate1"), z.alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form simple OLS from exact moments (distributed regression)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+             SUM(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100 AS slope,
+           (CAST(sy AS DOUBLE) / n
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / n)) / 100 AS intercept
+    FROM m
+"""
+
+
+@register("stat_ols_price_on_qty", oracle=_OLS_ORACLE)
+def stat_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form least squares (extendedprice ~ quantity):
+    slope and intercept from five exact integer moments — the
+    whole-stage-codegen twin of the applyInPandas grouped OLS
+    (text_grouped_ols_fit): same math, but expressed as a native
+    aggregation so it runs JVM-side with map-side partials and no
+    Python boundary. Moments accumulate in DECIMAL(38,0); the final
+    projection is fixed-order double arithmetic, /100 restores the
+    cents scaling on the y side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    m = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        )
+    )
+    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope_raw * (F.col("sx").cast("double") / F.col("n"))
+    ) / 100
+    return m.select(
+        "l_returnflag",
+        "n",
+        (slope_raw / 100).alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -143,3 +143,64 @@ def test_pagerank_mass_and_convergence_shape(spark):
     assert rows
     assert all(r.pr >= _BASE for r in rows)
     assert max(r.pr for r in rows) > min(r.pr for r in rows)
+
+
+def test_prefix_filter_exact_recall_superset_of_lsh(spark):
+    """Prefix filtering guarantees NO false negatives at the same
+    threshold, so its pair set must contain every pair the
+    probabilistic MinHash-LSH path reports (LSH can only miss)."""
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        _augmented,
+        fdedup_minhash_pairs,
+    )
+    from irs_990_efiler_database_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(_augmented(spark, SF_DIR)).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in fdedup_minhash_pairs(spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    # the planted near-copies must all be recalled by the exact path
+    planted = {p for p in exact if p[1] == p[0] + 1_000_000}
+    assert len(planted) == min(25, len({p[0] for p in planted}) or 25)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Cross-check the ordered two-path triangle count against a
+    driver-side brute force over the (small) sf0.001 edge set."""
+    from itertools import combinations
+
+    from irs_990_efiler_database_spark.queries.graph_ops import (
+        graph_triangle_count,
+    )
+
+    row = graph_triangle_count(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets: dict[int, set[int]] = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] += 1
+    edges = {p for p, c in pair_counts.items() if c >= 2}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    brute = sum(
+        1
+        for a, nbrs in adj.items()
+        for b in nbrs
+        for c in adj.get(b, ())
+        if c in nbrs
+    )
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == brute
