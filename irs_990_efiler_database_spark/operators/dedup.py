@@ -451,12 +451,30 @@ def minhash_lsh_pairs_between(
     )
 
 
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a (normalized, single-spaced) string.
+
+    Word grams draw from a combinatorially larger space than character
+    shingles (vocab^n vs alphabet^n), so their document frequencies
+    are heavy-tailed — the regime prefix filtering needs. Documents
+    with fewer than n words yield an empty set."""
+    words = F.split(col, " ")
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(words, i + j + 2) for j in range(n - 1)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    token_mode: str = "word3",
 ) -> DataFrame:
     """Exact set-similarity join via prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. 2007): (id_a, id_b, jaccard) for
@@ -473,17 +491,27 @@ def prefix_filter_pairs(
     cap — which is what makes this the exact-recall complement to
     minhash_lsh_pairs at corpus scale.
 
-    Shape: one shingle projection (persisted, reused thrice), one
+    Shape: one token projection (persisted, reused thrice), one
     (token -> df) aggregation, one prefix self-join, one verify join
     over candidates only.
+
+    ``token_mode``: 'word3' (default) joins on word-3-gram sets —
+    the heavy-tailed token space where the prefix bound actually
+    prunes; 'char5' joins on the character-5-shingle sets shared with
+    the MinHash family (same similarity definition, so its output is
+    provably a superset of the LSH pairs — see the recall test), at
+    the cost of a dense-df token space on short texts.
     """
     t = float(threshold)
+    norm = normalize_text(F.col(text_col))
+    tokens = (
+        word_ngrams(norm, 3)
+        if token_mode == "word3"
+        else char_shingles(norm, n)
+    )
     docs = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(
-            char_shingles(normalize_text(F.col(text_col)), n),
-            shingle_base_hash,
-        ).alias("sh"),
+        F.transform(tokens, shingle_base_hash).alias("sh"),
     ).persist()
     tok = docs.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
     dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))

@@ -923,7 +923,21 @@ def fdedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fdedup_prefix_filter_pairs",
     oracle=f"""
-    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_HASHED},
+    WITH {_SQL_BASE},
+    toksw AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+      FROM toksw
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(gs,
+               s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)) AS hs
+      FROM g
+    ),
     tok AS (
       SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hashed
     ),
@@ -956,11 +970,13 @@ def fdedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-recall near-dup pairs via prefix filtering (AllPairs /
     PPJoin): the deterministic complement to the MinHash-LSH path —
     same (id_a, id_b, jaccard >= 0.5) contract, but candidates come
-    from a rarest-shingle-first prefix join with a no-false-negative
-    guarantee instead of probabilistic banding. Skew-safe without a
-    bucket cap: frequent shingles sort to the end of every prefix
-    order and never generate candidates
-    (operators.dedup.prefix_filter_pairs)."""
+    from a rarest-token-first prefix join with a no-false-negative
+    guarantee instead of probabilistic banding. Tokens are word
+    3-grams (heavy-tailed dfs — the regime where the prefix bound
+    prunes; the char-shingle mode is exercised by the LSH-superset
+    recall test). Skew-safe without a bucket cap: frequent tokens
+    sort to the end of every prefix order and never generate
+    candidates (operators.dedup.prefix_filter_pairs)."""
     from ..operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(_augmented(spark, sf_dir))

@@ -159,7 +159,9 @@ def test_prefix_filter_exact_recall_superset_of_lsh(spark):
 
     exact = {
         (r.id_a, r.id_b)
-        for r in prefix_filter_pairs(_augmented(spark, SF_DIR)).collect()
+        for r in prefix_filter_pairs(
+            _augmented(spark, SF_DIR), token_mode="char5"
+        ).collect()
     }
     lsh = {
         (r.id_a, r.id_b)
