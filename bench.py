@@ -73,6 +73,10 @@ HEADLINE = [
     "events_json_props_rollup",
     "cdc_apply_latest",
     "profile_orders_columns",
+    "stat_corr_pairs",
+    "graph_triangle_count",
+    "rec_item_cooccurrence",
+    "text_pmi_collocations",
 ]
 
 

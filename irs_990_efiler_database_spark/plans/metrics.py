@@ -90,3 +90,27 @@ def summarize_execution(df: DataFrame) -> MetricsSummary:
         scan_output_rows=scan_rows,
         result_rows=result_rows,
     )
+
+
+def observe_quality(
+    df: DataFrame, cols: list[str], name: str = "quality"
+):
+    """Attach in-flight data-quality metrics to a plan: row count plus
+    per-column null counts, collected DURING whatever action consumes
+    the frame (a sink write, an aggregation) — zero extra scan, unlike
+    a separate validation pass over the table. This is the
+    ``Dataset.observe`` accumulator surface; at cluster scale the
+    metrics ride the task-completion path, costing nothing.
+
+    Returns (observed_df, observation); read ``observation.get`` after
+    the action completes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

@@ -1586,3 +1586,65 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+@register(
+    "events_variant_schemaless",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS BIGINT)) AS BIGINT) AS k_distinct,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS k_mean
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-LESS semi-structured analytics via the Spark 4 VARIANT
+    type: ``parse_json`` ingests the payload with no declared struct
+    (unlike events_json_props_rollup's from_json), and ``variant_get``
+    path-extracts with a target type at query time — the
+    open-schema path for payloads whose keys drift across producers.
+    Parsing stays a JVM-side projection fused into the scan; the
+    binary variant encoding is columnar-shreddable at rest. Mean is
+    an exact integer sum over the bigint count (one double division)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("k_mean"),
+        )
+    )
+
+
+def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas running-total operator (Spark 4
+    arbitrary-state API) run through the real streaming engine —
+    per-event cumulative count and integer-micros value sum per user,
+    matching the batch cumulative window exactly.
+
+    NOT in the oracle registry: transformWithState's driver worker
+    requires the protobuf package, absent in this container — the
+    parity proof is tests/test_streaming.py::
+    test_transform_with_state_running_totals (skipped where protobuf
+    is unavailable, green where it exists)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, running_totals, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_running_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = running_totals(stream_events(spark, str(tmp / "in")))
+    return run_available_now(
+        stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append"
+    )

@@ -521,3 +521,79 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running event count + integer-micros value sum via the
+    Spark 4 arbitrary-state API (``transformWithStateInPandas``) — the
+    successor to applyInPandasWithState: typed state handles
+    (ValueState here; List/MapState and timers available), state TTL,
+    and RocksDB-native layout. One output row per input event carries
+    the cumulative totals AS OF that event.
+
+    State is two longs per user; each micro-batch sorts its own rows
+    by (ts_us, event_id) and folds them onto the carried state, so the
+    emitted cumulative sequence is exactly the batch window cumulative
+    as long as batches arrive in event-time order per user (guaranteed
+    by the file-source harness; asserted cross-batch in
+    tests/test_streaming.py). Integer micros keep the fold exact and
+    order-free ACROSS users."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n_cum", T.LongType()),
+            T.StructField("v_cum_micros", T.LongType()),
+        ]
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n LONG, v LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (user_id,) = key
+            held = self._state.get()
+            n, v = held if held is not None else (0, 0)
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+                ncum = pdf["_one"].cumsum() + n
+                vcum = pdf["v_us"].cumsum() + v
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "event_id": pdf["event_id"].to_numpy(),
+                            "n_cum": ncum.to_numpy(),
+                            "v_cum_micros": vcum.to_numpy(),
+                        }
+                    )
+                )
+                n = int(ncum.iloc[-1])
+                v = int(vcum.iloc[-1])
+            self._state.update((n, v))
+            yield from out
+
+        def close(self) -> None:
+            pass
+
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        RunningTotal(), out_schema, "append", "none"
+    )

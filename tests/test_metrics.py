@@ -41,3 +41,19 @@ def test_projection_operator_shuffles_nothing_at_runtime(spark):
     assert s.shuffle_bytes_written == 0
     nodes = dict(execution_metrics(df))
     assert any("numOutputRows" in m and m["numOutputRows"] > 0 for m in nodes.values())
+
+
+def test_observe_quality_metrics_ride_the_write(spark, tmp_path):
+    """Dataset.observe collects row/null metrics during the sink write
+    itself — no second scan — and reports exact counts."""
+    from irs_990_efiler_database_spark.plans.metrics import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, name string"
+    )
+    observed, obs = observe_quality(df, ["id", "name"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_id"] == 0
+    assert got["null_name"] == 2

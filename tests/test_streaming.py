@@ -245,3 +245,58 @@ def test_fanout_exactly_once_across_two_sinks(spark, tmp_path, events_dir):
             for r in read_fanout(spark, out).collect()
         }
         assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker requires protobuf",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 arbitrary-state API parity: the transformWithState
+    running-total stream must equal the batch cumulative window."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table, table_path
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    (tmp_path / "in").mkdir()
+    shutil.copy(table_path(sf, "events"), tmp_path / "in" / "part-000.parquet")
+    got = run_available_now(
+        running_totals(stream_events(spark, str(tmp_path / "in"))),
+        "tws_running_q",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_cum"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .over(w)
+        .alias("v_cum_micros"),
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
