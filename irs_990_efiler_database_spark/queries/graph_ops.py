@@ -161,3 +161,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(n_edges)
+
+
+_REACH_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    reach(seed, node, depth) AS (
+      SELECT u, u, 0 FROM pairs WHERE u < 10
+      UNION ALL
+      SELECT r.seed, p.v, r.depth + 1
+      FROM reach r JOIN pairs p ON p.u = r.node
+      WHERE r.depth < 3
+    )
+    SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY 1, 2
+"""
+
+
+@register("graph_reachability_sql", oracle=_REACH_ORACLE)
+def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive co-purchase expansion via Spark 4's native
+    WITH RECURSIVE (SQL-text surface): parts reachable within 3 hops
+    of each low-id seed over the low->high oriented co-purchase graph
+    — the 'customers also bought, transitively' recommendation
+    expansion.
+
+    Spark's recursive CTE only supports UNION ALL, so the graph is
+    DAG-oriented (u < v) and depth-bounded: recursion provably
+    terminates and path multiplicity cancels in the MIN(depth)
+    aggregate. Each recursive step is one equi-join + filter — a
+    superstep per depth, like the DataFrame PageRank loop, but planned
+    entirely by Catalyst's UnionLoop execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_orderkey", "l_partkey").createOrReplaceTempView(
+        "_graph_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE pairs AS (
+          SELECT a.l_partkey AS u, c.l_partkey AS v
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM _graph_lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM _graph_lineitem) c
+            ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        reach(seed, node, depth) AS (
+          SELECT u, u, 0 FROM pairs WHERE u < 10
+          UNION ALL
+          SELECT r.seed, p.v, r.depth + 1
+          FROM reach r JOIN pairs p ON p.u = r.node
+          WHERE r.depth < 3
+        )
+        SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM reach GROUP BY 1, 2
+        """
+    )

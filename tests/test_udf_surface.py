@@ -67,3 +67,39 @@ def test_sql_text_surface_matches_dataframe(spark):
     ).collect()
     via_df = q6_forecast_revenue(spark, SF_SMOKE).collect()
     assert via_sql == via_df
+
+
+def test_sql_pipe_syntax_matches_dataframe(spark):
+    """Spark 4 SQL pipe syntax (|> operators) is part of the SQL-text
+    surface: the piped form of a filter+aggregate must match the
+    DataFrame plan's result exactly."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "orders").createOrReplaceTempView("_pipe_orders")
+    piped = spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderpriority = '1-URGENT'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    ).collect()
+    df = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert [tuple(r) for r in piped] == [tuple(r) for r in df]
