@@ -6,7 +6,7 @@ no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1248,3 +1248,238 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joined.select("bigram", "n_pair", pmi.alias("pmi"))
+
+
+@register(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+             SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf2
+      FROM toks GROUP BY 1
+    ),
+    df AS (
+      SELECT SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM tf
+    ),
+    scored AS (
+      SELECT t.doc_id, t.tf1, t.tf2,
+             ln((c.n_docs - d.df1 + 0.5) / (d.df1 + 0.5) + 1)
+               * (t.tf1 * 2.2)
+               / (t.tf1 + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))
+             + ln((c.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1)
+               * (t.tf2 * 2.2)
+               / (t.tf2 + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)) AS score_raw
+      FROM tf t
+      JOIN dl l USING (doc_id)
+      CROSS JOIN corpus c CROSS JOIN df d
+      WHERE t.tf1 + t.tf2 > 0
+    )
+    SELECT doc_id, tf1, tf2, score FROM (
+      SELECT doc_id, tf1, tf2, round(score_raw, 6) AS score,
+             ROW_NUMBER() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the fixed query {spark, join}
+    (k1=1.2, b=0.75, Lucene idf): per-doc term frequencies and doc
+    length come from ONE token aggregation; N/avgdl/df are one-row
+    broadcasts; the score is a fixed-order double expression, so both
+    engines rank identically (doc_id breaks exact ties).
+
+    Scale shape: no per-term join chain — term tfs are conditional
+    sums in the same groupBy, so adding query terms adds columns, not
+    shuffles. The full-corpus scoring is one scan + one doc-key
+    aggregation; top-k is the bounded window over scored docs only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum(F.when(F.col("tok") == "spark", 1).otherwise(0)).alias("tf1"),
+        F.sum(F.when(F.col("tok") == "join", 1).otherwise(0)).alias("tf2"),
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum(F.when(F.col("tf1") > 0, 1).otherwise(0)).alias("df1"),
+        F.sum(F.when(F.col("tf2") > 0, 1).otherwise(0)).alias("df2"),
+    )
+
+    def leg(tf, dfc):
+        idf = F.log(
+            (F.col("n_docs") - F.col(dfc) + 0.5) / (F.col(dfc) + 0.5) + 1
+        )
+        return (
+            idf
+            * (F.col(tf) * 2.2)
+            / (
+                F.col(tf)
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    scored = (
+        per_doc.filter(F.col("tf1") + F.col("tf2") > 0)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            # rounded once: ln() differs in the last ulp across libm
+            # implementations, and the rounded value is also the sort
+            # key so both engines rank identically
+            F.round(leg("tf1", "df1") + leg("tf2", "df2"), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "tf1", "tf2", "score")
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i+1])) AS w2
+      FROM toks
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    cuni AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    vocab AS (SELECT COUNT(*) AS v FROM cuni),
+    cbi AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(log(CAST(cb.c + 1 AS DOUBLE) / (cu.c + vb.v)), 9)
+                  AS DECIMAL(24,12)) AS lp
+      FROM bi b
+      JOIN cbi cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cuni cu ON cu.w = b.w1
+      CROSS JOIN vocab vb
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the
+    next-order upgrade of text_lm_unigram_score: every adjacent pair
+    scores log10((c(w1,w2)+1)/(c(w1)+V)) against corpus statistics,
+    and the document reports the mean conditional logprob (low =
+    incoherent word order, the signal the unigram model cannot see).
+
+    Scale shape: two count aggregations (bigram, unigram) off one
+    tokenization, vocabulary size as a one-row broadcast, score join
+    keyed on the bigram, per-pair logprobs rounded to 9 dp and
+    accumulated in DECIMAL — order-free under any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    docs = d.select("doc_id", t.alias("t"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w1"),
+                F.slice(
+                    F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    uni = docs.select(F.explode("t").alias("w"))
+    cuni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = cuni.agg(F.count(F.lit(1)).alias("v"))
+    cbi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    lp = F.round(
+        F.log10(
+            (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
+        ),
+        9,
+    ).cast("decimal(24,12)")
+    return (
+        pairs.join(cbi, ["w1", "w2"])
+        .join(cuni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "doc_mixing_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)), 9)
+                  AS DECIMAL(24,12)) AS wt
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(wt) AS t FROM s)
+    SELECT s.source, s.n,
+           CAST(s.wt AS DOUBLE) / CAST(tot.t AS DOUBLE) AS weight,
+           CAST(floor(CAST(s.wt AS DOUBLE) / CAST(tot.t AS DOUBLE) * 10000)
+                AS BIGINT) AS docs_in_10k_sample
+    FROM s CROSS JOIN tot
+    """,
+)
+def doc_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the T5/LLaMA data-mixing
+    recipe, alpha = 0.5): sampling weight per source proportional to
+    n^alpha — upweights small sources relative to proportional
+    sampling without letting any source dominate. One count
+    aggregation; the sqrt weights round to 9 dp then sum in DECIMAL so
+    the normalizing total is order-free; each source's weight and its
+    allocation in a 10k-doc sample are fixed-order double ops."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 9)
+        .cast("decimal(24,12)")
+        .alias("wt"),
+    )
+    tot = s.agg(F.sum("wt").alias("t"))
+    weight = F.col("wt").cast("double") / F.col("t").cast("double")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        weight.alias("weight"),
+        F.floor(weight * 10000).cast("long").alias("docs_in_10k_sample"),
+    )
