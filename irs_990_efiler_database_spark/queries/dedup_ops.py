@@ -980,3 +980,104 @@ def fdedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(_augmented(spark, sf_dir))
+
+
+@register(
+    "fdedup_cleaned_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbands a
+      JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    goodpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM goodpairs
+      UNION
+      SELECT id_b, id_a FROM goodpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    members AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words
+      FROM base
+    ),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, q.n_words,
+             ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                ORDER BY q.n_words DESC, m.doc_id) AS rn
+      FROM members m JOIN q ON q.doc_id = m.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN r.doc_id IS NULL THEN 'unique'
+                ELSE 'canonical' END AS status
+    FROM base b
+    LEFT JOIN ranked r ON r.doc_id = b.doc_id
+    WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+)
+def fdedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final artifact: the KEPT corpus. Composes
+    the whole funnel end-to-end — LSH candidates → verified pairs →
+    connected components → keep-longest canonical — and emits every
+    surviving doc_id tagged 'unique' (never clustered) or 'canonical'
+    (its cluster's keeper); non-canonical near-dups are dropped. This
+    is the frame a training pipeline actually materializes; the pair /
+    cluster / keeper queries are its audit trail. One extra anti-join
+    against the bounded cluster-membership frame on top of the
+    canonical pass."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    aug = _augmented(spark, sf_dir)
+    pairs = minhash_lsh_pairs(aug, threshold=0.5)
+    members = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = aug.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_words")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), "doc_id"
+    )
+    ranked = members.join(q, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        aug.select("doc_id")
+        .join(ranked.select("doc_id", "rn"), "doc_id", "left")
+        .filter(F.col("rn").isNull() | (F.col("rn") == 1))
+        .select(
+            "doc_id",
+            F.when(F.col("rn").isNull(), F.lit("unique"))
+            .otherwise(F.lit("canonical"))
+            .alias("status"),
+        )
+    )
