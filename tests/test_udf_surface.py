@@ -103,3 +103,37 @@ def test_sql_pipe_syntax_matches_dataframe(spark):
         .collect()
     )
     assert [tuple(r) for r in piped] == [tuple(r) for r in df]
+
+
+def test_arrow_optimized_python_udf_matches_native(spark):
+    """Spark 4 Arrow-optimized Python UDFs (useArrow=True): same
+    per-row semantics as a classic pickled UDF but Arrow-serialized
+    batches — must agree exactly with the native expression twin."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def clipped_cents(price: float) -> int:
+        # floor, not round: Python rounds half-even, Spark half-up
+        import math
+
+        return min(math.floor(price * 100), 10_000_000)
+
+    o = load_table(spark, sf, "orders")
+    got = o.select(
+        "o_orderkey", clipped_cents("o_totalprice").alias("cents")
+    )
+    want = o.select(
+        "o_orderkey",
+        F.least(
+            F.floor(F.col("o_totalprice") * 100).cast("long"),
+            F.lit(10_000_000).cast("long"),
+        ).alias("cents"),
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
