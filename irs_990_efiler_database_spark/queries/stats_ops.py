@@ -308,9 +308,22 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (u.cast("double") / F.col("o_totalprice")).alias("pk"),
     )
+    # two-phase bottom-k: the first window slices each group by input
+    # partition id, so no single window partition ever holds more than
+    # one task's rows; the final per-group window then ranks at most
+    # 20 x n_partitions survivors instead of the whole group. Costs
+    # one extra shuffle of four narrow columns — buys bounded memory
+    # at any group size (the bounded-window discipline every top-k in
+    # this repo follows)
+    local = Window.partitionBy(
+        "o_orderpriority", F.spark_partition_id()
+    ).orderBy("pk", "o_orderkey")
+    survivors = keyed.withColumn("lrn", F.row_number().over(local)).filter(
+        F.col("lrn") <= 20
+    )
     w = Window.partitionBy("o_orderpriority").orderBy("pk", "o_orderkey")
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select(
             "o_orderpriority",

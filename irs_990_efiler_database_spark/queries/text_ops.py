@@ -1347,10 +1347,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(leg("tf1", "df1") + leg("tf2", "df2"), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    # global top-k via orderBy+limit: Spark plans TakeOrderedAndProject
+    # (per-partition top-k + k-row merge) — never a single-partition
+    # window sort over every matching doc
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
         .select("doc_id", "tf1", "tf2", "score")
     )
 
