@@ -7,7 +7,7 @@ additionally asserted in tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1647,4 +1647,77 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_totals(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append"
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             CAST(ts AS TIMESTAMP) AS s,
+             LEAST(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE,
+                   CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP)
+                     + INTERVAL 1 DAY) AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT CAST(s AS DATE) AS day, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT day AS day_ts, CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval analytics: peak number of concurrently
+    active 5-minute event windows per day — the 'max concurrent
+    sessions' staffing/capacity question, computed as +1/-1 endpoint
+    deltas with a running sum (the classic O(n log n) sweep, here one
+    ordered window per day partition).
+
+    Determinism: at equal timestamps the -1 endpoint sorts first
+    (half-open intervals never overlap at a shared boundary) and
+    event_id breaks residual ties; intervals clip at midnight so each
+    day's sweep is self-contained and the window partition is bounded
+    by a day's event volume."""
+    e = load_table(spark, sf_dir, "events")
+    day_end = F.date_add(F.to_date("ts"), 1).cast("timestamp")
+    iv = e.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        F.least(F.col("ts") + F.expr("INTERVAL 5 MINUTES"), day_end).alias(
+            "e"
+        ),
+    )
+    pts = iv.select(
+        F.to_date("s").alias("day"),
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            F.to_date("s").alias("day"),
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy(F.col("day").alias("day_ts"))
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
     )
