@@ -123,3 +123,93 @@ def x990_termination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.join(sn, "URL", "left").filter(
         F.col("TERMINATED").isNotNull() | F.col("SCHEDN")
     )
+
+
+def _compensation_oracle() -> str:
+    # composed golden oracle: per-filing top-paid director/trustee/key
+    # employee from the DTK golden joined to the CORE golden's revenue
+    core = golden_core_sql()
+    dtk = golden_rdb_sql("F9-P07-TABLE-01-DTK-COMPENSATION")
+    return f"""
+    WITH core AS ({core}),
+    dtk AS ({dtk}),
+    comp AS (
+      SELECT URL, F9_07_PZ_DTK_NAME AS dtk_name,
+             COALESCE(CAST(F9_07_PZ_COMP_DIRECT AS BIGINT), 0)
+             + COALESCE(CAST(F9_07_PZ_COMP_OTHER AS BIGINT), 0)
+             + COALESCE(CAST(F9_07_PZ_COMP_RELATED AS BIGINT), 0)
+               AS total_comp
+      FROM dtk WHERE F9_07_PZ_DTK_NAME IS NOT NULL
+    ),
+    top AS (
+      SELECT URL, dtk_name, total_comp FROM (
+        SELECT URL, dtk_name, total_comp,
+               ROW_NUMBER() OVER (PARTITION BY URL
+                                  ORDER BY total_comp DESC, dtk_name) AS rn
+        FROM comp
+      ) WHERE rn = 1
+    )
+    SELECT c.URL, c.EIN, c.NAME, c.FISYR,
+           t.dtk_name AS top_paid_name,
+           t.total_comp AS top_paid_total,
+           CAST(c.TOTALREVCURRENT AS BIGINT) AS total_revenue,
+           CASE WHEN CAST(c.TOTALREVCURRENT AS BIGINT) > 0
+                THEN round(CAST(t.total_comp AS DOUBLE)
+                           / CAST(c.TOTALREVCURRENT AS BIGINT), 6)
+           END AS comp_to_revenue
+    FROM core c JOIN top t ON t.URL = c.URL
+    """
+
+
+@register("x990_compensation_report", oracle=_compensation_oracle())
+def x990_compensation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table 990 analysis #2: each filing's highest-paid
+    director/trustee/key employee (direct + other + related comp) next
+    to the organization's current-year total revenue — the
+    executive-compensation screen a 990 researcher runs. Spark joins
+    the REAL builder outputs (per-URL top-1 window is bounded by
+    officers-per-filing); the oracle composes the two independent
+    ElementTree goldens, so builder + window + join semantics sit
+    under one hash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    returns = _returns(spark)
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    core = build_core(returns, columns=cols).select(
+        "URL", "EIN", "NAME", "FISYR", "TOTALREVCURRENT"
+    )
+    dtk = build_rdb_table(returns, "F9-P07-TABLE-01-DTK-COMPENSATION")
+    comp = dtk.filter(F.col("F9_07_PZ_DTK_NAME").isNotNull()).select(
+        "URL",
+        F.col("F9_07_PZ_DTK_NAME").alias("dtk_name"),
+        (
+            F.coalesce(F.col("F9_07_PZ_COMP_DIRECT").cast("long"), F.lit(0))
+            + F.coalesce(F.col("F9_07_PZ_COMP_OTHER").cast("long"), F.lit(0))
+            + F.coalesce(
+                F.col("F9_07_PZ_COMP_RELATED").cast("long"), F.lit(0)
+            )
+        ).alias("total_comp"),
+    )
+    w = Window.partitionBy("URL").orderBy(
+        F.col("total_comp").desc(), "dtk_name"
+    )
+    top = (
+        comp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rev = F.col("TOTALREVCURRENT").cast("long")
+    return core.join(top, "URL").select(
+        "URL",
+        "EIN",
+        "NAME",
+        "FISYR",
+        F.col("dtk_name").alias("top_paid_name"),
+        F.col("total_comp").alias("top_paid_total"),
+        rev.alias("total_revenue"),
+        F.when(
+            rev > 0,
+            F.round(F.col("total_comp").cast("double") / rev, 6),
+        ).alias("comp_to_revenue"),
+    )
