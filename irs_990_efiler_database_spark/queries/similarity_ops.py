@@ -461,3 +461,123 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ann_neighbor").cast("double") / F.count(F.lit(1))
         ).alias("recall_at_3"),
     )
+
+
+_SQL_MRL = """
+  trunc AS (
+    SELECT vec_id, embedding[1:16] AS tv, embedding AS fv FROM embeddings
+  ),
+  tpairs AS (
+    SELECT q.vec_id AS query_id, q.tv AS qv,
+           c.vec_id AS neighbor_id, c.tv AS cv
+    FROM trunc q
+    JOIN trunc c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ),
+  tdots AS (
+    SELECT query_id, neighbor_id,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS dot,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS qq,
+           SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS cc
+    FROM tpairs, unnest(generate_series(1, len(qv))) AS t(i)
+    GROUP BY query_id, neighbor_id
+  ),
+  tscored AS (
+    SELECT query_id, neighbor_id,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+             AS cos16
+    FROM tdots
+  ),
+  ttop AS (
+    SELECT query_id, neighbor_id, cos16, rank FROM (
+      SELECT query_id, neighbor_id, cos16,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos16 DESC, neighbor_id) AS BIGINT) AS rank
+      FROM tscored
+    ) WHERE rank <= 3
+  ),
+  fpairs AS (
+    SELECT q.vec_id AS query_id, q.fv AS qv,
+           c.vec_id AS neighbor_id, c.fv AS cv
+    FROM trunc q
+    JOIN trunc c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ),
+  fdots AS (
+    SELECT query_id, neighbor_id,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS dot,
+           SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS qq,
+           SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                    AS DECIMAL(30,15))) AS cc
+    FROM fpairs, unnest(generate_series(1, len(qv))) AS t(i)
+    GROUP BY query_id, neighbor_id
+  ),
+  fscored AS (
+    SELECT query_id, neighbor_id,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+             AS cosf
+    FROM fdots
+  ),
+  ftop AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosf DESC, neighbor_id) AS rank
+      FROM fscored
+    ) WHERE rank <= 3
+  )
+"""
+
+
+@register(
+    "sim_matryoshka_overlap",
+    oracle=f"""
+    WITH {_SQL_MRL}
+    SELECT t.query_id, t.neighbor_id, t.rank, t.cos16,
+           f.neighbor_id IS NOT NULL AS in_full_top3
+    FROM ttop t
+    LEFT JOIN ftop f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    """,
+)
+def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncated retrieval quality: top-3
+    neighbors using only the FIRST 16 of 64 dims (the cheap first-pass
+    index an MRL-trained embedding supports), each flagged for whether
+    the full-dimension ranking agrees — the retrieval-quality readout
+    that tells you how far the truncated index can be trusted before
+    a full-dim re-rank pass.
+
+    Scale shape: truncation is a projection (F.slice); both rankings
+    run the broadcast-queries / per-partition-scoring shape of
+    cosine_topk (decimal-exact dots, rounded-then-ranked cosines);
+    the overlap join touches 3 rows per query."""
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    trunc = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = trunc.filter(F.col("vec_id") < 5)
+    top16 = cosine_topk(trunc, q16, k=3).select(
+        "query_id", "neighbor_id", "rank", F.col("cos").alias("cos16")
+    )
+    qf = e.filter(F.col("vec_id") < 5)
+    topf = cosine_topk(e, qf, k=3).select(
+        "query_id", F.col("neighbor_id").alias("f_neighbor")
+    )
+    return top16.join(
+        topf,
+        (top16.query_id == topf.query_id)
+        & (top16.neighbor_id == topf.f_neighbor),
+        "left",
+    ).select(
+        top16.query_id,
+        "neighbor_id",
+        "rank",
+        "cos16",
+        F.col("f_neighbor").isNotNull().alias("in_full_top3"),
+    )
