@@ -1757,3 +1757,99 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").alias("day_ts"))
         .agg(F.max("conc").cast("long").alias("peak_concurrent"))
     )
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    expanded AS (
+      SELECT du.day + CAST(x.o AS INTEGER) AS target_day, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS o) x
+    ),
+    bounds AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM du)
+    SELECT e.target_day AS window_end,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS distinct_users_7d
+    FROM expanded e, bounds b
+    WHERE e.target_day BETWEEN b.mind AND b.maxd
+    GROUP BY 1
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users per day — the
+    sliding-window COUNT DISTINCT that naive windowing can't do
+    (distinct doesn't decompose over frames). Shape: reduce to
+    per-(day, user) distinct first, then map-side EXPAND each row to
+    the 7 window-ends it serves and count distinct per target day —
+    the shuffle grows by the window length (7x the daily-distinct
+    frame, tiny), never by raw event volume, and no state or ordered
+    scan is needed. Days outside the observed range are clipped so
+    every emitted window is fully contained in the data."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = du.agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    expanded = du.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("o")).alias("window_end"), "user_id")
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_end").between(F.col("mind"), F.col("maxd")))
+        .groupBy("window_end")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("distinct_users_7d")
+        )
+    )
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           v,
+           0.5 * v
+           + 0.25 * COALESCE(LAG(v, 1) OVER w, 0)
+           + 0.125 * COALESCE(LAG(v, 2) OVER w, 0)
+           + 0.0625 * COALESCE(LAG(v, 3) OVER w, 0)
+           + 0.03125 * COALESCE(LAG(v, 4) OVER w, 0)
+           + 0.015625 * COALESCE(LAG(v, 5) OVER w, 0)
+           + 0.0078125 * COALESCE(LAG(v, 6) OVER w, 0) AS ewma7
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily totals
+    (lambda = 1/2, truncated at 7 terms): trend smoothing whose
+    coefficients 2^-1 .. 2^-7 are EXACT binary fractions, so the
+    fixed-order multiply-add chain is bit-identical across engines —
+    the deterministic alternative to a sequential EWMA recurrence
+    (which cannot parallelize) and to pow() (which varies by libm).
+    The window runs over the day-grain aggregate: one row per day
+    into the ordered window regardless of event volume; partition by
+    series key when smoothing many series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = Window.orderBy("day")
+    terms = F.lit(0.5) * F.col("v")
+    for i in range(1, 7):
+        terms = terms + F.lit(0.5 ** (i + 1)) * F.coalesce(
+            F.lag("v", i).over(w), F.lit(0.0)
+        )
+    return daily.select("day", "v", terms.alias("ewma7"))

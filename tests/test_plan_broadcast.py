@@ -135,3 +135,31 @@ def test_join_strategy_hints_are_honored(spark):
     hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     plan_h = hashed._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan_h
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    """The degeneracy-oriented triangle count must compile to pure
+    equi-joins — a CartesianProduct or broadcast nested loop would
+    mean the closing-edge check degenerated to all-pairs."""
+    from irs_990_efiler_database_spark.queries.graph_ops import (
+        graph_triangle_count,
+    )
+
+    df = graph_triangle_count(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    df.sparkSession.catalog.clearCache()
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's global top-k must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), not a single-partition
+    window sort over every matching document."""
+    from irs_990_efiler_database_spark.queries.text_ops import (
+        text_bm25_search,
+    )
+
+    df = text_bm25_search(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
