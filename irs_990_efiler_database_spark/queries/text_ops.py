@@ -1485,3 +1485,150 @@ def doc_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("weight"),
         F.floor(weight * 10000).cast("long").alias("docs_in_10k_sample"),
     )
+
+
+@register(
+    "doc_shuffle_epoch",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('ep7:' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(ord_key, 1, 8)) AS BIGINT) % 8
+               AS shard,
+             ord_key
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM placed
+    """,
+)
+def doc_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-level corpus shuffle: every document gets a
+    pseudo-random order key md5(seed || id), an 8-way shard from the
+    key's head, and a position within its shard — the deterministic
+    global shuffle a training run needs so that every re-run (and
+    every resumed run) reads the identical byte order. Changing the
+    epoch seed re-deals the whole ordering; nothing depends on input
+    partitioning. The within-shard rank is the only ordered step and
+    ranks 1/8th of the corpus per partition — shard count scales with
+    corpus size to bound it."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("ep7:"), F.col("doc_id").cast("string")))
+    placed = d.select(
+        "doc_id",
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 8
+        ).alias("shard"),
+        key.alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return placed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "doc_epoch_upsample",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)), 9)
+                  AS DECIMAL(24,12)) AS wt
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(wt) AS t FROM s),
+    rates AS (
+      -- target share / natural share: how many times each source's
+      -- docs appear in the mixed epoch (scaled so the corpus-average
+      -- rate is ~1)
+      SELECT s.source,
+             (CAST(s.wt AS DOUBLE) / CAST(tot.t AS DOUBLE))
+               * (SELECT SUM(n) FROM s) / s.n AS rate
+      FROM s CROSS JOIN tot
+    ),
+    decided AS (
+      SELECT d.doc_id, r.rate,
+             CAST(floor(r.rate) AS BIGINT)
+             + CASE WHEN CAST(concat('0x',
+                      substring(md5('up7:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000
+                    < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT doc_id, n_copies,
+           CAST(unnest(generate_series(1, CAST(n_copies AS INTEGER)))
+                AS BIGINT) AS copy_idx
+    FROM decided
+    WHERE n_copies > 0
+    """,
+)
+def doc_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-driven epoch upsampling: each source's temperature
+    mixing rate (n^0.5 share over natural share) becomes per-document
+    copy counts — floor(rate) guaranteed copies plus one stochastic
+    copy with probability frac(rate), decided by a seeded md5 coin so
+    the epoch is bit-reproducible. Emits (doc_id, copy_idx) rows: the
+    materialized upsampled epoch that downstream shuffling/packing
+    consumes. Pure projection + sequence-explode; the expansion
+    factor is the mixing rate itself."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 9)
+        .cast("decimal(24,12)")
+        .alias("wt"),
+    )
+    tot = s.agg(
+        F.sum("wt").alias("t"), F.sum("n").alias("total_n")
+    )
+    rates = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.col("wt").cast("double") / F.col("t").cast("double"))
+            * F.col("total_n")
+            / F.col("n")
+        ).alias("rate"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("up7:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    frac_scaled = F.floor(
+        (F.col("rate") - F.floor(F.col("rate"))) * 1_000_000
+    ).cast("long")
+    decided = (
+        d.join(rates, "source")
+        .select(
+            "doc_id",
+            (
+                F.floor("rate").cast("long")
+                + F.when(coin < frac_scaled, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return decided.select(
+        "doc_id",
+        "n_copies",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy_idx"),
+    )
