@@ -1853,3 +1853,48 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("v", i).over(w), F.lit(0.0)
         )
     return daily.select("day", "v", terms.alias("ewma7"))
+
+
+@register(
+    "events_stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def events_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dropDuplicatesWithinWatermark variant: unlike plain
+    dropDuplicates (exact keys forever, state grows with key
+    cardinality), this API guarantees dedup only for duplicates
+    arriving within the watermark delay of each other and EVICTS
+    per-key state as event time advances — the right tool when
+    duplicate deliveries are time-local (retries, replays) and keys
+    are unbounded. Output is the key projection itself so the result
+    is deterministic regardless of which physical duplicate won; a
+    single availableNow batch dedups everything, making DISTINCT the
+    exact oracle."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_dedup_wm_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    ev = stream_events(spark, str(tmp / "in")).select(
+        "ts", "user_id", "event_type"
+    )
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(
+        deduped,
+        "events_stream_dedup_wm_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+    )
