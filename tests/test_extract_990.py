@@ -46,7 +46,7 @@ def returns(spark):
 def test_wholetext_one_row_per_file(returns):
     # regression: .option("wholetext", True) silently read one row per
     # LINE; the kwarg form gives one row per file
-    assert returns.count() == len(fixture_files()) == 8
+    assert returns.count() == len(fixture_files()) == 9
 
 
 def test_object_id_derived_from_url(returns):
@@ -246,3 +246,33 @@ def test_typed_mode_degrades_unparseable_values_to_null(spark):
     dtypes = dict(typed.dtypes)
     assert dtypes["TOTALREVCURRENT"] == "bigint"
     assert dtypes["ENDYEAR"] == "date"
+
+
+def test_2015_vintage_exercises_third_coalesce_arms(returns):
+    """A 2015v2.1 fixture whose leaves exist ONLY at the 3rd (or
+    later) arm of their version-coalesce chains — EZ-side post-2013
+    names no other fixture carries: Organization501cInd (EXEMPT501C
+    arm 3), TypeOfOrganizationAssocInd (FORMORGASSOC arm 3),
+    NetAssetsOrFundBalancesGrp/EOYAmt (NETASSETSENDYEAR arm 3),
+    Form990TotalAssetsGrp/EOYAmt (TOTALASSETSENDYEAR arm 3), and
+    FinalReturnInd under IRS990EZ (TERMINATED arm 2). The drift
+    tolerance the reference's 6-way pipe-unions exist for, proven at
+    a post-break vintage."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.extract.core_builder import build_core
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    core = build_core(returns, columns=cols)
+    row = core.filter(F.col("EIN") == "100000009").collect()
+    assert len(row) == 1, "2015 fixture must extract to one CORE row"
+    r = row[0]
+    assert r["FISYR"] == "2015"
+    assert r["EXEMPT501C"] is not None, "3rd-arm Organization501cInd"
+    assert r["FORMORGASSOC"] is not None, "3rd-arm TypeOfOrganizationAssocInd"
+    assert r["NETASSETSENDYEAR"] == "18000", "3rd-arm NetAssets Grp/EOYAmt"
+    assert r["TOTALASSETSENDYEAR"] == "22000", "3rd-arm TotalAssets Grp/EOYAmt"
+    assert r["TERMINATED"] is not None, "2nd-arm EZ FinalReturnInd"
+    # the first arms of those chains are structurally absent from the doc
+    assert r["EXEMPT501C3"] is None, "this filer is 501(c), not (c)(3)"
