@@ -1384,3 +1384,83 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("benford_p"),
     )
+
+
+@register(
+    "reshape_melt_lineitem_measures",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity' AS measure,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice',
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount',
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'tax',
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE),
+             COUNT(*)
+      FROM lineitem
+    )
+    SELECT measure, total, CAST(n AS BIGINT) AS n FROM m
+    """,
+)
+def reshape_melt_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the OFFICIAL DataFrame.unpivot (melt)
+    API — four measure columns become (measure, value) rows in ONE
+    Expand pass over one scan (the oracle's four-scan UNION ALL is the
+    shape unpivot exists to avoid), then a per-measure decimal total.
+    The reference does this with reshape2::melt on collected frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+    ).unpivot(
+        [],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.sum("value").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "scalar_collation_compare",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(CASE WHEN lower(p_type) = lower(upper(p_type))
+                      THEN 1 END) AS BIGINT) AS ci_equal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def scalar_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): equality of a
+    string against its uppercased form under the case-insensitive
+    UTF8_LCASE collation — the engine-level way to get CI semantics
+    without wrapping every predicate in lower() (the comparison stays
+    a binary string equality under the collated type, so it remains
+    codegen- and pushdown-friendly). The oracle expresses the same
+    predicate with lower() on both sides."""
+    p = load_table(spark, sf_dir, "part")
+    ci_eq = F.collate(F.col("p_type"), "UTF8_LCASE") == F.collate(
+        F.upper("p_type"), "UTF8_LCASE"
+    )
+    return p.groupBy("p_brand").agg(
+        F.count(F.when(ci_eq, 1)).cast("long").alias("ci_equal"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

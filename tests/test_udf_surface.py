@@ -137,3 +137,32 @@ def test_arrow_optimized_python_udf_matches_native(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_parameterized_sql_matches_literal(spark):
+    """Spark 4 parameterized SQL (named args): the bound form must
+    plan and return identically to the literal query — the
+    injection-safe surface for templated analytics."""
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "orders").createOrReplaceTempView("_param_orders")
+    bound = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM _param_orders
+        WHERE o_totalprice > :floor AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"floor": 50_000.0, "prio": "1-URGENT"},
+    ).collect()
+    literal = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM _param_orders
+        WHERE o_totalprice > 50000.0 AND o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+        """
+    ).collect()
+    assert sorted(map(tuple, bound)) == sorted(map(tuple, literal))
+    assert bound, "filter should match some rows"
