@@ -1464,3 +1464,85 @@ def scalar_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(ci_eq, 1)).cast("long").alias("ci_equal"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@register(
+    "audit_table_diff",
+    oracle="""
+    WITH left_t AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    right_t AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id < 10 THEN text || ' [rev2]'
+                 ELSE text END) AS fp
+      FROM documents WHERE doc_id < 490
+      UNION ALL
+      SELECT doc_id + 1000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+           CASE WHEN l.doc_id IS NULL THEN 'added'
+                WHEN r.doc_id IS NULL THEN 'removed'
+                WHEN l.fp <> r.fp THEN 'changed'
+                ELSE 'identical' END AS status
+    FROM left_t l FULL OUTER JOIN right_t r ON l.doc_id = r.doc_id
+    WHERE NOT (l.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+               AND l.fp = r.fp)
+    """,
+)
+def audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (anti-entropy diff): compare two table
+    versions by key + content fingerprint and report only the delta
+    rows (added / removed / changed), the audit a lakehouse runs
+    before/after a migration or replication. The 'new' version is
+    derived deterministically in both engines (10 docs edited, 10
+    dropped from the tail, 5 added).
+
+    Scale shape: each side reduces to (key, 16-byte md5) BEFORE the
+    full-outer join — content never shuffles — and identical rows are
+    filtered out so the output is delta-sized, not table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    left = d.select("doc_id", F.md5("text").alias("fp"))
+    right = (
+        d.filter(F.col("doc_id") < 490)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") < 10,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5(
+                    F.concat(
+                        F.lit("new doc "), F.col("doc_id").cast("string")
+                    )
+                ).alias("fp"),
+            )
+        )
+    )
+    l = left.select(
+        F.col("doc_id").alias("l_id"), F.col("fp").alias("l_fp")
+    )
+    r = right.select(
+        F.col("doc_id").alias("r_id"), F.col("fp").alias("r_fp")
+    )
+    joined = l.join(r, l.l_id == r.r_id, "full_outer")
+    status = (
+        F.when(F.col("l_id").isNull(), F.lit("added"))
+        .when(F.col("r_id").isNull(), F.lit("removed"))
+        .when(F.col("l_fp") != F.col("r_fp"), F.lit("changed"))
+        .otherwise(F.lit("identical"))
+    )
+    return (
+        joined.select(
+            F.coalesce("l_id", "r_id").alias("doc_id"),
+            status.alias("status"),
+        )
+        .filter(F.col("status") != "identical")
+    )
