@@ -1546,3 +1546,51 @@ def audit_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "identical")
     )
+
+
+@register(
+    "ivm_join_delta_maintenance",
+    oracle="""
+    WITH d_o AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+    old_o AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+    d_c AS (SELECT * FROM customer WHERE c_custkey % 89 = 0),
+    old_c AS (SELECT * FROM customer WHERE c_custkey % 89 <> 0)
+    SELECT o.o_orderkey, c.c_custkey, 'dA_B' AS src
+    FROM d_o o JOIN old_c c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_custkey, 'A_dB'
+    FROM old_o o JOIN d_c c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_custkey, 'dA_dB'
+    FROM d_o o JOIN d_c c ON o.o_custkey = c.c_custkey
+    """,
+)
+def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view: with insert
+    deltas dA (orders) and dB (customers), the view delta is exactly
+    dA⋈B ∪ A⋈dB ∪ dA⋈dB — three joins whose inputs are sized by the
+    BATCH, not the standing tables (only the two mixed legs touch a
+    full side, each pruned by the delta's key set at 100 TB via a
+    runtime/bloom filter). Each output row is tagged with the leg that
+    produced it, so the maintenance algebra itself sits under the
+    hash gate — appending these rows to the stored view equals a full
+    recompute, without one."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d_o = o.filter(F.col("o_orderkey") % 97 == 0)
+    old_o = o.filter(F.col("o_orderkey") % 97 != 0)
+    d_c = c.filter(F.col("c_custkey") % 89 == 0)
+    old_c = c.filter(F.col("c_custkey") % 89 != 0)
+
+    def leg(left, right, tag):
+        return left.join(
+            right, left.o_custkey == right.c_custkey
+        ).select(
+            "o_orderkey", "c_custkey", F.lit(tag).alias("src")
+        )
+
+    return (
+        leg(d_o, old_c, "dA_B")
+        .unionByName(leg(old_o, d_c, "A_dB"))
+        .unionByName(leg(d_o, d_c, "dA_dB"))
+    )
