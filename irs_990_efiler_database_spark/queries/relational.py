@@ -1594,3 +1594,57 @@ def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(old_o, d_c, "A_dB"))
         .unionByName(leg(d_o, d_c, "dA_dB"))
     )
+
+
+@register(
+    "dq_expectation_suite",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS dk,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                 THEN 1 ELSE 0 END) AS bad_status,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+      FROM orders
+    )
+    SELECT 'unique_order_key' AS rule, CAST(n - dk AS BIGINT) AS violations
+    FROM m
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(null_cust AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'status_accepted_values', CAST(bad_status AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'price_positive', CAST(bad_price AS BIGINT) FROM m
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-tests /
+    great-expectations shape) evaluated in ONE scan: key uniqueness
+    (count minus distinct), not-null, accepted values, and a range
+    rule all fold into a single aggregation row that unpivots to
+    (rule, violations) — adding an expectation adds a column, never a
+    scan. Zero violations on conforming data is itself the assertion;
+    at 100 TB this is the cheap gate that runs before every
+    publish."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("dk"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    rules = m.select(
+        F.expr(
+            """stack(4,
+              'unique_order_key', CAST(n - dk AS BIGINT),
+              'custkey_not_null', CAST(null_cust AS BIGINT),
+              'status_accepted_values', CAST(bad_status AS BIGINT),
+              'price_positive', CAST(bad_price AS BIGINT)
+            ) AS (rule, violations)"""
+        )
+    )
+    return rules
