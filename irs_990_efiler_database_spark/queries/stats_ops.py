@@ -619,3 +619,104 @@ def stat_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (slope_raw / 100).alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: binned two-sample KS + PSI terms
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+    WITH src AS (
+      SELECT user_id % 2 AS seg, value FROM events
+    ),
+    rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM src),
+    binned AS (
+      SELECT seg,
+             LEAST(CAST(floor((value - rng.lo) / (rng.hi - rng.lo) * 64)
+                        AS BIGINT), 63) AS bin
+      FROM src, rng
+    ),
+    cells AS (
+      SELECT bin,
+             SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS p_cnt,
+             SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS q_cnt
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(p_cnt) AS np, SUM(q_cnt) AS nq FROM cells),
+    cum AS (
+      SELECT bin, p_cnt, q_cnt,
+             SUM(p_cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(q_cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cq
+      FROM cells
+    )
+    SELECT c.bin, c.p_cnt, c.q_cnt,
+           round(abs(CAST(c.cp AS DOUBLE) / t.np
+                     - CAST(c.cq AS DOUBLE) / t.nq), 6) AS ks_term,
+           round((CAST(c.p_cnt + 1 AS DOUBLE) / (t.np + 64)
+                  - CAST(c.q_cnt + 1 AS DOUBLE) / (t.nq + 64))
+                 * ln((CAST(c.p_cnt + 1 AS DOUBLE) / (t.np + 64))
+                      / (CAST(c.q_cnt + 1 AS DOUBLE) / (t.nq + 64))), 6)
+             AS psi_term
+    FROM cum c CROSS JOIN tot t
+"""
+
+
+@register("stat_distribution_drift", oracle=_DRIFT_ORACLE)
+def stat_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution drift over a 64-bin histogram: per-bin
+    KS terms (|ΔCDF| — max over bins is the KS statistic) and add-1
+    smoothed PSI terms (sum is the population stability index) between
+    two user segments — the monitoring pass that catches a snapshot
+    or crawl whose value distribution shifted.
+
+    Scale shape: the histogram is the sketch — one count aggregation
+    to 64 mergeable cells regardless of volume; the CDF window and
+    drift arithmetic run over the fixed 64-row frame. Doubles are
+    fixed-order over exact counts, rounded once (PSI's ln varies by
+    libm ulp)."""
+    e = load_table(spark, sf_dir, "events")
+    src = e.select((F.col("user_id") % 2).alias("seg"), "value")
+    rng = src.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = src.crossJoin(F.broadcast(rng)).select(
+        "seg",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 64
+            ).cast("long"),
+            F.lit(63).cast("long"),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("seg") == 0, 1).otherwise(0)).alias("p_cnt"),
+        F.sum(F.when(F.col("seg") == 1, 1).otherwise(0)).alias("q_cnt"),
+    )
+    tot = cells.agg(
+        F.sum("p_cnt").alias("np"), F.sum("q_cnt").alias("nq")
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "bin",
+        "p_cnt",
+        "q_cnt",
+        F.sum("p_cnt").over(w).alias("cp"),
+        F.sum("q_cnt").over(w).alias("cq"),
+    )
+    p_sm = (F.col("p_cnt") + 1).cast("double") / (F.col("np") + 64)
+    q_sm = (F.col("q_cnt") + 1).cast("double") / (F.col("nq") + 64)
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "p_cnt",
+        "q_cnt",
+        F.round(
+            F.abs(
+                F.col("cp").cast("double") / F.col("np")
+                - F.col("cq").cast("double") / F.col("nq")
+            ),
+            6,
+        ).alias("ks_term"),
+        F.round((p_sm - q_sm) * F.log(p_sm / q_sm), 6).alias("psi_term"),
+    )
