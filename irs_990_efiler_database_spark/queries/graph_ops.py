@@ -273,3 +273,119 @@ def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY 1, 2
         """
     )
+
+
+_CLUSTER_COEF_ORACLE = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS u,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS v
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.u = e1.v
+      JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_at AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN round(CAST(2.0 * COALESCE(t.t, 0) AS DOUBLE)
+                           / (d.d * (d.d - 1)), 6)
+           END AS clustering_coef
+    FROM deg d LEFT JOIN tri_at t ON t.node = d.node
+    WHERE d.d >= 2
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTER_COEF_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient: 2T(v) / (d(v)(d(v)-1))
+    over the co-purchase graph — how interconnected each node's
+    neighborhood is (community-ness / spam-ring signal). Reuses the
+    degeneracy-oriented triangle enumeration (each triangle credited
+    to its three vertices via one explode) plus the degree frame; all
+    double ops are one fixed-order expression over exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        b.join(right, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    edges = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    paths = edges.join(e2, edges.v == e2.b).select("u", "v", "c")
+    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = paths.join(
+        closing, (paths.u == closing.cu) & (paths.c == closing.cv)
+    ).select("u", "v", "c")
+    tri_at = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    coef = F.when(
+        F.col("d") >= 2,
+        F.round(
+            (2.0 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+            / (F.col("d") * (F.col("d") - 1)),
+            6,
+        ),
+    )
+    return (
+        deg.join(tri_at, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            coef.alias("clustering_coef"),
+        )
+    )
