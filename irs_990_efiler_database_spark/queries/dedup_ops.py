@@ -1081,3 +1081,93 @@ def fdedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def _sweep_band_sql(bands: int, rows: int) -> str:
+    """Band-hash CTE body for a (bands, rows) config over the shared
+    16-element signature, as DuckDB SQL."""
+    elems = ", ".join(
+        f"md5(array_to_string(sig[{i * rows + 1}:{i * rows + rows}], '|'))"
+        for i in range(bands)
+    )
+    return f"""
+      SELECT doc_id,
+             generate_subscripts([{elems}], 1) - 1 AS band_idx,
+             unnest([{elems}]) AS band_hash
+      FROM sig
+    """
+
+
+@register(
+    "fdedup_lsh_param_sweep",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG},
+    b2 AS ({_sweep_band_sql(2, 8)}),
+    b4 AS ({_sweep_band_sql(4, 4)}),
+    b8 AS ({_sweep_band_sql(8, 2)}),
+    c2 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM b2 a
+      JOIN b2 b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+    ),
+    c4 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM b4 a
+      JOIN b4 b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+    ),
+    c8 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM b8 a
+      JOIN b8 b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+    )
+    SELECT 2 AS bands, 8 AS rows_per_band,
+           (SELECT COUNT(*) FROM c2) AS n_candidates,
+           (SELECT COUNT(*) FROM c2
+            WHERE id_b = id_a + 1000000) AS n_planted_found
+    UNION ALL
+    SELECT 4, 4, (SELECT COUNT(*) FROM c4),
+           (SELECT COUNT(*) FROM c4 WHERE id_b = id_a + 1000000)
+    UNION ALL
+    SELECT 8, 2, (SELECT COUNT(*) FROM c8),
+           (SELECT COUNT(*) FROM c8 WHERE id_b = id_a + 1000000)
+    """,
+)
+def fdedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning in one pass: the SAME 16-hash MinHash
+    signature sliced three ways — (2 bands x 8 rows), (4 x 4),
+    (8 x 2) — each reporting candidate volume and planted-pair recall.
+    More, narrower bands push the S-curve left (higher recall, more
+    candidates); this is the measurement that picks production (b, r)
+    for a target similarity threshold. One signature computation
+    feeds all three configs (persisted; banding is a projection), so
+    the sweep costs one corpus scan plus three capped band joins."""
+    from ..operators.dedup import band_hashes, cap_hot_buckets, shingled
+
+    sh = shingled(_augmented(spark, sf_dir)).select("id", "sig").persist()
+    out = None
+    for bands, rows in ((2, 8), (4, 4), (8, 2)):
+        bd = sh.select(
+            "id",
+            F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        bd = cap_hot_buckets(bd, ["band_idx", "band_hash"], None)
+        a = bd.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+        b = bd.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+        cand = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        row = cand.agg(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(rows).cast("int").alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                (F.col("id_b") == F.col("id_a") + 1_000_000).cast("long")
+            ).alias("n_planted_found"),
+        ).select("bands", "rows_per_band", "n_candidates", "n_planted_found")
+        out = row if out is None else out.unionByName(row)
+    return out
