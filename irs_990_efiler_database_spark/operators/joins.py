@@ -122,3 +122,43 @@ def asof_join_forward(
             F.col("_m.__asof_ts").alias(f"{prefix}{ts_col}"),
         )
     )
+
+
+class JoinExplosionError(RuntimeError):
+    """Raised when a guarded join's exact output cardinality exceeds
+    the configured cap."""
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    max_output_rows: int = 100_000_000,
+) -> DataFrame:
+    """Equi-join with a cardinality guard: before executing, compute
+    the EXACT inner-join output size as sum over join keys of
+    count_left * count_right (two key-count aggregations + a tiny
+    key-frame join — shuffles only (key, count) pairs), and refuse
+    with JoinExplosionError if it exceeds ``max_output_rows``.
+
+    This is the production guardrail against the classic silent
+    blow-up (an unexpected many-to-many key like NULL-ish sentinels or
+    a duplicated dimension row) that otherwise only surfaces as an
+    executor OOM three hours into a 100 TB run. Cost: one extra pass
+    over each side's key columns; the data rows themselves are not
+    shuffled until the join is approved."""
+    lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("_ln"))
+    rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("_rn"))
+    est_row = (
+        lc.join(rc, on)
+        .agg(F.sum(F.col("_ln") * F.col("_rn")).alias("n"))
+        .collect()[0]
+    )
+    est = est_row["n"] or 0
+    if est > max_output_rows:
+        raise JoinExplosionError(
+            f"join on {on} would produce {est} rows "
+            f"(cap {max_output_rows}); check key uniqueness"
+        )
+    return left.join(right, on, how)

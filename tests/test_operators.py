@@ -391,3 +391,25 @@ def test_ivf_train_improves_objective_and_drops_in(spark):
     out = ivf_assign(e, trained)
     assert "Exchange" not in _plan(out)
     assert out.count() == e.count()
+
+
+def test_guarded_join_passes_and_refuses(spark):
+    """guarded_join executes a sane join and refuses an exploding one
+    with the exact predicted cardinality in the error."""
+    import pytest
+
+    from irs_990_efiler_database_spark.operators.joins import (
+        JoinExplosionError,
+        guarded_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "z")], "k long, rv string"
+    )
+    ok = guarded_join(left, right, ["k"], max_output_rows=10)
+    assert ok.count() == 1 + 2 * 2
+    with pytest.raises(JoinExplosionError, match="would produce 5 rows"):
+        guarded_join(left, right, ["k"], max_output_rows=4)

@@ -3,7 +3,8 @@
 same scale factor; compare row count, schema, and an order-insensitive
 value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--spark-only] [sf_dir] [query_name ...]
+(--spark-only skips the DuckDB compare and prints per-query Spark wall time)
 """
 
 from __future__ import annotations
@@ -59,8 +60,10 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--spark-only"]
+    spark_only = "--spark-only" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from irs_990_efiler_database_spark.session import get_spark
@@ -88,6 +91,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            continue
+        if spark_only:
+            print(f"TIME {name}: {sn} rows [{time.time()-t0:.2f}s]")
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {sn} rows) [{time.time()-t0:.1f}s]")
