@@ -1898,3 +1898,69 @@ def events_stream_dedup_within_watermark(
         str(tmp / "ckpt"),
         output_mode="append",
     )
+
+
+@register(
+    "events_journey_array_stats",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS steps
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(steps) AS BIGINT) AS path_len,
+           steps[1] AS first_step,
+           steps[len(steps)] AS last_step,
+           CAST(len(list_filter(steps, s -> s = 'purchase')) AS BIGINT)
+             AS n_purchases,
+           CAST(len(list_distinct(steps)) AS BIGINT) AS n_distinct_types,
+           CAST(len(list_filter(generate_series(1, len(steps) - 1),
+                    i -> steps[i] = steps[i+1])) AS BIGINT)
+             AS n_immediate_repeats
+    FROM j WHERE user_id < 100
+    """,
+)
+def events_journey_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array analytics over materialized journeys: path length,
+    first/last step, purchase count, type variety, and immediate
+    repeats — all computed with array higher-order functions INSIDE
+    the row after one order-imposing collect (struct-sort idiom shared
+    with events_user_journey). This is the downstream-consumer shape:
+    one shuffle builds the nested column, every feature after it is a
+    zero-shuffle projection."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    steps = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    j = ev.groupBy("user_id").agg(steps.alias("steps"))
+    n = F.size("steps")
+    repeats = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(F.col("steps"), i)
+            == F.element_at(F.col("steps"), i + 1),
+        )
+    )
+    return j.select(
+        "user_id",
+        n.cast("long").alias("path_len"),
+        F.element_at("steps", 1).alias("first_step"),
+        F.element_at(F.col("steps"), n).alias("last_step"),
+        F.size(
+            F.filter(F.col("steps"), lambda s: s == F.lit("purchase"))
+        ).cast("long").alias("n_purchases"),
+        F.size(F.array_distinct("steps")).cast("long").alias(
+            "n_distinct_types"
+        ),
+        repeats.cast("long").alias("n_immediate_repeats"),
+    )
