@@ -1964,3 +1964,60 @@ def events_journey_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         repeats.cast("long").alias("n_immediate_repeats"),
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t
+      GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM v) AS survivors
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel rollup (view -> click after it ->
+    purchase after that): survivor counts per step, each step's
+    earliest-qualifying timestamp chained through a min-aggregate +
+    semi-join on the SAME user partitioning — n steps cost n bounded
+    aggregations, never a self-join of the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev, etype):
+        ev = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            ev = ev.join(prev, "user_id").filter(
+                F.col("ts") > F.col("prev_t")
+            )
+        return ev.groupBy("user_id").agg(F.min("ts").alias("prev_t"))
+
+    v = first_after(None, "view")
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+    rows = None
+    for step, nm, frame in ((1, "view", v), (2, "click", c), (3, "purchase", p)):
+        r = frame.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(nm).alias("step_name"),
+            F.count(F.lit(1)).alias("survivors"),
+        ).select("step", "step_name", "survivors")
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -439,3 +439,38 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
         F.datediff(d, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 5), 6) END
+             AS safe_ratio,
+           CASE WHEN o_totalprice > 100000 THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(8,2)) END AS safe_narrow,
+           TRY_CAST(o_orderpriority AS BIGINT) AS not_a_number
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-tolerant arithmetic: this engine runs with
+    spark.sql.ansi.enabled (strict SQL-standard errors), so the
+    try_* family — try_divide (NULL on /0), try_cast (NULL on
+    overflow / bad parse) — is the documented per-expression escape
+    hatch, replacing the silent-corruption semantics of legacy mode.
+    The oracle states each guard explicitly with CASE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 6
+        ).alias("safe_ratio"),
+        F.when(F.col("o_totalprice") > 100000, None)
+        .otherwise(F.col("o_totalprice"))
+        .try_cast("decimal(8,2)")
+        .alias("safe_narrow"),
+        F.col("o_orderpriority").try_cast("bigint").alias("not_a_number"),
+    )
