@@ -300,3 +300,60 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in want.collect()}
     assert a == b
+
+
+def test_streaming_query_listener_observes_progress(spark, tmp_path):
+    """Streaming observability surface: a StreamingQueryListener
+    receives start/progress/termination callbacks with row counts —
+    the hook production monitoring attaches to every stream."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from irs_990_efiler_database_spark.catalog import table_path
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    events = {"started": 0, "progress_rows": 0, "terminated": 0}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"] += e.progress.numInputRows
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        (tmp_path / "in").mkdir()
+        shutil.copy(
+            table_path("/root/testdata/sf0.001", "events"),
+            tmp_path / "in" / "part-000.parquet",
+        )
+        out = run_available_now(
+            tumbling_counts(stream_events(spark, str(tmp_path / "in"))),
+            "listener_probe_q",
+            str(tmp_path / "ckpt"),
+        )
+        n_input = spark.read.parquet(str(tmp_path / "in")).count()
+        assert out.count() > 0
+        # listener callbacks are delivered asynchronously
+        deadline = _time.time() + 30
+        while events["terminated"] < 1 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert events["started"] >= 1
+        assert events["terminated"] >= 1
+        assert events["progress_rows"] >= n_input
+    finally:
+        spark.streams.removeListener(listener)
