@@ -303,3 +303,58 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_l1raw") <= 0.01)
         .drop("_l1raw")
     )
+
+
+@register(
+    "mm_payload_entropy",
+    oracle=f"""
+    WITH {_SQL_MEDIA},
+    hist AS (
+      SELECT media_id, nb, bin, count(*) AS cnt
+      FROM (
+        SELECT media_id, nb,
+               ascii(substring(t, i, 1)) // 16 AS bin
+        FROM media, unnest(generate_series(1, nb)) AS u(i)
+        WHERE nb > 0
+      )
+      GROUP BY media_id, nb, bin
+    ),
+    terms AS (
+      SELECT media_id, nb,
+             CAST(round(-(CAST(cnt AS DOUBLE) / nb)
+                        * ln(CAST(cnt AS DOUBLE) / nb), 9)
+                  AS DECIMAL(24,12)) AS h
+      FROM hist
+    )
+    SELECT media_id, CAST(MAX(nb) AS BIGINT) AS n_bytes,
+           CAST(SUM(h) AS DOUBLE) AS entropy_nats
+    FROM terms GROUP BY media_id
+    """,
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy screen per payload: Shannon entropy (nats) of the
+    16-bin byte histogram — the compressibility probe that flags
+    corrupt, encrypted, or constant-fill media before expensive
+    decoding (already-compressed/encrypted payloads sit near the
+    ln(16) ceiling; constant fills near 0). Builds on the Arrow-batched
+    histogram rows; per-bin -p ln p terms round to 9 dp and accumulate
+    in DECIMAL, so the per-payload sum is order-free cross-engine."""
+    from ..operators.multimodal import byte_histogram_rows
+
+    hist = byte_histogram_rows(_media(spark, sf_dir))
+    # weight IS cnt/n_bytes (one exact IEEE division in the operator),
+    # so it is the probability term; n_bytes is recovered via round()
+    # because cnt/weight re-divides and can land one ulp under the int
+    p = F.col("weight")
+    term = F.round(-p * F.log(p), 9).cast("decimal(24,12)")
+    return (
+        hist.withColumn(
+            "nb", F.round(F.col("cnt") / F.col("weight")).cast("long")
+        )
+        .select("media_id", "nb", term.alias("h"))
+        .groupBy("media_id")
+        .agg(
+            F.max("nb").cast("long").alias("n_bytes"),
+            F.sum("h").cast("double").alias("entropy_nats"),
+        )
+    )
