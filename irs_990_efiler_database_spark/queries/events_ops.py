@@ -2021,3 +2021,75 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("step", "step_name", "survivors")
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_wk AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE))
+               - CAST(((MIN(CAST(ts AS DATE)) - DATE '2024-01-01') % 7)
+                      AS INTEGER) AS cohort
+      FROM events GROUP BY 1
+    ),
+    spend AS (
+      SELECT e.user_id, f.cohort,
+             ((CAST(e.ts AS DATE) - DATE '2024-01-01') // 7)
+               - ((f.cohort - DATE '2024-01-01') // 7) AS wk_offset,
+             CAST(e.value AS DECIMAL(18,6)) AS v
+      FROM events e JOIN first_wk f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT cohort, CAST(wk_offset AS BIGINT) AS wk_offset,
+             SUM(v) AS wk_rev
+      FROM spend GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk_offset,
+           CAST(wk_rev AS DOUBLE) AS week_revenue,
+           CAST(SUM(wk_rev) OVER (PARTITION BY cohort ORDER BY wk_offset
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_ltv
+    FROM wk
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue by signup-week cohort x
+    week offset, with the running cumulative LTV curve per cohort —
+    the money twin of events_retention_cohorts. Revenue accumulates in
+    DECIMAL end-to-end (the cumulative window sums exact decimals and
+    casts once at emission); the window partition is the bounded
+    (cohort, offsets) frame, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    first = first.select(
+        "user_id",
+        F.date_sub(
+            F.col("fd"), F.datediff(F.col("fd"), epoch) % 7
+        ).alias("cohort"),
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort",
+            (
+                (F.datediff(F.to_date("ts"), epoch) / 7).cast("long")
+                - (F.datediff(F.col("cohort"), epoch) / 7).cast("long")
+            ).alias("wk_offset"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    wk = spend.groupBy("cohort", "wk_offset").agg(F.sum("v").alias("wk_rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("wk_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "wk_offset",
+        F.col("wk_rev").cast("double").alias("week_revenue"),
+        F.sum("wk_rev").over(w).cast("double").alias("cum_ltv"),
+    )

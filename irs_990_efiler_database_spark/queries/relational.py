@@ -1648,3 +1648,41 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules
+
+
+@register(
+    "agg_argmax_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+             AS n_large,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                   + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                   + o_orderkey) AS cheapest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate family: count_if (filtered count),
+    bool_or/bool_and (any/every), and max_by/min_by (argmax/argmin).
+    Argmax ordering is the composite integer cents*1e10 + orderkey —
+    ties on price resolve by key, so the picked row is deterministic
+    across engines and partitionings (a bare max_by on a tied value
+    is not). The packed-long composite holds to ~sf100 key ranges; a
+    struct ordering would lift that limit on the Spark side."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    key = cents * F.lit(10_000_000_000) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max_by("o_orderkey", key).alias("priciest_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+    )

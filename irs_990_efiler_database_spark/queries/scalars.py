@@ -474,3 +474,33 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_narrow"),
         F.col("o_orderpriority").try_cast("bigint").alias("not_a_number"),
     )
+
+
+@register(
+    "scalar_bitwise_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 1365) AS toggled,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation function family (flag packing, hash mixing,
+    bitmap membership): AND/OR/XOR, shifts, popcount — all JVM-native
+    integer ops inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
