@@ -10,7 +10,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -580,4 +580,163 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "cos16",
         F.col("f_neighbor").isNotNull().alias("in_full_top3"),
+    )
+
+
+_HYBRID_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id,
+             SUM(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+             SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf2
+      FROM toks GROUP BY 1
+    ),
+    dfc AS (
+      SELECT SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM tf
+    ),
+    trank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(
+               ln((c.n_docs - d.df1 + 0.5) / (d.df1 + 0.5) + 1)
+                 * (t.tf1 * 2.2)
+                 / (t.tf1 + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))
+               + ln((c.n_docs - d.df2 + 0.5) / (d.df2 + 0.5) + 1)
+                 * (t.tf2 * 2.2)
+                 / (t.tf2 + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)), 6) DESC,
+               doc_id) AS rt
+      FROM tf t JOIN dl l USING (doc_id)
+      CROSS JOIN corpus c CROSS JOIN dfc d
+      WHERE t.tf1 + t.tf2 > 0
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id AS doc_id,
+             SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot,
+             SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS cc,
+             SUM(CAST(CAST(qv.v[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS qq
+      FROM embeddings e, qv, unnest(generate_series(1, len(e.embedding))) AS t(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    srank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+               DESC, doc_id) AS rs
+      FROM dots
+    ),
+    fused AS (
+      SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + t.rt), 0)
+                   + COALESCE(1.0 / (60 + s.rs), 0), 6) AS rrf
+      FROM trank t FULL OUTER JOIN srank s ON s.doc_id = t.doc_id
+    )
+    SELECT doc_id, rrf FROM (
+      SELECT doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+"""
+
+
+@register("sim_hybrid_rrf_search", oracle=_HYBRID_ORACLE)
+def sim_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (the RAG-stack
+    default): a lexical BM25 ranking for {spark, join} and a semantic
+    cosine ranking against a query embedding fuse as
+    sum(1/(60+rank)) — rank-space fusion needs no score calibration
+    between the two retrievers. Both legs rank on ROUNDED scores with
+    id tie-breaks (deterministic cross-engine), missing-leg docs
+    contribute only their present term, and the fused top-10 re-ranks
+    the union. Scale: each leg is its own bounded pipeline (BM25's
+    conditional-sum aggregation; broadcast-query cosine); fusion
+    touches two rank frames keyed by doc. The exact full-corpus rank
+    here uses a global ordered window — at production scale each leg
+    contributes only its top-K (TakeOrderedAndProject) and RRF fuses
+    the two K-row lists, which changes nothing above rank K."""
+    from ..operators.similarity import cosine
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum(F.when(F.col("tok") == "spark", 1).otherwise(0)).alias("tf1"),
+        F.sum(F.when(F.col("tok") == "join", 1).otherwise(0)).alias("tf2"),
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum(F.when(F.col("tf1") > 0, 1).otherwise(0)).alias("df1"),
+        F.sum(F.when(F.col("tf2") > 0, 1).otherwise(0)).alias("df2"),
+    )
+
+    def leg(tf, dfx):
+        idf = F.log(
+            (F.col("n_docs") - F.col(dfx) + 0.5) / (F.col(dfx) + 0.5) + 1
+        )
+        return (
+            idf
+            * (F.col(tf) * 2.2)
+            / (F.col(tf) + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        )
+
+    tscored = (
+        per_doc.filter(F.col("tf1") + F.col("tf2") > 0)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(leg("tf1", "df1") + leg("tf2", "df2"), 6).alias("ts"),
+        )
+    )
+    wt = Window.orderBy(F.col("ts").desc(), "doc_id")
+    trank = tscored.select(
+        "doc_id", F.row_number().over(wt).alias("rt")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    sscored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("ss"),
+        )
+    )
+    ws = Window.orderBy(F.col("ss").desc(), "doc_id")
+    srank = sscored.select(
+        "doc_id", F.row_number().over(ws).alias("rs")
+    )
+    t = trank.select(F.col("doc_id").alias("t_id"), "rt")
+    s = srank.select(F.col("doc_id").alias("s_id"), "rs")
+    fused = t.join(s, t.t_id == s.s_id, "full_outer").select(
+        F.coalesce("t_id", "s_id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rt")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", "rrf")
     )
