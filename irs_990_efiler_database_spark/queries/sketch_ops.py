@@ -441,3 +441,152 @@ def sketch_cms_freq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+_BF_WORDS = 4  # 4 x 64-bit words = 256-bit filter
+_BF_HASHES = 3
+
+
+def _bf_hash_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({i} AS VARCHAR) || '#' || "
+        f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 252"
+    )
+
+
+@register(
+    "sketch_bloom_filter",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+    ),
+    bits AS (
+      SELECT pos // 63 AS word, 1::BIGINT << (pos % 63) AS mask
+      FROM (
+        SELECT unnest([{", ".join(_bf_hash_sql(i, "user_id") for i in range(_BF_HASHES))}]) AS pos
+        FROM members
+      )
+    ),
+    filt AS (
+      SELECT word, bit_or(mask) AS bm FROM bits GROUP BY 1
+    ),
+    probes AS (
+      SELECT user_id, user_id IN (SELECT user_id FROM members) AS truth
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    pbits AS (
+      SELECT p.user_id, p.truth, pos // 63 AS word, 1::BIGINT << (pos % 63) AS mask
+      FROM (
+        SELECT user_id, truth,
+               unnest([{", ".join(_bf_hash_sql(i, "user_id") for i in range(_BF_HASHES))}]) AS pos
+        FROM probes
+      ) p
+    ),
+    verdict AS (
+      SELECT b.user_id, b.truth,
+             bool_and((f.bm & b.mask) = b.mask) AS claimed
+      FROM pbits b JOIN filt f USING (word)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN truth AND NOT claimed THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_negatives,
+           CAST(SUM(CASE WHEN NOT truth AND claimed THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_non_members
+    FROM verdict
+    """,
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter as data: first-48h purchasers hash into a
+    252-bit filter (4 x 63 usable bits — bit 63 stays clear so the
+    signed-shift never overflows in either engine) ({_BF_HASHES} md5-derived positions each) built by
+    a bit_or aggregation over {_BF_WORDS} words — constant-size,
+    mergeable by OR across shards, and probe-able with a broadcast
+    join. The audit proves the contract: ZERO false negatives by
+    construction (asserted as a row value), and a measured
+    false-positive count against exact truth. Spark's own
+    bloom_filter_agg covers the runtime-join path (see
+    tests/test_runtime_filters.py); this is the engine-portable twin
+    whose exact bit content both engines reproduce."""
+    e = load_table(spark, sf_dir, "events")
+    members = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+    def positions(df):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(str(i)),
+                                        F.lit("#"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 252
+                        for i in range(_BF_HASHES)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    # SQL-expr shiftleft: the Python F.shiftleft only takes a literal
+    # shift amount, the SQL form shifts by a column
+    mask_expr = F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+    bits = positions(members).select(
+        (F.col("pos") / 63).cast("long").alias("word"),
+        mask_expr.alias("mask"),
+    )
+    filt = bits.groupBy("word").agg(F.bit_or("mask").alias("bm"))
+    probes = (
+        e.select("user_id")
+        .distinct()
+        .join(
+            members.withColumn("truth", F.lit(True)), "user_id", "left"
+        )
+        .select("user_id", F.coalesce("truth", F.lit(False)).alias("truth"))
+    )
+    pbits = positions(probes).select(
+        "user_id",
+        "truth",
+        (F.col("pos") / 63).cast("long").alias("word"),
+        mask_expr.alias("mask"),
+    )
+    verdict = (
+        pbits.join(F.broadcast(filt), "word")
+        .groupBy("user_id", "truth")
+        .agg(
+            F.bool_and(
+                F.col("bm").bitwiseAND(F.col("mask")) == F.col("mask")
+            ).alias("claimed")
+        )
+    )
+    return verdict.agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_members"),
+        F.sum(
+            F.when(F.col("truth") & ~F.col("claimed"), 1).otherwise(0)
+        ).alias("false_negatives"),
+        F.sum(
+            F.when(~F.col("truth") & F.col("claimed"), 1).otherwise(0)
+        ).alias("false_positives"),
+        F.sum(F.when(~F.col("truth"), 1).otherwise(0)).alias("n_non_members"),
+    )

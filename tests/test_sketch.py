@@ -105,3 +105,14 @@ def test_approx_percentile_within_accuracy_contract(spark):
         F.expr(f"approx_percentile(v, 0.5, {n})").alias("p")
     ).collect()[0]["p"]
     assert abs(got_exact - exact_p50) < 1e-9 or got_exact in exact_sorted
+
+
+def test_bloom_filter_never_false_negative(spark):
+    """Bloom's one-sided contract: members are always claimed."""
+    from irs_990_efiler_database_spark.queries.sketch_ops import (
+        sketch_bloom_filter,
+    )
+
+    r = sketch_bloom_filter(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.false_negatives == 0
+    assert r.n_members > 0
