@@ -1632,3 +1632,67 @@ def doc_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
         ).alias("copy_idx"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM grams gr JOIN df USING (g)
+    GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams that appear NOWHERE else in the corpus (df = 1) — the
+    complement of the boilerplate fraction, used to up-rank diverse
+    documents in curriculum selection. One gram-df aggregation joined
+    back on the gram key (the text_boilerplate_ngrams shape); the
+    ratio is one double division of exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(t, i + 2), F.element_at(t, i + 3)
+            ),
+        )
+    )
+    grams = (
+        d.select("doc_id", grams_arr.alias("gs"))
+        .persist()
+        .select("doc_id", F.explode("gs").alias("g"))
+    )
+    dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
