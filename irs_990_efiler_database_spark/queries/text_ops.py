@@ -1696,3 +1696,92 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH vocab AS (
+      SELECT tok, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM vocab
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE) / n
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / n)) / 1000000 AS intercept_ln
+    FROM m
+"""
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(freq) ~ ln(rank) (natural text sits near -1; synthetic or
+    templated corpora deviate — a corpus-health fingerprint). The
+    log points quantize to exact micro-units (round * 1e6 -> integer)
+    so the OLS moments accumulate in wide integers — order-free — and
+    the slope is scale-invariant under the quantization. The ranking
+    window runs over the vocabulary-bounded frequency table, not the
+    token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    pts = vocab.select(
+        F.round(F.log(F.col("freq").cast("double")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+        F.round(
+            F.log(F.row_number().over(w).cast("double")) * 1_000_000
+        )
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return m.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        slope.alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / 1_000_000
+        ).alias("intercept_ln"),
+    )
