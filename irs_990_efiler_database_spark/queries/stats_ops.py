@@ -720,3 +720,116 @@ def stat_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_term"),
         F.round((p_sm - q_sm) * F.log(p_sm / q_sm), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                 THEN CAST(round(value * 1000000) AS HUGEINT)
+                 ELSE 0::HUGEINT END) AS pre_u,
+             SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN CAST(round(value * 1000000) AS HUGEINT)
+                 ELSE 0::HUGEINT END) AS post_u
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(pre_u) AS sx, SUM(post_u) AS sy,
+             SUM(pre_u * pre_u) AS sxx, SUM(pre_u * post_u) AS sxy
+      FROM per_user
+    ),
+    th AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / n AS mean_pre
+      FROM m
+    )
+    SELECT p.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(p.post_u) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS mean_post,
+           round((CAST(SUM(p.post_u) AS DOUBLE) / COUNT(*)
+                  - th.theta * (CAST(SUM(p.pre_u) AS DOUBLE) / COUNT(*)
+                                - th.mean_pre)) / 1000000, 6)
+             AS mean_cuped
+    FROM per_user p CROSS JOIN th
+    GROUP BY p.arm, th.theta, th.mean_pre
+"""
+
+
+@register("stat_cuped_adjustment", oracle=_CUPED_ORACLE)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B readouts: per-user pre-period
+    (days 1-15) spend becomes the control covariate for the
+    post-period (days 16-30) metric — adjusted = post - theta *
+    (pre - mean_pre) with theta = cov(pre, post)/var(pre), the
+    industry-standard trick that shrinks experiment confidence
+    intervals without changing the point estimate's expectation.
+
+    All moments accumulate as exact integer micros (one per-user
+    aggregation, then one 5-number global combine); theta and the two
+    per-arm means are fixed-order double expressions rounded once."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    micros = F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(
+            F.when(F.to_date("ts") < cut, micros).otherwise(F.lit(0))
+        ).cast("decimal(38,0)").alias("pre_u"),
+        F.sum(
+            F.when(F.to_date("ts") >= cut, micros).otherwise(F.lit(0))
+        ).cast("decimal(38,0)").alias("post_u"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_u").alias("sx"),
+        F.sum("post_u").alias("sy"),
+        F.sum(F.col("pre_u") * F.col("pre_u")).alias("sxx"),
+        F.sum(F.col("pre_u") * F.col("post_u")).alias("sxy"),
+    )
+    th = m.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "mean_pre")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("post_u").alias("spost"),
+            F.sum("pre_u").alias("spre"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(
+                F.col("spost").cast("double") / F.col("n_users") / 1_000_000,
+                6,
+            ).alias("mean_post"),
+            F.round(
+                (
+                    F.col("spost").cast("double") / F.col("n_users")
+                    - F.col("theta")
+                    * (
+                        F.col("spre").cast("double") / F.col("n_users")
+                        - F.col("mean_pre")
+                    )
+                )
+                / 1_000_000,
+                6,
+            ).alias("mean_cuped"),
+        )
+    )
