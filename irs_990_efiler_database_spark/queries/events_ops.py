@@ -2093,3 +2093,76 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wk_rev").cast("double").alias("week_revenue"),
         F.sum("wk_rev").over(w).cast("double").alias("cum_ltv"),
     )
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    per_session AS (
+      SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS day, COUNT(*) AS n
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: single-event sessions over total sessions,
+    sessions defined by the same 30-minute inactivity gap as the
+    sessionizer family (lag + running-sum island id on one user
+    partitioning); the day key is the session's first event. Exact
+    integer counts, one double division."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            > 30 * 60 * 1_000_000
+        )
+    ).cast("int")
+    sess = (
+        e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.to_date("ts")).alias("day"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return sess.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )
