@@ -740,3 +740,42 @@ def sim_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "rrf")
     )
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 1000000 AS HUGEINT))
+                AS DOUBLE) / COUNT(*) / 1000000 AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: per-label mean embedding, exploded to
+    (label, dim, centroid) rows. Float32 inputs scale exactly to
+    integer micros (a float's value times 1e6 is integral within
+    double precision for this corpus's quantized embeddings), so the
+    per-dimension sums are order-free integers and the mean is one
+    double division — the nearest-centroid classifier / cluster-seed
+    primitive without a Python pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    micros = F.round(F.col("v").cast("double") * 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(micros).cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000
+            ).alias("centroid")
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid")
+    )
