@@ -2166,3 +2166,76 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 1000000) AS HUGEINT)) AS spend_u
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    thr AS (
+      SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY spend_u) AS t
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN p.spend_u >= thr.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top,
+           round(CAST(thr.t AS DOUBLE) / 1000000, 6) AS threshold_spend,
+           round(CAST(SUM(CASE WHEN p.spend_u >= thr.t
+                          THEN p.spend_u ELSE 0::HUGEINT END) AS DOUBLE)
+                 / CAST(SUM(p.spend_u) AS DOUBLE), 6) AS top_decile_share
+    FROM per_user p CROSS JOIN thr
+    GROUP BY thr.t
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration: the share of purchase revenue
+    held by users at or above the 90th-percentile spend — the 80/20
+    health metric. Per-user spend is exact integer micros; the
+    threshold is the exact discrete percentile (an existing data
+    value, engine-portable) over the user-grain frame, broadcast back
+    for one conditional sum."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+            ).alias("spend_u")
+        )
+    )
+    per_user.createOrReplaceTempView("_pareto_per_user")
+    thr = spark.sql(
+        """
+        SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY spend_u) AS t
+        FROM _pareto_per_user
+        """
+    )
+    top = F.col("spend_u") >= F.col("t")
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("n_top"),
+            F.sum(F.when(top, F.col("spend_u")).otherwise(F.lit(0))).alias(
+                "s_top"
+            ),
+            F.sum("spend_u").alias("s_all"),
+        )
+        .select(
+            "n_users",
+            "n_top",
+            F.round(F.col("t").cast("double") / 1_000_000, 6).alias(
+                "threshold_spend"
+            ),
+            F.round(
+                F.col("s_top").cast("double") / F.col("s_all").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )
