@@ -2239,3 +2239,78 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_decile_share"),
         )
     )
+
+
+@register(
+    "events_stream_click_attribution_full",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT least(
+               (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 FROM c),
+               (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 FROM p)
+             ) - 1800000 AS wm_ms
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.user_id, p.event_id, CAST(NULL AS BIGINT),
+           epoch_us(CAST(p.ts AS TIMESTAMP)), CAST(NULL AS BIGINT)
+    FROM p
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 10 MINUTE
+              AND c.ts <= p.ts)
+      AND epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000 < (SELECT wm_ms FROM wm)
+    UNION ALL
+    SELECT c.user_id, CAST(NULL AS BIGINT), c.event_id,
+           CAST(NULL AS BIGINT), epoch_us(CAST(c.ts AS TIMESTAMP))
+    FROM c
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND c.ts >= p.ts - INTERVAL 10 MINUTE
+              AND c.ts <= p.ts)
+      AND (epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000) // 1000
+            < (SELECT wm_ms FROM wm)
+    """,
+)
+def events_stream_click_attribution_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream join under the exact oracle gate: the
+    oracle replays the interval matches AND BOTH watermark
+    null-emission rules — purchases once wm passes their timestamp,
+    clicks once wm passes click_ts + lookback (the state-eviction
+    boundary on each side). Completes the inner/left/full join-matrix
+    coverage of the streaming engine."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import (
+        purchase_click_attribution_full,
+        run_available_now,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_attr_full_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    ev = stream_events(spark, str(tmp / "in"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = purchase_click_attribution_full(clicks, purchases)
+    return run_available_now(
+        out, "events_attr_full_q", str(tmp / "ckpt"), output_mode="append"
+    )

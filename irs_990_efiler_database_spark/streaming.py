@@ -597,3 +597,42 @@ def running_totals(events: DataFrame) -> DataFrame:
     return prepped.groupBy("user_id").transformWithStateInPandas(
         RunningTotal(), out_schema, "append", "none"
     )
+
+
+def purchase_click_attribution_full(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join
+    matrix: matched pairs emit on arrival; an unmatched PURCHASE emits
+    with null click columns once the min-of-sides watermark passes its
+    timestamp (no old-enough click can still arrive); an unmatched
+    CLICK emits with null purchase columns once the watermark passes
+    click_ts + lookback (the last instant a qualifying purchase could
+    exist). Both eviction rules are exactly the engine's state-cleanup
+    conditions, so the DuckDB oracle replays them verbatim."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
