@@ -358,3 +358,110 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("double").alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "mm_scene_change",
+    oracle=f"""
+    WITH {_SQL_MEDIA},
+    vids AS (
+      SELECT media_id, t, CAST(floor(nb / {FRAME_BYTES}.0) AS INT) AS n_frames
+      FROM media WHERE kind = 'video'
+    ),
+    chars AS (
+      SELECT media_id, i AS frame_idx,
+             ascii(substring(t, i * {FRAME_BYTES} + j, 1)) // 16 AS bin
+      FROM vids,
+           unnest(generate_series(0, n_frames - 1)) AS u(i),
+           unnest(generate_series(1, {FRAME_BYTES})) AS v(j)
+      WHERE n_frames > 1
+    ),
+    spine AS (
+      SELECT DISTINCT media_id, frame_idx, b.bin
+      FROM chars, (SELECT unnest(generate_series(0, 15)) AS bin) b
+    ),
+    hist AS (
+      SELECT s.media_id, s.frame_idx, s.bin,
+             COALESCE(c.cnt, 0) AS cnt
+      FROM spine s
+      LEFT JOIN (
+        SELECT media_id, frame_idx, bin, COUNT(*) AS cnt
+        FROM chars GROUP BY 1, 2, 3
+      ) c USING (media_id, frame_idx, bin)
+    )
+    SELECT a.media_id, a.frame_idx,
+           CAST(SUM(abs(a.cnt - b.cnt)) AS BIGINT) AS l1_delta,
+           SUM(abs(a.cnt - b.cnt)) >= 64 AS is_cut
+    FROM hist a
+    JOIN hist b ON b.media_id = a.media_id
+               AND b.frame_idx = a.frame_idx - 1
+               AND b.bin = a.bin
+    GROUP BY a.media_id, a.frame_idx
+    """,
+)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change (shot-boundary) detection over video payloads:
+    consecutive frames' 16-bin byte histograms compared by L1
+    distance; a delta >= 64 (a quarter of the frame changing bins)
+    flags a cut — the keyframe-selection primitive that decides which
+    frames are worth the expensive captioning/embedding pass.
+
+    Shape here is the fully-native one (frame explode + per-frame bin
+    counts + dense bin spine + a self-join on frame_idx-1); at real
+    payload sizes the per-frame histogram comes from the Arrow-batched
+    byte_histogram_features path instead — same downstream delta
+    logic."""
+    from ..operators.multimodal import FRAME_BYTES, sample_frames
+
+    frames = sample_frames(_media(spark, sf_dir), every=1).select(
+        "media_id",
+        "frame_idx",
+        F.col("frame").cast("string").alias("fs"),
+    )
+    chars = frames.select(
+        "media_id",
+        "frame_idx",
+        "fs",
+        F.explode(F.sequence(F.lit(1), F.lit(FRAME_BYTES))).alias("j"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.ascii(F.expr("substring(fs, j, 1)")) / 16)
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = chars.groupBy("media_id", "frame_idx", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        frames.select("media_id", "frame_idx")
+        .distinct()
+        .select(
+            "media_id",
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bin"),
+        )
+    )
+    hist = spine.join(counts, ["media_id", "frame_idx", "bin"], "left").select(
+        "media_id",
+        "frame_idx",
+        "bin",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+    prev = hist.select(
+        "media_id",
+        (F.col("frame_idx") + 1).alias("frame_idx"),
+        "bin",
+        F.col("cnt").alias("pcnt"),
+    )
+    delta = (
+        hist.join(prev, ["media_id", "frame_idx", "bin"])
+        .groupBy("media_id", "frame_idx")
+        .agg(F.sum(F.abs(F.col("cnt") - F.col("pcnt"))).alias("l1_delta"))
+    )
+    return delta.select(
+        "media_id",
+        "frame_idx",
+        F.col("l1_delta").cast("long").alias("l1_delta"),
+        (F.col("l1_delta") >= 64).alias("is_cut"),
+    )
