@@ -465,3 +465,66 @@ def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1_delta").cast("long").alias("l1_delta"),
         (F.col("l1_delta") >= 64).alias("is_cut"),
     )
+
+
+@register(
+    "mm_audio_silence_spans",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT media_id,
+             unnest(generate_series(1, length(text))) AS i,
+             text
+      FROM a
+    ),
+    v AS (
+      SELECT media_id,
+             CAST((i - 1) // 100 AS BIGINT) AS window_ix,
+             ascii(substring(text, i, 1)) AS val
+      FROM s
+    ),
+    w AS (
+      SELECT media_id, window_ix,
+             sqrt(CAST(SUM(val * val) AS DOUBLE) / COUNT(*)) < 105.0
+               AS quiet
+      FROM v GROUP BY media_id, window_ix
+    ),
+    isl AS (
+      SELECT media_id, window_ix,
+             window_ix - ROW_NUMBER() OVER (PARTITION BY media_id
+                                            ORDER BY window_ix) AS grp
+      FROM w WHERE quiet
+    )
+    SELECT media_id,
+           CAST(MIN(window_ix) AS BIGINT) AS span_start,
+           CAST(MAX(window_ix) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl
+    GROUP BY media_id, grp
+    """,
+)
+def mm_audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-span extraction over audio payloads: windows whose RMS
+    falls below a threshold collapse into maximal consecutive spans
+    via the gaps-and-islands key (window_ix minus its rank) — the
+    trim/segment primitive an audio pipeline runs before transcribing.
+    The RMS threshold compares doubles both engines derive from the
+    same exact integer sums, and the span arithmetic is pure
+    integers."""
+    from ..operators.multimodal import audio_window_rms
+
+    from pyspark.sql import Window as W
+
+    rms = audio_window_rms(_media(spark, sf_dir))
+    quiet = rms.filter(F.col("rms") < 105.0).select("media_id", "window_ix")
+    w = W.partitionBy("media_id").orderBy("window_ix")
+    isl = quiet.withColumn(
+        "grp", F.col("window_ix") - F.row_number().over(w)
+    )
+    return isl.groupBy("media_id", "grp").agg(
+        F.min("window_ix").cast("long").alias("span_start"),
+        F.max("window_ix").cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).drop("grp")
