@@ -209,3 +209,44 @@ def idx_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("IsElectronic").cast("long")).cast("long").alias("n_electronic"),
         F.count_distinct("EIN").cast("long").alias("n_orgs"),
     )
+
+
+@register(
+    "idx_yearly_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT TaxYear, CAST(COUNT(*) AS BIGINT) AS n_filings
+      FROM ({_golden_sql()})
+      GROUP BY TaxYear
+    )
+    SELECT TaxYear, n_filings,
+           LAG(n_filings) OVER (ORDER BY TaxYear) AS prev_filings,
+           CASE WHEN LAG(n_filings) OVER (ORDER BY TaxYear) IS NOT NULL
+                THEN round(CAST(n_filings AS DOUBLE)
+                           / LAG(n_filings) OVER (ORDER BY TaxYear) - 1, 6)
+           END AS yoy_growth
+    FROM yearly
+    """,
+)
+def idx_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year filing growth from the index: one yearly count
+    aggregation, then a lag window over the bounded (one row per tax
+    year) frame — the trend table behind capacity planning for the
+    next build."""
+    from pyspark.sql import Window
+
+    idx = build_index(spark, _GLOB)
+    yearly = idx.groupBy("TaxYear").agg(
+        F.count(F.lit(1)).cast("long").alias("n_filings")
+    )
+    w = Window.orderBy("TaxYear")
+    prev = F.lag("n_filings").over(w)
+    return yearly.select(
+        "TaxYear",
+        "n_filings",
+        prev.alias("prev_filings"),
+        F.when(
+            prev.isNotNull(),
+            F.round(F.col("n_filings").cast("double") / prev - 1, 6),
+        ).alias("yoy_growth"),
+    )

@@ -1686,3 +1686,57 @@ def agg_argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", key).alias("priciest_order"),
         F.min_by("o_orderkey", key).alias("cheapest_order"),
     )
+
+
+@register(
+    "profile_column_entropy",
+    oracle="""
+    WITH m AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    cnt AS (SELECT col, v, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    tot AS (SELECT col, SUM(c) AS n FROM cnt GROUP BY 1),
+    terms AS (
+      SELECT cnt.col,
+             CAST(round(-(CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) / n), 9)
+                  AS DECIMAL(24,12)) AS h,
+             c
+      FROM cnt JOIN tot USING (col)
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(h) AS DOUBLE) AS entropy_nats
+    FROM terms GROUP BY col
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-entropy profiling: Shannon entropy of each categorical
+    column's value distribution in one unpivoted pass — the
+    dictionary-encodability / partition-key-quality signal a storage
+    layout pass reads (near-zero entropy -> great RLE candidate; high
+    entropy -> poor partition key). Per-value -p ln p terms round to
+    9 dp then decimal-accumulate; the stack() unpivot keeps it one
+    scan for any number of profiled columns."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority) AS (col, v)"
+        )
+    )
+    cnt = m.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("col").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    h = F.round(-p * F.log(p), 9).cast("decimal(24,12)")
+    return (
+        cnt.join(tot, "col")
+        .select("col", h.alias("h"))
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("h").cast("double").alias("entropy_nats"),
+        )
+    )
