@@ -2314,3 +2314,75 @@ def events_stream_click_attribution_full(
     return run_available_now(
         out, "events_attr_full_q", str(tmp / "ckpt"), output_mode="append"
     )
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM du),
+    wau AS (
+      SELECT du.day + CAST(x.o AS INTEGER) AS day, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS o) x
+    ),
+    mau AS (
+      SELECT du.day + CAST(x.o AS INTEGER) AS day, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 29)) AS o) x
+    ),
+    d AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+    w AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM wau GROUP BY 1),
+    m AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM mau GROUP BY 1)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM d
+    JOIN w ON w.day = d.day
+    JOIN m ON m.day = d.day
+    CROSS JOIN bounds b
+    WHERE d.day BETWEEN b.mind AND b.maxd
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-health triple: DAU, trailing-7-day WAU, trailing-30
+    -day MAU, and DAU/MAU stickiness per day — three map-side
+    expansions of the per-(day, user) distinct frame (window length is
+    the expansion factor, never raw event volume), joined on the day
+    key. Only days inside the observed range emit."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = du.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+
+    def trailing(n, name):
+        return (
+            du.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("o"),
+                "day",
+                "user_id",
+            )
+            .select(F.date_add("day", F.col("o")).alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    d = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w7 = trailing(7, "wau")
+    m30 = trailing(30, "mau")
+    return (
+        d.join(w7, "day")
+        .join(m30, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("mind"), F.col("maxd")))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
