@@ -947,3 +947,86 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_revenue_bridge",
+    oracle="""
+    WITH yr AS (
+      SELECT p.p_brand,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(l.l_quantity AS HUGEINT)) AS q,
+             SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT)) AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT a.p_brand,
+             a.q AS q0, a.r AS r0, b.q AS q1, b.r AS r1
+      FROM yr a JOIN yr b
+        ON b.p_brand = a.p_brand AND a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT p_brand,
+           round(CAST(r0 AS DOUBLE) / 100, 6) AS rev_1996,
+           round(CAST(r1 AS DOUBLE) / 100, 6) AS rev_1997,
+           round((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100, 6)
+             AS volume_effect,
+           round((CAST(r1 AS DOUBLE)
+                  - CAST(q1 AS DOUBLE)
+                    * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))) / 100, 6)
+             AS price_effect
+    FROM wide
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge (waterfall) decomposition between two years per
+    brand: ΔR splits exactly into a volume effect (ΔQ at base-year
+    unit price) and a price effect (the remainder) — the Laspeyres
+    identity finance teams compute from the same integer sums the
+    pricing summary already carries. All moments are exact integers;
+    each effect is one fixed-order double expression, rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    yr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            "p_brand", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            ).alias("r"),
+        )
+    )
+    a = yr.filter(F.col("yr") == 1996).select(
+        "p_brand", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    b = yr.filter(F.col("yr") == 1997).select(
+        "p_brand", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    wide = a.join(b, "p_brand")
+    p0 = F.col("r0").cast("double") / F.col("q0").cast("double")
+    return wide.select(
+        "p_brand",
+        F.round(F.col("r0").cast("double") / 100, 6).alias("rev_1996"),
+        F.round(F.col("r1").cast("double") / 100, 6).alias("rev_1997"),
+        F.round(
+            (F.col("q1").cast("double") - F.col("q0").cast("double"))
+            * p0
+            / 100,
+            6,
+        ).alias("volume_effect"),
+        F.round(
+            (F.col("r1").cast("double") - F.col("q1").cast("double") * p0)
+            / 100,
+            6,
+        ).alias("price_effect"),
+    )
