@@ -1740,3 +1740,68 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("double").alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "setop_intersect_all_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: each nation key appears min(customer
+    copies, supplier copies) times — the bag semantics DISTINCT-based
+    intersect discards (needed when multiplicity IS the signal, e.g.
+    per-copy entitlement reconciliation). Spark plans intersectAll as
+    a count-compare aggregation, not a pairwise join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey < 30
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each customer's two priciest orders
+    via a per-row correlated subquery — the SQL-standard spelling of
+    grouped top-k. Catalyst decorrelates this into the same
+    window-rank plan the DataFrame form produces; registering the
+    LATERAL spelling proves the decorrelation path under the hash
+    gate."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_lat_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 30
+        """
+    )
