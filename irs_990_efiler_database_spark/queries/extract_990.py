@@ -213,3 +213,54 @@ def x990_compensation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_comp").cast("double") / rev, 6),
         ).alias("comp_to_revenue"),
     )
+
+
+def _balance_audit_oracle() -> str:
+    core = golden_core_sql()
+    return f"""
+    WITH core AS ({core})
+    SELECT URL, EIN, FISYR,
+           CAST(TOTALASSETSENDYEAR AS BIGINT) AS assets_eoy,
+           CAST(TOTALLIABENDYEAR AS BIGINT) AS liabilities_eoy,
+           CAST(NETASSETSENDYEAR AS BIGINT) AS net_assets_eoy,
+           CAST(TOTALASSETSENDYEAR AS BIGINT)
+             - CAST(TOTALLIABENDYEAR AS BIGINT)
+             - CAST(NETASSETSENDYEAR AS BIGINT) AS identity_gap,
+           (CAST(TOTALASSETSENDYEAR AS BIGINT)
+            - CAST(TOTALLIABENDYEAR AS BIGINT)
+            - CAST(NETASSETSENDYEAR AS BIGINT)) = 0 AS balances
+    FROM core
+    WHERE TOTALASSETSENDYEAR IS NOT NULL
+      AND TOTALLIABENDYEAR IS NOT NULL
+      AND NETASSETSENDYEAR IS NOT NULL
+    """
+
+
+@register("x990_balance_sheet_audit", oracle=_balance_audit_oracle())
+def x990_balance_sheet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounting-identity audit every 990 researcher runs first:
+    end-of-year assets must equal liabilities plus net assets. Runs
+    over the REAL CORE builder output (all-string model cast to
+    integers exactly as the oracle's golden does) and reports the
+    per-filing gap — the reference leaves this to downstream Stata;
+    here it's a first-class engine query."""
+    from pyspark.sql import functions as F
+
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    core = build_core(_returns(spark), columns=cols)
+    a = F.col("TOTALASSETSENDYEAR").cast("long")
+    l = F.col("TOTALLIABENDYEAR").cast("long")
+    n = F.col("NETASSETSENDYEAR").cast("long")
+    return (
+        core.filter(a.isNotNull() & l.isNotNull() & n.isNotNull())
+        .select(
+            "URL",
+            "EIN",
+            "FISYR",
+            a.alias("assets_eoy"),
+            l.alias("liabilities_eoy"),
+            n.alias("net_assets_eoy"),
+            (a - l - n).alias("identity_gap"),
+            ((a - l - n) == 0).alias("balances"),
+        )
+    )
