@@ -2386,3 +2386,76 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 1000000) AS HUGEINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT day, v,
+             SUM(v) OVER w AS s1,
+             SUM(v * v) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(v AS DOUBLE) / 1000000, 6) AS value,
+           round(CAST(s1 AS DOUBLE) / n / 1000000, 6) AS ma7,
+           round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n / 1000000, 6)
+             AS sd7,
+           (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             > 2 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)
+             AS above_upper,
+           (CAST(s1 AS DOUBLE) / n - CAST(v AS DOUBLE))
+             > 2 * (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)
+             AS below_lower
+    FROM m WHERE n = 7
+    """,
+)
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band anomaly flags over daily totals: trailing-7-day
+    mean and population-σ from EXACT integer-micros window moments
+    (Σv, Σv² in wide integers inside the frame — the windowed twin of
+    agg_variance_exact), breakout = |v - ma| > 2σ. Only complete
+    windows emit. The window runs over the day-grain aggregate: one
+    row per day regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+        ).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    m = daily.select(
+        "day",
+        "v",
+        F.sum("v").over(w).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .over(w)
+        .alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == 7)
+    sd = (
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        )
+        / F.col("n")
+    )
+    ma = F.col("s1").cast("double") / F.col("n")
+    v = F.col("v").cast("double")
+    return m.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(v / 1_000_000, 6).alias("value"),
+        F.round(ma / 1_000_000, 6).alias("ma7"),
+        F.round(sd / 1_000_000, 6).alias("sd7"),
+        ((v - ma) > 2 * sd).alias("above_upper"),
+        ((ma - v) > 2 * sd).alias("below_lower"),
+    )

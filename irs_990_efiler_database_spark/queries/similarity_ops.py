@@ -779,3 +779,88 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid")
     )
+
+
+@register(
+    "sim_knn_label_eval",
+    oracle=f"""
+    WITH {_SQL_DOTS.replace("q.vec_id < 5", "q.vec_id < 50")},
+    top3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    ),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS n_votes
+      FROM top3 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS predicted FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY n_votes DESC, label) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    """,
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation: each held-out query vector (vec_id
+    < 50) is labeled by the majority vote of its 3 nearest neighbors
+    (rounded-cosine ranking, lowest-label tie-break) and scored
+    against its true label — the embedding-quality metric that says
+    whether the vector space actually separates classes. One ranking
+    + two bounded joins over the existing cosine machinery."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    top3 = cosine_topk(e, e.filter(F.col("vec_id") < 50), k=3).select(
+        "query_id", "neighbor_id"
+    )
+    labels = e.select("vec_id", "label")
+    votes = (
+        top3.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted"))
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "truth"
+    )
+    return (
+        pred.join(truth, "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("truth"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 6
+            ).alias("accuracy"),
+        )
+    )
