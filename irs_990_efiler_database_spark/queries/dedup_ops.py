@@ -1178,3 +1178,77 @@ def fdedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("bands", "rows_per_band", "n_candidates", "n_planted_found")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "fdedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbands a
+      JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    goodpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM goodpairs
+      UNION
+      SELECT id_b, id_a FROM goodpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    members AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM members GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def fdedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure fingerprint: the distribution of near-dup
+    cluster sizes (how much of the corpus lives in pairs vs larger
+    duplicate families) — the first chart a dedup report shows, and
+    the input to removal-budget planning. Frequencies of the bounded
+    cluster-membership frame; everything upstream is the shared LSH
+    funnel."""
+    from pyspark.sql import functions as _F
+
+    from ..operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(_augmented(spark, sf_dir), threshold=0.5)
+    members = connected_components(pairs)
+    sizes = members.groupBy("cluster_id").agg(
+        _F.count(_F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(
+        _F.col("sz").cast("long").alias("cluster_size")
+    ).agg(
+        _F.count(_F.lit(1)).cast("long").alias("n_clusters"),
+        _F.sum("sz").cast("long").alias("n_docs"),
+    )

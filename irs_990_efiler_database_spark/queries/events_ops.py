@@ -2459,3 +2459,56 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((v - ma) > 2 * sd).alias("above_upper"),
         ((ma - v) > 2 * sd).alias("below_lower"),
     )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             SUM(CAST(round(value * 1000000) AS HUGEINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT dow, SUM(v) AS sv, COUNT(*) AS nd FROM daily GROUP BY 1
+    ),
+    overall AS (SELECT SUM(v) AS st, COUNT(*) AS nt FROM daily)
+    SELECT p.dow,
+           CAST(p.nd AS BIGINT) AS n_days,
+           round(CAST(p.sv AS DOUBLE) / p.nd / 1000000, 6) AS avg_daily,
+           round((CAST(p.sv AS DOUBLE) / p.nd)
+                 / (CAST(o.st AS DOUBLE) / o.nt), 6) AS seasonality_index
+    FROM per_dow p CROSS JOIN overall o
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's average daily
+    value over the overall daily average (index 1.0 = flat) — the
+    profile that seeds staffing and anomaly baselines. Exact
+    integer-micros sums at day grain; two bounded aggregates and one
+    broadcast of the overall row. DuckDB's dayofweek (0=Sunday)
+    matches Spark's dayofweek-1, aligned explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.dayofweek(F.to_date("ts")) - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+        ).alias("v")
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("nd")
+    )
+    overall = daily.agg(
+        F.sum("v").alias("st"), F.count(F.lit(1)).alias("nt")
+    )
+    avg_daily = F.col("sv").cast("double") / F.col("nd")
+    overall_avg = F.col("st").cast("double") / F.col("nt")
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(avg_daily / 1_000_000, 6).alias("avg_daily"),
+        F.round(avg_daily / overall_avg, 6).alias("seasonality_index"),
+    )
