@@ -2512,3 +2512,57 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_daily / 1_000_000, 6).alias("avg_daily"),
         F.round(avg_daily / overall_avg, 6).alias("seasonality_index"),
     )
+
+
+@register(
+    "events_rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 1000000) AS HUGEINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, v,
+             list_sort(list(v) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win,
+             COUNT(*) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(v AS DOUBLE) / 1000000, 6) AS value,
+           round(CAST(win[4] AS DOUBLE) / 1000000, 6) AS median7
+    FROM w WHERE n = 7
+    """,
+)
+def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (robust trend line): the 7-day window's
+    values collect into a bounded in-row array, sort row-locally, and
+    the 4th element is the exact median — the order-statistic rolling
+    windows can't express with frame aggregates alone, kept cheap
+    because the FRAME (not the data) bounds the array. Integer-micros
+    values make the collected array hashable cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+        ).cast("long").alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "v",
+            F.array_sort(F.collect_list("v").over(w)).alias("win"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("n") == 7)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("v").cast("double") / 1_000_000, 6).alias("value"),
+            F.round(
+                F.element_at("win", 4).cast("double") / 1_000_000, 6
+            ).alias("median7"),
+        )
+    )

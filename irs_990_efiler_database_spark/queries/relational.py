@@ -1805,3 +1805,44 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 30
         """
     )
+
+
+@register(
+    "agg_weighted_avg_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS HUGEINT)) AS DOUBLE) / 100
+             AS qty_weighted_avg_price,
+           CAST(SUM(CAST(l_quantity AS HUGEINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted average (price weighted by quantity): both the
+    weighted numerator and the weight total accumulate as wide
+    integers, so the distributed result is ONE double division —
+    unlike a double-weighted avg whose partial sums drift with shuffle
+    order. The unit-price weighting is the 'average realized price'
+    every sales rollup needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    qty = F.col("l_quantity").cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(cents * qty).alias("wsum"),
+            F.sum(qty).alias("wtot"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.col("wsum").cast("double")
+                / F.col("wtot").cast("double")
+                / 100
+            ).alias("qty_weighted_avg_price"),
+            F.col("wtot").cast("long").alias("total_qty"),
+        )
+    )

@@ -1785,3 +1785,54 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("intercept_ln"),
     )
+
+
+@register(
+    "text_kwic_concordance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, t, i
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] = 'spark'
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS position,
+           coalesce(array_to_string(t[greatest(i - 3, 1):i - 1], ' '), '')
+             AS left_ctx,
+           coalesce(array_to_string(t[i + 1:least(i + 3, len(t))], ' '), '')
+             AS right_ctx
+    FROM hits
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of the
+    term with its ±3-token context — the corpus-inspection tool behind
+    tokenizer debugging and annotation sampling. posexplode finds hit
+    positions; contexts are row-local array slices (clamped at doc
+    edges), so the only shuffle is whatever the consumer adds."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.select("doc_id", t.alias("t"))
+    hits = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("p0", "tok")
+    ).filter(F.col("tok") == "spark")
+    i = F.col("p0") + 1  # 1-based position to mirror SQL slices
+    left = F.slice(
+        F.col("t"),
+        F.greatest(i - 3, F.lit(1)),
+        F.greatest(i - F.greatest(i - 3, F.lit(1)), F.lit(0)),
+    )
+    right_start = i + 1
+    right_len = F.greatest(
+        F.least(i + 3, F.size("t")) - right_start + 1, F.lit(0)
+    )
+    right = F.slice(F.col("t"), right_start, right_len)
+    return hits.select(
+        "doc_id",
+        i.cast("long").alias("position"),
+        F.concat_ws(" ", left).alias("left_ctx"),
+        F.concat_ws(" ", right).alias("right_ctx"),
+    )
