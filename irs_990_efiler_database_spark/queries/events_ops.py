@@ -2566,3 +2566,62 @@ def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median7"),
         )
     )
+
+
+@register(
+    "events_gini_coefficient",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 1000000) AS HUGEINT)) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+      FROM per_user
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(i AS HUGEINT) * x) AS six
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(CAST(2 * six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM m
+    """,
+)
+def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of purchase spend across users — the standard
+    inequality single-number (0 = equal, ->1 = concentrated),
+    complementing the Pareto top-decile share. Rank-weighted exact
+    integer sums (2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n) with a
+    deterministic (value, user) rank order; the ranking window runs
+    over the user-grain frame."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(
+            (2 * F.col("six")).cast("double")
+            / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

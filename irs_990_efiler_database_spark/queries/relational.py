@@ -1846,3 +1846,45 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wtot").cast("long").alias("total_qty"),
         )
     )
+
+
+@register(
+    "win_value_frame_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest_key
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_value_frame_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family: first_value, last_value, and nth_value
+    over a full-partition frame (default frames silently truncate
+    last/nth at the current row — the classic window gotcha, stated
+    explicitly here with UNBOUNDED FOLLOWING); deterministic total
+    order (price, key)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    ordered = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(ordered).alias("cheapest_key"),
+        F.last("o_orderkey").over(full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias(
+            "second_cheapest_key"
+        ),
+    )
