@@ -2625,3 +2625,56 @@ def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_sankey_step_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS step
+      FROM events
+    ),
+    first3 AS (SELECT * FROM seq WHERE step <= 3),
+    trans AS (
+      SELECT a.step AS from_step, a.event_type AS from_type,
+             b.event_type AS to_type
+      FROM first3 a
+      JOIN first3 b ON b.user_id = a.user_id AND b.step = a.step + 1
+    )
+    SELECT CAST(from_step AS BIGINT) AS from_step, from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM trans GROUP BY 1, 2, 3
+    """,
+)
+def events_sankey_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-indexed flow (Sankey) counts: what users do 1st -> 2nd ->
+    3rd, as (step, from, to) transition volumes — the onboarding-flow
+    diagram's data. One rank window per user, a self-join on
+    (user, step+1) over the 3-row-per-user frame; unlike the Markov
+    matrix (time-homogeneous), this keeps the step index."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("step")
+    ).filter(F.col("step") <= 3)
+    a = seq.select(
+        "user_id",
+        F.col("step").alias("from_step"),
+        F.col("event_type").alias("from_type"),
+    )
+    b = seq.select(
+        "user_id",
+        (F.col("step") - 1).alias("from_step"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        a.join(b, ["user_id", "from_step"])
+        .groupBy(
+            F.col("from_step").cast("long").alias("from_step"),
+            "from_type",
+            "to_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
