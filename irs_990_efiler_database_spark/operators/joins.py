@@ -137,10 +137,15 @@ def guarded_join(
     max_output_rows: int = 100_000_000,
 ) -> DataFrame:
     """Equi-join with a cardinality guard: before executing, compute
-    the EXACT inner-join output size as sum over join keys of
-    count_left * count_right (two key-count aggregations + a tiny
-    key-frame join — shuffles only (key, count) pairs), and refuse
-    with JoinExplosionError if it exceeds ``max_output_rows``.
+    the EXACT output size per join type from the two key-count frames
+    (two key-count aggregations + a tiny full-outer key join —
+    shuffles only (key, count) pairs), and refuse with
+    JoinExplosionError if it exceeds ``max_output_rows``.
+
+    Per-type exact cardinality over matched/unmatched key groups:
+    inner = Σ ln·rn; left adds Σ ln over right-unmatched keys; right
+    adds Σ rn over left-unmatched keys; full adds both; semi/anti are
+    bounded by |left| and never explode, so they skip the probe.
 
     This is the production guardrail against the classic silent
     blow-up (an unexpected many-to-many key like NULL-ish sentinels or
@@ -148,17 +153,24 @@ def guarded_join(
     executor OOM three hours into a 100 TB run. Cost: one extra pass
     over each side's key columns; the data rows themselves are not
     shuffled until the join is approved."""
+    norm = how.lower().replace("outer", "").strip("_")
+    if norm in ("semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        return left.join(right, on, how)  # output ≤ |left| rows
     lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("_ln"))
     rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("_rn"))
-    est_row = (
-        lc.join(rc, on)
-        .agg(F.sum(F.col("_ln") * F.col("_rn")).alias("n"))
-        .collect()[0]
-    )
-    est = est_row["n"] or 0
+    both = lc.join(rc, on, "full_outer")
+    inner = F.sum(F.col("_ln") * F.col("_rn"))
+    left_only = F.sum(F.when(F.col("_rn").isNull(), F.col("_ln")))
+    right_only = F.sum(F.when(F.col("_ln").isNull(), F.col("_rn")))
+    terms = F.coalesce(inner, F.lit(0))
+    if norm in ("left", "full"):
+        terms = terms + F.coalesce(left_only, F.lit(0))
+    if norm in ("right", "full"):
+        terms = terms + F.coalesce(right_only, F.lit(0))
+    est = both.agg(terms.alias("n")).collect()[0]["n"] or 0
     if est > max_output_rows:
         raise JoinExplosionError(
-            f"join on {on} would produce {est} rows "
+            f"{how} join on {on} would produce {est} rows "
             f"(cap {max_output_rows}); check key uniqueness"
         )
     return left.join(right, on, how)

@@ -207,13 +207,15 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collision buckets of the LSH banding stage — the only shuffle in
     candidate generation carries (doc_id, band_hash), never text.
 
-    The (id, bh) projection is persisted AND materialized before the
-    posexplode: projection collapse would otherwise inline the whole
-    interpreted shingle->minhash->band HOF tree INTO the Generate and
-    re-evaluate it per exploded row (measured 92 s -> ~3 s at sf0.01
-    — same class as the round-3 base-hash and boilerplate fixes)."""
+    The (id, bh) projection is persisted before the posexplode:
+    projection collapse would otherwise inline the whole interpreted
+    shingle->minhash->band HOF tree INTO the Generate and re-evaluate
+    it per exploded row (measured 92 s -> ~3 s at sf0.01 — same class
+    as the round-3 base-hash and boilerplate fixes). The persist is
+    LAZY — the InMemoryRelation boundary alone blocks the collapse;
+    the first consuming action pays the one materialization, so
+    plan-only consumers (plan_audit) pay nothing."""
     sh = shingled(_augmented(spark, sf_dir)).select("id", "bh").persist()
-    sh.count()
     return (
         sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
         .groupBy(F.col("band_idx").cast("long").alias("band_idx"), "band_hash")
@@ -729,8 +731,7 @@ def fdedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set separates containment from Jaccard."""
     from ..operators.dedup import cap_hot_buckets, shingled
 
-    sh = shingled(_augmented(spark, sf_dir)).persist()
-    sh.count()
+    sh = shingled(_augmented(spark, sf_dir)).persist()  # lazy barrier
     bands = sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
     bands = cap_hot_buckets(bands, ["band_idx", "band_hash"], 1000)
     a, b = bands.alias("a"), bands.alias("b")

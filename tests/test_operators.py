@@ -413,3 +413,33 @@ def test_guarded_join_passes_and_refuses(spark):
     assert ok.count() == 1 + 2 * 2
     with pytest.raises(JoinExplosionError, match="would produce 5 rows"):
         guarded_join(left, right, ["k"], max_output_rows=4)
+
+
+def test_guarded_join_outer_counts_unmatched(spark):
+    """The guard's estimate includes unmatched-row terms per join type:
+    a left join whose inner portion fits the cap can still blow it on
+    left-unmatched rows (ADVICE r4), and semi/anti skip the probe."""
+    import pytest
+
+    from irs_990_efiler_database_spark.operators.joins import (
+        JoinExplosionError,
+        guarded_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, "l") for k in range(10)] + [(99, "m"), (99, "n")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame([(99, "x"), (99, "y")], "k long, rv string")
+    # inner = 2*2 = 4 rows: passes a cap of 5
+    assert guarded_join(left, right, ["k"], "inner", max_output_rows=5).count() == 4
+    # left join = 4 + 10 unmatched = 14 rows: must refuse the same cap
+    with pytest.raises(JoinExplosionError, match="would produce 14 rows"):
+        guarded_join(left, right, ["k"], "left", max_output_rows=5)
+    # full join adds right-unmatched (none here) — same 14
+    with pytest.raises(JoinExplosionError, match="would produce 14 rows"):
+        guarded_join(left, right, ["k"], "full", max_output_rows=5)
+    assert guarded_join(left, right, ["k"], "left", max_output_rows=20).count() == 14
+    # semi/anti are bounded by |left|: no probe, no refusal
+    assert guarded_join(left, right, ["k"], "left_semi", max_output_rows=1).count() == 2
+    assert guarded_join(left, right, ["k"], "left_anti", max_output_rows=1).count() == 10

@@ -92,6 +92,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # builders may persist() reused intermediates; without this,
+            # cached frames accumulate across a full-registry sweep
+            spark.catalog.clearCache()
         if spark_only:
             print(f"TIME {name}: {sn} rows [{time.time()-t0:.2f}s]")
             continue
