@@ -1,0 +1,111 @@
+"""Distributed exact global ranking and NTILE — retires the
+single-partition ``Window.orderBy(...)`` (no partitionBy) pattern.
+
+``F.row_number().over(Window.orderBy(...))`` funnels the entire input
+through ONE task — the classic scale-killer (flagged as the r4
+global-NTILE family). The distributed equivalent here is the textbook
+two-pass rank:
+
+1. ``repartitionByRange`` on the total order — each partition holds a
+   contiguous, disjoint key range, and partition *i*'s range sorts
+   before partition *i+1*'s (RangePartitioner invariant);
+2. per-partition local ``row_number`` (windows partitioned by the
+   Spark partition id — all partitions rank in parallel);
+3. per-partition row counts (a #partitions-row frame) prefix-summed on
+   the driver-side-tiny frame and broadcast-joined back as offsets.
+
+global_rank = offset(partition) + local_rank. Exact, deterministic
+(callers must include a unique tiebreak in ``order_cols``), and no
+operator ever sees more than one partition's rows.
+
+``exact_ntile`` applies the SQL NTILE(n) assignment rule to that rank:
+the first ``total mod n`` tiles get ``ceil(total/n)`` rows, the rest
+``floor(total/n)`` — bit-identical to ``F.ntile``/DuckDB ``NTILE``
+under the same total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_LRN = "__gr_lrn"
+_OFF = "__gr_off"
+_CNT = "__gr_cnt"
+_TOT = "__gr_tot"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = exact 1-based global row number under the
+    total order ``order_cols`` (include a unique tiebreak for
+    determinism), computed without any single-partition window.
+
+    Also carries a ``__gr_tot`` total-row-count column (consumed by
+    ``exact_ntile``; dropped from public output by callers).
+
+    Cost: one range shuffle of the input + one pid-hash shuffle for
+    the local windows + a broadcast join against the #partitions-row
+    offset frame. Every window partition is one range partition."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        _LRN, F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+    )
+    # offsets: counts per pid, prefix-summed over the tiny pid frame
+    # (bounded by num_partitions rows — the one safe ordered window)
+    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    wall = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        _PID,
+        (F.sum(_CNT).over(Window.orderBy(_PID)) - F.col(_CNT)).alias(_OFF),
+        F.sum(_CNT).over(wall).alias(_TOT),
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
+        .drop(_PID, _LRN, _OFF, _CNT)
+    )
+
+
+def ntile_of_rank(rank: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) tile for a 1-based ``rank`` out of ``total`` rows:
+    the first ``total % n`` tiles take ``total div n + 1`` rows, the
+    remainder ``total div n`` (ANSI / Spark / DuckDB NTILE rule)."""
+    low = F.floor(total / n)  # base tile size (may be 0 when total < n)
+    rem = total % n  # tiles that take one extra row
+    cut = rem * (low + 1)  # last rank inside the big tiles
+    big = F.floor((rank - 1) / (low + 1)) + 1
+    small = rem + F.floor((rank - 1 - cut) / low) + 1
+    return F.when(rank <= cut, big).otherwise(small).cast("long")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[Column | str],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = NTILE(n) OVER (ORDER BY order_cols), computed
+    distributedly: global rank via ``global_row_number`` + the closed-
+    form tile assignment. Bit-identical to the single-partition
+    ``F.ntile`` under the same (deterministic) total order."""
+    rn = "__gr_rank"
+    ranked = global_row_number(df, order_cols, rn, num_partitions)
+    return ranked.withColumn(
+        out_col, ntile_of_rank(F.col(rn), F.col(_TOT), n)
+    ).drop(rn, _TOT)

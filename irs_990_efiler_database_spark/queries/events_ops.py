@@ -1338,12 +1338,14 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles over
     purchases) — the canonical customer-scoring rollup. The per-user
-    aggregation shrinks the stream before the three global NTILE
-    windows run (one row per purchasing user into each; tie-broken by
-    user_id so both engines rank identically); monetary sums
-    accumulate as DECIMAL. At corpus scale the global ntiles would
-    swap for the binned-quantile sketch — both shapes exist."""
-    from pyspark.sql import Window
+    aggregation shrinks the stream before the quartile cuts (one row
+    per purchasing user; tie-broken by user_id so both engines rank
+    identically); monetary sums accumulate as DECIMAL. Each quartile
+    is assigned by the DISTRIBUTED exact-ntile operator
+    (``operators.ntile.exact_ntile``: range-partitioned local ranks +
+    broadcast offsets) — bit-identical to the oracle's global NTILE
+    with no single-partition window anywhere in the plan."""
+    from ..operators.ntile import exact_ntile
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -1360,23 +1362,21 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    return rfm.select(
+    out = exact_ntile(rfm, 4, ["recency_us", "user_id"], "r_quartile")
+    out = exact_ntile(
+        out, 4, [F.col("frequency").desc(), F.col("user_id")], "f_quartile"
+    )
+    out = exact_ntile(
+        out, 4, [F.col("monetary").desc(), F.col("user_id")], "m_quartile"
+    )
+    return out.select(
         "user_id",
         "recency_us",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_us", "user_id"))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-        .cast("long")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

@@ -1888,3 +1888,42 @@ def win_value_frame_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_cheapest_key"
         ),
     )
+
+
+@register(
+    "win_exact_ntile_distributed",
+    oracle="""
+    SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders
+    )
+    GROUP BY tile
+    """,
+)
+def win_exact_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE(7) over ALL orders — assigned by the DISTRIBUTED
+    exact-ntile operator (``operators.ntile.exact_ntile``): range
+    repartition on the total order, per-range-partition local
+    row_number, broadcast prefix-sum offsets, closed-form tile rule.
+    Bit-identical to the oracle's single-window NTILE, but every
+    window in the plan is partitioned — the pattern that replaces the
+    global-window family at 100-TB scale (r4 next-round item #4).
+    min/max per tile are exact order statistics (no double
+    accumulation), so the hash comparison is engine-stable."""
+    from ..operators.ntile import exact_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        exact_ntile(o, 7, ["o_totalprice", "o_orderkey"], "tile")
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

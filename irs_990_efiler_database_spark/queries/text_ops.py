@@ -979,19 +979,18 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum bucketing: documents ranked by their unigram
     LM score and cut into NTILE deciles — the binning step before
     quality-weighted sampling or curriculum ordering of a training
-    mix. The global NTILE runs over ONE row per document (the already-
-    aggregated scores), and the output is 10 rows; at larger scale the
-    exact global ntile would swap for the mergeable binned-quantile
-    sketch (`sketch_binned_quantiles`) — both shapes exist in the
-    engine."""
-    from pyspark.sql import Window
+    mix. The decile cut uses the DISTRIBUTED exact-ntile operator
+    (``operators.ntile.exact_ntile``: range-partitioned local ranks +
+    broadcast offsets — no single-partition window), bit-identical to
+    the oracle's global NTILE; the mergeable binned-quantile sketch
+    (`sketch_binned_quantiles`) remains the approximate alternative."""
+    from ..operators.ntile import exact_ntile
 
     scores = text_lm_unigram_score(spark, sf_dir).select(
         "doc_id", "avg_logprob"
     )
-    w = Window.orderBy("avg_logprob", "doc_id")
     return (
-        scores.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        exact_ntile(scores, 10, ["avg_logprob", "doc_id"], "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1738,9 +1737,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated corpora deviate — a corpus-health fingerprint). The
     log points quantize to exact micro-units (round * 1e6 -> integer)
     so the OLS moments accumulate in wide integers — order-free — and
-    the slope is scale-invariant under the quantization. The ranking
-    window runs over the vocabulary-bounded frequency table, not the
-    token stream."""
+    the slope is scale-invariant under the quantization. Vocabulary
+    ranks come from the DISTRIBUTED exact ranker
+    (``operators.ntile.global_row_number``: range-partitioned local
+    ranks + broadcast offsets), so no single-partition window runs
+    even over the frequency table."""
+    from ..operators.ntile import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -1749,14 +1752,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), "tok")
-    pts = vocab.select(
+    ranked = global_row_number(
+        vocab, [F.col("freq").desc(), F.col("tok")], "rank"
+    )
+    pts = ranked.select(
         F.round(F.log(F.col("freq").cast("double")) * 1_000_000)
         .cast("decimal(38,0)")
         .alias("y"),
-        F.round(
-            F.log(F.row_number().over(w).cast("double")) * 1_000_000
-        )
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
         .cast("decimal(38,0)")
         .alias("x"),
     )

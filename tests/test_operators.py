@@ -443,3 +443,45 @@ def test_guarded_join_outer_counts_unmatched(spark):
     # semi/anti are bounded by |left|: no probe, no refusal
     assert guarded_join(left, right, ["k"], "left_semi", max_output_rows=1).count() == 2
     assert guarded_join(left, right, ["k"], "left_anti", max_output_rows=1).count() == 10
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """Distributed exact_ntile is bit-identical to F.ntile under the
+    same total order, for n < total, n ~ total, and n > total, and the
+    full-frame window in its plan is PARTITIONED (the prefix-sum
+    window runs only over the #partitions-row counts frame)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.operators.ntile import (
+        exact_ntile,
+        global_row_number,
+    )
+
+    rows = [(i, (i * 37) % 53) for i in range(997)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for n in (2, 10, 997, 5000):
+        ref = df.select(
+            "id",
+            F.ntile(n).over(Window.orderBy("v", "id")).cast("long").alias("t"),
+        )
+        got = exact_ntile(df, n, ["v", "id"], "t").select("id", "t")
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+
+    # global_row_number: exact 1..N permutation under a desc order
+    rn = global_row_number(df, [F.col("v").desc(), F.col("id")], "rn")
+    got_rn = sorted(r["rn"] for r in rn.select("rn").collect())
+    assert got_rn == list(range(1, 998))
+
+    plan = (
+        exact_ntile(df, 4, ["v", "id"], "t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every row_number window must carry a partition spec
+    for m in re.finditer(r"Window \[row_number\(\).*?\], \[(.*?)\]", plan):
+        assert "__gr_pid" in m.group(0)
