@@ -26,6 +26,7 @@ from ..plans.concordance import (
     load_core_spec,
     load_rdb_spec,
     load_schedn_spec,
+    schedule_guard,
     table_rows,
 )
 
@@ -193,9 +194,6 @@ def _key_row(url: str, root: ET.Element) -> dict:
     }
 
 
-_TABLE_GUARDS = {"SJ-": "IRS990ScheduleJ", "SN-": "IRS990ScheduleN"}
-
-
 def golden_rdb_rows(
     url: str, xml_text: str, table_name: str
 ) -> tuple[list[str], list[dict]]:
@@ -204,9 +202,9 @@ def golden_rdb_rows(
     rows_meta = table_rows(table_name)
     if not rows_meta:
         raise KeyError(table_name)
-    for prefix, member in _TABLE_GUARDS.items():
-        if table_name.startswith(prefix) and member not in xml_text:
-            return [], []
+    member = schedule_guard(rows_meta)
+    if member is not None and member not in xml_text:
+        return [], []
     root = load_doc(xml_text)
     keys = _key_row(url, root)
     key_cols = list(keys)

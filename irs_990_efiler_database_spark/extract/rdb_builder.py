@@ -23,18 +23,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.concordance import concrete_groups, load_core_spec, table_rows
+from ..plans.concordance import (
+    concrete_groups,
+    load_core_spec,
+    schedule_guard,
+    table_rows,
+)
 from ..sources.xml_source import build_return_schema
 from .compiler import ExprCompiler
 
 KEY_COLS = ("OBJECT_ID", "EIN", "NAME", "TAXYR", "FORMTYPE", "URL")
-
-# schedule guard: table prefix → ReturnData member whose presence gates
-# row emission (reference: buildSchedJ guard :4428)
-_TABLE_GUARDS = {
-    "SJ-": "IRS990ScheduleJ",
-    "SN-": "IRS990ScheduleN",
-}
 
 
 def _key_exprs(c: ExprCompiler) -> list[Column]:
@@ -86,11 +84,16 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
     c = ExprCompiler(builder)
     keys = _key_exprs(c)
 
-    guard = None
-    for prefix, member in _TABLE_GUARDS.items():
-        if table_name.startswith(prefix):
-            guard = F.col("xml").contains(member)
-    src = returns.filter(guard) if guard is not None else returns
+    # data-driven schedule guard (reference: buildSchedJ presence gate,
+    # :4428): derived from the table's own xpath set — SJ-/SN- tables
+    # gate on their schedule member, master-concordance slices gate on
+    # theirs (IRS990ScheduleA, IRS990PF, …), body tables don't gate
+    member = schedule_guard(rows)
+    src = (
+        returns.filter(F.col("xml").contains(member))
+        if member is not None
+        else returns
+    )
 
     ones = [r for r in rows if r["cardinality"] == "ONE"]
     manys = [r for r in rows if r["cardinality"] == "MANY"]

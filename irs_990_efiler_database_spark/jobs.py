@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from .extract.core_builder import build_core
 from .extract.rdb_builder import build_rdb_table
 from .extract.schedn_builder import build_schedn_table, schedn_table_names
-from .plans.concordance import load_core_spec, table_names
+from .plans.concordance import load_core_spec, master_table_names, table_names
 from .sinks import read_table, write_csv, write_dead_letter, write_table
 from .sources.index import filter_index
 from .sources.xml_source import (
@@ -69,7 +69,19 @@ def _all_builders():
             lambda r, _t=t: build_schedn_table(r, _t),
             ("FISYR", "FORMTYPE"),
         )
+    # registered master-concordance slices (Schedule A, 990PF, any
+    # runtime-registered location): buildable via tables=[...] but NOT
+    # in the default build set — the default stays at reference parity
+    # (CORE + PartVII + SchedJ + SchedN, :5135-5163)
+    for t in master_table_names():
+        builders[t] = (lambda r, _t=t: build_rdb_table(r, _t), ("TAXYR", "FORMTYPE"))
     return builders
+
+
+def _default_tables() -> list[str]:
+    return (
+        ["CORE"] + list(table_names()) + list(schedn_table_names())
+    )
 
 
 def build_database(
@@ -108,7 +120,7 @@ def build_database(
     try:
         result = BuildResult()
         builders = _all_builders()
-        selected = tables if tables is not None else list(builders)
+        selected = tables if tables is not None else _default_tables()
         from pyspark.sql import Observation
 
         for name in selected:
@@ -174,7 +186,7 @@ def build_database_incremental(
     from pyspark.sql import Observation
 
     builders = _all_builders()
-    selected = tables if tables is not None else list(builders)
+    selected = tables if tables is not None else _default_tables()
     out = out_dir.rstrip("/")
     result = BuildResult()
     for name in selected:

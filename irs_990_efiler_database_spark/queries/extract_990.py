@@ -26,7 +26,7 @@ from ..extract.golden import (
 )
 from ..extract.rdb_builder import build_rdb_table
 from ..extract.schedn_builder import build_schedn_table, schedn_table_names
-from ..plans.concordance import load_core_spec, table_names
+from ..plans.concordance import load_core_spec, master_table_names, table_names
 from ..sources.xml_source import read_return_xml_files
 from . import register
 
@@ -58,6 +58,14 @@ def _register_rdb(table: str) -> None:
 
 
 for _t in table_names():
+    _register_rdb(_t)
+
+# master-concordance slices (reference create_code_chunks analog,
+# :5186-5291): built by the SAME generic build_rdb_table through the
+# registered master spec — concordance groups NOT covered by the two
+# per-table CSVs (Schedule A) plus the 990PF balance sheet (the r4
+# missing-#1 proof + stretch #7)
+for _t in master_table_names():
     _register_rdb(_t)
 
 

@@ -32,6 +32,8 @@ from ..plans.concordance import (
     load_core_spec,
     load_rdb_spec,
     load_schedn_spec,
+    master_table_names,
+    table_rows,
 )
 from ..plans.xml_schema import XmlSchemaBuilder
 
@@ -88,6 +90,13 @@ def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
             for gp, leaves in concrete_groups(many).items():
                 if any(rel for rel in leaves):  # real repeating group
                     b.mark_repeated(gp)
+
+    # registered master-concordance slices (all ONE-cardinality doc
+    # scalars — the create_code_chunks shape); register_master_table
+    # clears this cache so late registrations re-enter the struct
+    for name in master_table_names():
+        for r in table_rows(name):
+            b.add_xpath(r["xpath"])
 
     # Schedule N (explicit groups; reference :2875-4140). Every (group,
     # version-rel) combination is declared — absent combos parse to

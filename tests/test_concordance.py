@@ -50,3 +50,123 @@ def test_concrete_groups_cover_all_many_rows():
         covered = sum(len(le) for le in concrete_groups(rows).values())
         distinct = len({(r["xpath"]) for r in rows})
         assert covered == distinct, table
+
+
+def test_master_table_rows_shape_and_guard():
+    """The master-concordance loader (create_code_chunks analog,
+    reference :5186-5291) emits the exact spec-row shape
+    build_rdb_table consumes, and the data-driven schedule guard
+    reproduces the old hardcoded SJ-/SN- behavior while generalizing
+    to Schedule A / 990PF slices."""
+    from irs_990_efiler_database_spark.plans.concordance import (
+        master_table_rows,
+        schedule_guard,
+    )
+
+    rows = master_table_rows("SCHED-A-PART-02")
+    assert rows and all(
+        set(r) == {
+            "xpath", "variable", "data_type", "cardinality",
+            "rdb_table", "scope", "production_rule",
+        }
+        for r in rows
+    )
+    assert all(r["cardinality"] == "ONE" for r in rows)
+    # prefix match pulls -LINE- sublocations in
+    assert len({r["variable"] for r in rows}) > 100
+
+    assert schedule_guard(rows) == "IRS990ScheduleA"
+    assert schedule_guard(master_table_rows("IRS990PF-PART-02")) == "IRS990PF"
+    assert schedule_guard(table_rows("SJ-P01-T00-CHECKLIST")) == "IRS990ScheduleJ"
+    # 990/990EZ body tables mix ReturnData members — no guard
+    assert schedule_guard(table_rows("F9-P07-TABLE-01-DTK-COMPENSATION")) is None
+    # header-xpath slices (officer block) — no guard
+    assert schedule_guard(master_table_rows("F990-PF-PART-02")) is None
+
+
+def test_master_slice_multiversion_coalesce_values(spark):
+    """Multi-version coalesce THROUGH the master path: the same
+    variable (GGCRCTYEAR — gifts/grants received, current year) fills
+    from the post-2013 Grp leaf on a 2015 doc and the
+    Form990ScheduleAPartII leaf on a 2012 doc; non-ScheduleA filings
+    emit no row at all (guard)."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+    out = {
+        r["EIN"]: r.asDict()
+        for r in build_rdb_table(returns, "SCHED-A-PART-02").collect()
+    }
+    assert set(out) == {"100000010", "100000011"}
+    assert out["100000010"]["GGCRCTYEAR"] == "600000"  # Grp-style leaf
+    assert out["100000011"]["GGCRCTYEAR"] == "210000"  # PartII-style leaf
+    assert out["100000010"]["GROINVINCTOT"] == "55000"
+    assert out["100000011"]["GROINVINCTOT"] == "18000"
+
+    pf = {
+        r["EIN"]: r.asDict()
+        for r in build_rdb_table(returns, "IRS990PF-PART-02").collect()
+    }
+    assert set(pf) == {"100000012"}
+    assert pf["100000012"]["FORMTYPE"] == "990PF"
+    assert pf["100000012"]["BSTAEOY"] == "1350000"
+    assert pf["100000012"]["BSTNAOFBEOY"] == "1315000"
+
+    sa1 = {
+        r["EIN"]: r.asDict()
+        for r in build_rdb_table(returns, "SCHED-A-PART-01").collect()
+    }
+    assert sa1["100000010"]["PUBLORGAINDN"] == "X"
+    assert sa1["100000011"]["CHURCHAII"] == "X"
+
+
+def test_register_master_table_dynamic(spark):
+    """ANY master LOCATION can be registered at runtime: the slice
+    joins table_rows, the cached superset XML schema is rebuilt to
+    carry its xpaths, and the generic builder extracts it with no
+    builder changes. IRS990PF-PART-01 is NOT in the default set."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        register_master_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    name = register_master_table("IRS990PF-PART-01")
+    try:
+        rows = table_rows(name)
+        assert rows and all(r["rdb_table"] == name for r in rows)
+        returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+        out = build_rdb_table(returns, name).collect()
+        # guard admits only the PF filing; its doc carries no Part-1
+        # leaves, so every extraction column is NULL but keys resolve
+        assert len(out) == 1
+        row = out[0].asDict()
+        assert row["EIN"] == "100000012" and row["FORMTYPE"] == "990PF"
+        extraction_cols = {r["variable"] for r in rows}
+        assert all(row[c] is None for c in extraction_cols)
+    finally:
+        _MASTER_TABLES.pop(name, None)
+        from irs_990_efiler_database_spark.sources.xml_source import (
+            build_return_schema,
+        )
+
+        build_return_schema.cache_clear()
+
+
+def test_master_unknown_location_raises():
+    import pytest
+
+    from irs_990_efiler_database_spark.plans.concordance import (
+        register_master_table,
+    )
+
+    with pytest.raises(KeyError):
+        register_master_table("NOT-A-LOCATION")

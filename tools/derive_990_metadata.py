@@ -407,10 +407,32 @@ def parse_concordance(path: Path, table_prefix: str) -> list[dict]:
     return out
 
 
+def emit_master_index() -> int:
+    """Compact the FULL master concordance (the crosswalk the
+    reference's generic metaprogram ``create_code_chunks``
+    (:5186-5291) consumes slices of) into packaged metadata:
+    [VAR_NAME, LOCATION, SCOPE, XPATH] per row. With this shipped,
+    the engine can build ANY master LOCATION slice at runtime via
+    ``plans.concordance.register_master_table`` without consulting
+    the reference tree."""
+    with MASTER.open() as f:
+        rows = list(csv.DictReader(f))
+    compact = [
+        [r["VAR_NAME"], r["LOCATION"], r["SCOPE"], r["XPATH"]]
+        for r in rows
+        if r.get("XPATH", "").startswith("/Return") and r.get("VAR_NAME")
+    ]
+    (OUT_DIR / "master_index.json").write_text(json.dumps(compact))
+    return len(compact)
+
+
 def main() -> None:
     lines = _read_lines()
     core, unhandled = parse_scrape(lines)
     OUT_DIR.mkdir(parents=True, exist_ok=True)
+
+    n_master = emit_master_index()
+    print(f"master index: {n_master} xpath rows")
 
     n_scalar = sum(1 for v in core["vars"].values() if v.get("kind") == "scalar")
     print(
