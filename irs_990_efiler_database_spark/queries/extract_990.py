@@ -272,3 +272,106 @@ def x990_balance_sheet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((a - l - n) == 0).alias("balances"),
         )
     )
+
+
+def _public_support_oracle() -> str:
+    sa = golden_rdb_sql("SCHED-A-PART-02")
+    return f"""
+    WITH sa AS ({sa})
+    SELECT URL, EIN, NAME, TAXYR,
+           CAST(COALESCE(GIGRCORETOOT, GIGRCORCTOOT) AS BIGINT) AS gifts_total,
+           CAST(GROINVINCTOT AS BIGINT) AS invest_total,
+           CAST(OTHEINCOTOTA AS BIGINT) AS other_total,
+           COALESCE(CAST(COALESCE(GIGRCORETOOT, GIGRCORCTOOT) AS BIGINT), 0)
+             + COALESCE(CAST(GROINVINCTOT AS BIGINT), 0)
+             + COALESCE(CAST(OTHEINCOTOTA AS BIGINT), 0) AS total_support,
+           round(CAST(CAST(COALESCE(GIGRCORETOOT, GIGRCORCTOOT) AS BIGINT)
+                      AS DOUBLE)
+                 / (COALESCE(CAST(COALESCE(GIGRCORETOOT, GIGRCORCTOOT)
+                                  AS BIGINT), 0)
+                    + COALESCE(CAST(GROINVINCTOT AS BIGINT), 0)
+                    + COALESCE(CAST(OTHEINCOTOTA AS BIGINT), 0)), 6)
+             AS public_support_pct
+    FROM sa
+    """
+
+
+@register("x990_public_support_report", oracle=_public_support_oracle())
+def x990_public_support_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-support test (Schedule A Part II — the calculation every
+    501(c)(3) charity's status hinges on): gifts/grants over total support, from
+    the MASTER-CONCORDANCE-built SCHED-A-PART-02 table. The gifts
+    total coalesces the old-style and Grp-style concordance variables
+    — a report the reference cannot produce (its metaprogram emits the
+    extractor, not the analysis); here both sit under one oracle
+    hash."""
+    from pyspark.sql import functions as F
+
+    sa = build_rdb_table(_returns(spark), "SCHED-A-PART-02")
+    gifts = F.coalesce(
+        F.col("GIGRCORETOOT"), F.col("GIGRCORCTOOT")
+    ).cast("long")
+    invest = F.col("GROINVINCTOT").cast("long")
+    other = F.col("OTHEINCOTOTA").cast("long")
+    total = (
+        F.coalesce(gifts, F.lit(0))
+        + F.coalesce(invest, F.lit(0))
+        + F.coalesce(other, F.lit(0))
+    )
+    return sa.select(
+        "URL",
+        "EIN",
+        "NAME",
+        "TAXYR",
+        gifts.alias("gifts_total"),
+        invest.alias("invest_total"),
+        other.alias("other_total"),
+        total.alias("total_support"),
+        F.round(gifts.cast("double") / total, 6).alias("public_support_pct"),
+    )
+
+
+def _pf_balance_oracle() -> str:
+    pf = golden_rdb_sql("IRS990PF-PART-02")
+    return f"""
+    WITH pf AS ({pf})
+    SELECT URL, EIN, TAXYR,
+           CAST(BSTAEOY AS BIGINT) AS assets_eoy,
+           CAST(BSTLEOY AS BIGINT) AS liabilities_eoy,
+           CAST(BSTNAOFBEOY AS BIGINT) AS net_assets_eoy,
+           CAST(BSTAEOY AS BIGINT) - CAST(BSTLEOY AS BIGINT)
+             - CAST(BSTNAOFBEOY AS BIGINT) AS identity_gap,
+           (CAST(BSTAEOY AS BIGINT) - CAST(BSTLEOY AS BIGINT)
+             - CAST(BSTNAOFBEOY AS BIGINT)) = 0 AS balances
+    FROM pf
+    WHERE BSTAEOY IS NOT NULL AND BSTLEOY IS NOT NULL
+      AND BSTNAOFBEOY IS NOT NULL
+    """
+
+
+@register("x990_pf_balance_audit", oracle=_pf_balance_oracle())
+def x990_pf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """990PF balance-sheet identity audit over the master-built
+    IRS990PF-PART-02 table — the PF mirror of
+    ``x990_balance_sheet_audit``, proving the 990PF extraction slice
+    (r4 stretch #7) feeds the same analysis surface as the PC/EZ
+    pipeline."""
+    from pyspark.sql import functions as F
+
+    pf = build_rdb_table(_returns(spark), "IRS990PF-PART-02")
+    a = F.col("BSTAEOY").cast("long")
+    l = F.col("BSTLEOY").cast("long")
+    n = F.col("BSTNAOFBEOY").cast("long")
+    return (
+        pf.filter(a.isNotNull() & l.isNotNull() & n.isNotNull())
+        .select(
+            "URL",
+            "EIN",
+            "TAXYR",
+            a.alias("assets_eoy"),
+            l.alias("liabilities_eoy"),
+            n.alias("net_assets_eoy"),
+            (a - l - n).alias("identity_gap"),
+            ((a - l - n) == 0).alias("balances"),
+        )
+    )
