@@ -77,6 +77,11 @@ HEADLINE = [
     "graph_triangle_count",
     "rec_item_cooccurrence",
     "text_pmi_collocations",
+    # round 5 additions
+    "win_exact_ntile_distributed",
+    "events_rfm_segmentation",
+    "sim_hybrid_rrf_search",
+    "x990_public_support_report",
 ]
 
 

@@ -72,7 +72,11 @@ def _infer_type(xpaths: list[str]) -> str:
 
 
 def master_table_rows(
-    location: str, scope: str | None = None, table_name: str | None = None
+    location: str,
+    scope: str | None = None,
+    table_name: str | None = None,
+    cardinality: str = "ONE",
+    group_roots: list[str] | None = None,
 ) -> list[dict]:
     """ANY master-concordance LOCATION slice → the spec-row shape
     ``build_rdb_table`` consumes (the Spark analog of feeding an
@@ -82,11 +86,23 @@ def master_table_rows(
 
     ``location`` matches exactly or as a part prefix
     ('SCHED-A-PART-01' pulls its '-LINE-…' sublocations too).
-    The reference metaprogram is doc-level-scalar only, so every
-    emitted row is ONE-cardinality (multi-version xpaths coalesce,
-    P2 semantics); repeating-group extraction stays the province of
-    the per-table concordances (build_rdb_table MANY path)."""
+    The reference metaprogram is doc-level-scalar only, so the
+    default is ONE-cardinality rows (multi-version xpaths coalesce,
+    P2 semantics). ``cardinality='MANY'`` routes the slice through
+    build_rdb_table's explode path instead — group roots inferred by
+    find_group_names/concrete_groups exactly like the per-table
+    concordances (for repeating master slices such as the 990PF
+    Part VIII officer/contractor tables).
+
+    ``group_roots`` (implies MANY): names of the repeating XML
+    elements. The master's LOCATION labels are too coarse to infer
+    roots automatically (one "line" mixes several top-level members),
+    so MANY slices declare their repeating elements; rows are
+    filtered to xpaths passing through one of them and stamped with
+    the concrete ``group_root`` path ``concrete_groups`` consumes."""
     name = table_name or location
+    if group_roots:
+        cardinality = "MANY"
     by_var: dict[str, list[tuple[str, str]]] = {}
     for var, loc, sc, xp in load_master_index():
         if loc != location and not loc.startswith(location + "-"):
@@ -98,17 +114,25 @@ def master_table_rows(
     for var, pairs in by_var.items():
         xps = list(dict.fromkeys(xp for _, xp in pairs))
         for xp in xps:
-            out.append(
-                {
-                    "xpath": xp,
-                    "variable": var,
-                    "data_type": _infer_type(xps),
-                    "cardinality": "ONE",
-                    "rdb_table": name,
-                    "scope": pairs[0][0],
-                    "production_rule": "",
-                }
-            )
+            row = {
+                "xpath": xp,
+                "variable": var,
+                "data_type": _infer_type(xps),
+                "cardinality": cardinality,
+                "rdb_table": name,
+                "scope": pairs[0][0],
+                "production_rule": "",
+            }
+            if group_roots:
+                parts = xp.strip("/").split("/")
+                hit = next(
+                    (i for i, seg in enumerate(parts) if seg in group_roots),
+                    None,
+                )
+                if hit is None:
+                    continue  # xpath outside the declared groups
+                row["group_root"] = "/" + "/".join(parts[: hit + 1])
+            out.append(row)
     return out
 
 
@@ -120,22 +144,36 @@ _MASTER_TABLES: dict[str, list[dict]] = {}
 # missing-#1 proof tables: concordance groups NOT covered by the two
 # per-table CSVs) and the 990PF balance sheet (r4 stretch #7: the
 # index advertises FormType=990PF; the master carries its xpaths)
+# (name, location, cardinality, group_roots) — group_roots only for
+# MANY slices; the PF Part VIII officer list spans both XSD vintages
+# (OfcrDirTrusteesOrKeyEmployee pre-2013, OfficerDirTrstKeyEmplGrp
+# post-2013) and the ragged unionByName merges them
 _DEFAULT_MASTER_SLICES = (
-    "SCHED-A-PART-01",
-    "SCHED-A-PART-02",
-    "IRS990PF-PART-02",
+    ("SCHED-A-PART-01", "SCHED-A-PART-01", "ONE", None),
+    ("SCHED-A-PART-02", "SCHED-A-PART-02", "ONE", None),
+    ("IRS990PF-PART-02", "IRS990PF-PART-02", "ONE", None),
+    (
+        "PF-P08-OFFICERS",
+        "IRS990PF-PART-08-LINE-1",
+        "MANY",
+        ("OfcrDirTrusteesOrKeyEmployee", "OfficerDirTrstKeyEmplGrp"),
+    ),
 )
 
 
 def register_master_table(
-    location: str, scope: str | None = None, table_name: str | None = None
+    location: str,
+    scope: str | None = None,
+    table_name: str | None = None,
+    cardinality: str = "ONE",
+    group_roots: list[str] | None = None,
 ) -> str:
     """Make a master LOCATION slice available to ``build_rdb_table``
     (and the golden oracle) under ``table_name`` (default: the
     location itself). Clears the cached superset XML schema so the
     slice's xpaths join the parse struct."""
     name = table_name or location
-    rows = master_table_rows(location, scope, name)
+    rows = master_table_rows(location, scope, name, cardinality, group_roots)
     if not rows:
         raise KeyError(f"no master-concordance rows at location {location!r}")
     _MASTER_TABLES[name] = rows
@@ -146,9 +184,14 @@ def register_master_table(
 
 
 def _ensure_default_master() -> None:
-    for loc in _DEFAULT_MASTER_SLICES:
-        if loc not in _MASTER_TABLES:
-            _MASTER_TABLES[loc] = master_table_rows(loc)
+    for name, loc, card, roots in _DEFAULT_MASTER_SLICES:
+        if name not in _MASTER_TABLES:
+            _MASTER_TABLES[name] = master_table_rows(
+                loc,
+                table_name=name,
+                cardinality=card,
+                group_roots=list(roots) if roots else None,
+            )
 
 
 def master_table_names() -> list[str]:
@@ -243,10 +286,23 @@ def concrete_groups(rows: list[dict]) -> dict[str, dict[str, str]]:
     - leaf roots: when the divergent segment IS the leaf (e.g. the
       SCHED-O checkbox variants), the relative path is empty and the
       repeated element is the leaf itself.
+
+    Rows carrying an explicit ``group_root`` (master slices registered
+    with ``group_roots=…`` — the master's LOCATION labels are too
+    coarse for automatic inference) bypass inference entirely: the
+    declared concrete root IS the repeated element.
     """
-    roots = set(find_group_names([r["xpath"] for r in rows]))
     groups: dict[str, dict[str, str]] = {}
+    inferred = [r for r in rows if not r.get("group_root")]
     for r in rows:
+        if r.get("group_root"):
+            gp = r["group_root"]
+            rel = r["xpath"].strip("/")[len(gp.strip("/")) :].strip("/")
+            groups.setdefault(gp, {})[rel] = r["variable"]
+    if not inferred:
+        return groups
+    roots = set(find_group_names([r["xpath"] for r in inferred]))
+    for r in inferred:
         parts = r["xpath"].strip("/").split("/")
         for i, seg in enumerate(parts):
             if seg in roots or seg.replace("IRS990EZ", "IRS990") in roots:

@@ -91,12 +91,19 @@ def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
                 if any(rel for rel in leaves):  # real repeating group
                     b.mark_repeated(gp)
 
-    # registered master-concordance slices (all ONE-cardinality doc
-    # scalars — the create_code_chunks shape); register_master_table
-    # clears this cache so late registrations re-enter the struct
+    # registered master-concordance slices (create_code_chunks shape:
+    # doc scalars, plus declared-root repeating groups for MANY
+    # slices); register_master_table clears this cache so late
+    # registrations re-enter the struct
     for name in master_table_names():
-        for r in table_rows(name):
+        rows = table_rows(name)
+        many = [r for r in rows if r["cardinality"] == "MANY"]
+        for r in rows:
             b.add_xpath(r["xpath"])
+        if many:
+            for gp, leaves in concrete_groups(many).items():
+                if any(rel for rel in leaves):
+                    b.mark_repeated(gp)
 
     # Schedule N (explicit groups; reference :2875-4140). Every (group,
     # version-rel) combination is declared — absent combos parse to

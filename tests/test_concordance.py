@@ -170,3 +170,26 @@ def test_master_unknown_location_raises():
 
     with pytest.raises(KeyError):
         register_master_table("NOT-A-LOCATION")
+
+
+def test_master_many_slice_explodes_officers(spark):
+    """MANY master slice with declared group roots: the PF Part VIII
+    officer list explodes one row per officer through the unchanged
+    generic builder, and the golden oracle path sees the same rows
+    (driver-gated as x990_pf_p08_officers)."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+    rows = {
+        r["ODTKEIODTKEP"]: r.asDict()
+        for r in build_rdb_table(returns, "PF-P08-OFFICERS").collect()
+    }
+    assert set(rows) == {"NORA TRUSTEE", "OMAR DIRECTOR"}
+    assert rows["NORA TRUSTEE"]["ODTKEIODTKEC"] == "25000"
+    assert rows["NORA TRUSTEE"]["ODTKEIODTKET"] == "PRESIDENT"
+    assert rows["OMAR DIRECTOR"]["ODTKEIODTKEC"] == "0"
+    assert all(r["EIN"] == "100000012" for r in rows.values())
