@@ -121,9 +121,11 @@ def build_database(
         result = BuildResult()
         builders = _all_builders()
         selected = tables if tables is not None else _default_tables()
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import Observation
 
-        for name in selected:
+        def write_one(name: str) -> tuple[str, str, int]:
             build, part_cols = builders[name]
             df = build(ok)
             path = f"{out_dir.rstrip('/')}/{name}"
@@ -142,8 +144,18 @@ def build_database(
                 write_table(df, path, partition_by=None)
             if csv:
                 write_csv(df, f"{path}-csv")
-            result.tables[name] = path
-            result.rows[name] = n
+            return name, path, n
+
+        # per-table writes are independent jobs over the ONE cached
+        # parse (distinct output paths; the BlockManager's per-partition
+        # locks make concurrent cache fills compute each parse partition
+        # once) — submitting them concurrently overlaps their fixed
+        # job-setup/commit latency, the dominant cost of small builds;
+        # on a real cluster it also keeps executors fed between commits
+        with ThreadPoolExecutor(max_workers=min(4, len(selected) or 1)) as ex:
+            for name, path, n in ex.map(write_one, selected):
+                result.tables[name] = path
+                result.rows[name] = n
 
         dl_path = f"{out_dir.rstrip('/')}/DEAD-LETTER"
         result.dead_rows = dead.count()

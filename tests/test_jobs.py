@@ -795,3 +795,25 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
     rows = {r.doc_id: r for r in back.collect()}
     assert rows[1].text == "hello" and list(rows[1].tags) == ["a", "b"]
     assert rows[1].meta.lang == "en" and list(rows[2].tags) == []
+
+
+def test_build_database_builds_master_slice_on_request(spark, tmp_path):
+    """build_database(tables=[master slice]) writes the Schedule A
+    table through the same partitioned sink path; the DEFAULT build
+    set stays at reference parity (no master tables unless asked)."""
+    from irs_990_efiler_database_spark.jobs import _default_tables, build_database
+    from irs_990_efiler_database_spark.sinks import read_table
+
+    out = str(tmp_path / "out")
+    res = build_database(
+        spark,
+        out,
+        xml_glob="tests/fixtures/*.xml",
+        tables=["SCHED-A-PART-02", "PF-P08-OFFICERS"],
+    )
+    assert res.rows["SCHED-A-PART-02"] == 2  # the two ScheduleA filings
+    assert res.rows["PF-P08-OFFICERS"] == 2  # one row per officer
+    sa = read_table(spark, res.tables["SCHED-A-PART-02"])
+    assert {r["EIN"] for r in sa.collect()} == {"100000010", "100000011"}
+    assert "SCHED-A-PART-02" not in _default_tables()
+    assert "PF-P08-OFFICERS" not in _default_tables()
