@@ -274,3 +274,40 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, words, n):
     got = bpe_train(docs, n_merges=n)
     want = _ref_bpe(dict(Counter(words)), n)
     assert got == [tuple(m) for m in want]
+
+
+# ---- distributed exact ntile ---------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    st.integers(1, 12),
+    st.integers(1, 6),
+)
+@SETTINGS
+def test_exact_ntile_matches_pure_python_ntile(spark, vals, n, parts):
+    """exact_ntile equals the ANSI NTILE rule computed in pure Python
+    over the sorted (value, id) order — across heavy-tie inputs, n
+    above/below the row count, and degenerate partition counts
+    (including num_partitions=1 and > rows)."""
+    from irs_990_efiler_database_spark.operators.ntile import exact_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["t"]
+        for r in exact_ntile(
+            df, n, ["v", "id"], "t", num_partitions=parts
+        ).collect()
+    }
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    total = len(order)
+    low, rem = divmod(total, n)
+    want = {}
+    for rank, (rid, _) in enumerate(order, start=1):
+        if rank <= rem * (low + 1):
+            want[rid] = (rank - 1) // (low + 1) + 1
+        else:
+            want[rid] = rem + (rank - 1 - rem * (low + 1)) // low + 1
+    assert got == want
