@@ -63,8 +63,13 @@ _BOOL_SUFFIXES = ("Ind", "Checkbox")
 
 
 def _infer_type(xpaths: list[str]) -> str:
+    """A variable's xpaths are XSD-version renames of the SAME field,
+    so if ANY vintage names the leaf with a numeric suffix
+    (TotalAssetsEOY → TotalAssetsEOYAmt) the variable is numeric;
+    checkbox only when every vintage says so (mixed text+Ind would
+    silently NULL the text arm under try_cast otherwise)."""
     leaves = [x.rstrip("/").rsplit("/", 1)[-1] for x in xpaths]
-    if all(lf.endswith(_NUM_SUFFIXES) for lf in leaves):
+    if any(lf.endswith(_NUM_SUFFIXES) for lf in leaves):
         return "numeric"
     if all(lf.endswith(_BOOL_SUFFIXES) for lf in leaves):
         return "checkbox"
@@ -157,6 +162,12 @@ _DEFAULT_MASTER_SLICES = (
         "IRS990PF-PART-08-LINE-1",
         "MANY",
         ("OfcrDirTrusteesOrKeyEmployee", "OfficerDirTrstKeyEmplGrp"),
+    ),
+    (
+        "PF-P08-CONTRACTORS",
+        "IRS990PF-PART-08-LINE-3",
+        "MANY",
+        ("CompensationOfHghstPaidCntrct", "CompensationOfHghstPdCntrctGrp"),
     ),
 )
 

@@ -111,9 +111,10 @@ def test_master_slice_multiversion_coalesce_values(spark):
         r["EIN"]: r.asDict()
         for r in build_rdb_table(returns, "IRS990PF-PART-02").collect()
     }
-    assert set(pf) == {"100000012"}
+    assert set(pf) == {"100000012", "100000013"}
     assert pf["100000012"]["FORMTYPE"] == "990PF"
-    assert pf["100000012"]["BSTAEOY"] == "1350000"
+    assert pf["100000012"]["BSTAEOY"] == "1350000"  # new-style EOYAmt leaf
+    assert pf["100000013"]["BSTAEOY"] == "520000"  # old-style EOY leaf
     assert pf["100000012"]["BSTNAOFBEOY"] == "1315000"
 
     sa1 = {
@@ -145,13 +146,15 @@ def test_register_master_table_dynamic(spark):
         assert rows and all(r["rdb_table"] == name for r in rows)
         returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
         out = build_rdb_table(returns, name).collect()
-        # guard admits only the PF filing; its doc carries no Part-1
+        # guard admits only the PF filings; neither doc carries Part-1
         # leaves, so every extraction column is NULL but keys resolve
-        assert len(out) == 1
-        row = out[0].asDict()
-        assert row["EIN"] == "100000012" and row["FORMTYPE"] == "990PF"
+        assert len(out) == 2
+        assert {r["EIN"] for r in out} == {"100000012", "100000013"}
         extraction_cols = {r["variable"] for r in rows}
-        assert all(row[c] is None for c in extraction_cols)
+        for r in out:
+            row = r.asDict()
+            assert row["FORMTYPE"] == "990PF"
+            assert all(row[c] is None for c in extraction_cols)
     finally:
         _MASTER_TABLES.pop(name, None)
         from irs_990_efiler_database_spark.sources.xml_source import (
@@ -188,8 +191,59 @@ def test_master_many_slice_explodes_officers(spark):
         r["ODTKEIODTKEP"]: r.asDict()
         for r in build_rdb_table(returns, "PF-P08-OFFICERS").collect()
     }
-    assert set(rows) == {"NORA TRUSTEE", "OMAR DIRECTOR"}
+    # 2 new-style officers + the 2011 old-style officer (NULL new-name)
+    assert set(rows) == {"NORA TRUSTEE", "OMAR DIRECTOR", None}
     assert rows["NORA TRUSTEE"]["ODTKEIODTKEC"] == "25000"
     assert rows["NORA TRUSTEE"]["ODTKEIODTKET"] == "PRESIDENT"
     assert rows["OMAR DIRECTOR"]["ODTKEIODTKEC"] == "0"
-    assert all(r["EIN"] == "100000012" for r in rows.values())
+    assert rows[None]["EIN"] == "100000013"  # ragged old-style row
+    assert rows["NORA TRUSTEE"]["EIN"] == "100000012"
+
+
+def test_master_contractors_slice_and_vintage_arms(spark):
+    """The 2011 PF fixture makes the OLD-style Part VIII arms
+    load-bearing: contractors extract through
+    CompensationOfHghstPaidCntrct (pre-2013 names, distinct vars) and
+    the officers table unions old- and new-style rows raggedly."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+    con = build_rdb_table(returns, "PF-P08-CONTRACTORS").collect()
+    assert len(con) == 1
+    row = con[0].asDict()
+    assert row["EIN"] == "100000013"
+    assert row["ODTKEICOHPCP"] == "PHIL PLUMBER"
+    assert row["ODTKEICOHPCT"] == "FACILITIES"
+    assert row["ODTKEICOHPCC"] == "8000"
+
+    off = build_rdb_table(returns, "PF-P08-OFFICERS").collect()
+    by_ein = {}
+    for r in off:
+        by_ein.setdefault(r["EIN"], []).append(r.asDict())
+    assert len(by_ein["100000012"]) == 2  # new-style officers
+    assert len(by_ein["100000013"]) == 1  # old-style officer
+    old = by_ein["100000013"][0]
+    assert old["ODTKEIODTOKE"] == "12000"  # old-arm column filled
+    assert old["ODTKEIODTKEP"] is None  # new-arm columns NULL (ragged)
+
+
+def test_master_typed_mode_infers_leaf_types(spark):
+    """typed=True through the master path: Amt-suffixed leaves become
+    bigint via the inferred 'numeric' data_type; text leaves stay
+    string."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+    typed = build_rdb_table(returns, "IRS990PF-PART-02", typed=True)
+    dtypes = dict(typed.dtypes)
+    assert dtypes["BSTAEOY"] == "bigint"  # TotalAssetsEOYAmt et al.
+    rows = {r["EIN"]: r.asDict() for r in typed.collect()}
+    assert rows["100000012"]["BSTAEOY"] == 1350000

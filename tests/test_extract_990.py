@@ -46,7 +46,7 @@ def returns(spark):
 def test_wholetext_one_row_per_file(returns):
     # regression: .option("wholetext", True) silently read one row per
     # LINE; the kwarg form gives one row per file
-    assert returns.count() == len(fixture_files()) == 12
+    assert returns.count() == len(fixture_files()) == 13
 
 
 def test_object_id_derived_from_url(returns):

@@ -812,7 +812,7 @@ def test_build_database_builds_master_slice_on_request(spark, tmp_path):
         tables=["SCHED-A-PART-02", "PF-P08-OFFICERS"],
     )
     assert res.rows["SCHED-A-PART-02"] == 2  # the two ScheduleA filings
-    assert res.rows["PF-P08-OFFICERS"] == 2  # one row per officer
+    assert res.rows["PF-P08-OFFICERS"] == 3  # one row per officer (2 new + 1 old style)
     sa = read_table(spark, res.tables["SCHED-A-PART-02"])
     assert {r["EIN"] for r in sa.collect()} == {"100000010", "100000011"}
     assert "SCHED-A-PART-02" not in _default_tables()
