@@ -817,3 +817,33 @@ def test_build_database_builds_master_slice_on_request(spark, tmp_path):
     assert {r["EIN"] for r in sa.collect()} == {"100000010", "100000011"}
     assert "SCHED-A-PART-02" not in _default_tables()
     assert "PF-P08-OFFICERS" not in _default_tables()
+
+
+def test_incremental_build_handles_master_slice(spark, tmp_path):
+    """The streaming incremental build extracts a master-concordance
+    slice exactly like the batch path (same builders dict)."""
+    import shutil
+
+    from irs_990_efiler_database_spark.jobs import (
+        build_database_incremental,
+        read_incremental_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        write_return_bundle,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    stage = tmp_path / "stage"
+    write_return_bundle(spark, "tests/fixtures/*.xml", str(stage), target_partitions=1)
+    shutil.copy(sorted(stage.glob("part-*.parquet"))[0], landing / "d.parquet")
+
+    res = build_database_incremental(
+        spark,
+        str(tmp_path / "out"),
+        str(landing),
+        str(tmp_path / "ckpt"),
+        tables=["SCHED-A-PART-02"],
+    )
+    sa = read_incremental_table(spark, res.tables["SCHED-A-PART-02"])
+    assert {r["EIN"] for r in sa.collect()} == {"100000010", "100000011"}
