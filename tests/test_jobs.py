@@ -847,3 +847,29 @@ def test_incremental_build_handles_master_slice(spark, tmp_path):
     )
     sa = read_incremental_table(spark, res.tables["SCHED-A-PART-02"])
     assert {r["EIN"] for r in sa.collect()} == {"100000010", "100000011"}
+
+
+def test_cli_build_and_tables(spark, tmp_path, capsys):
+    """python -m irs_990_efiler_database_spark: `tables` lists master
+    slices and `build --tables` runs the same pipeline as the API."""
+    from irs_990_efiler_database_spark.__main__ import main
+
+    assert main(["tables"]) == 0
+    listing = capsys.readouterr().out
+    assert "CORE" in listing and "SCHED-A-PART-02  (master slice)" in listing
+
+    out = str(tmp_path / "db")
+    rc = main(
+        ["build", out, "--glob", "tests/fixtures/*.xml", "--tables", "CORE"]
+    )
+    assert rc == 0
+    assert "CORE: 13 rows" in capsys.readouterr().out
+
+    rc = main(["register", "SCHED-A-PART-01"])
+    assert rc == 0
+    spec = capsys.readouterr().out
+    import json as _json
+
+    parsed = _json.loads(spec)
+    assert parsed["table"] == "SCHED-A-PART-01"
+    assert "PUBLORGAINDN" in parsed["vars"]
