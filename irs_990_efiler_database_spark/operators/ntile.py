@@ -109,3 +109,68 @@ def exact_ntile(
     return ranked.withColumn(
         out_col, ntile_of_rank(F.col(rn), F.col(_TOT), n)
     ).drop(rn, _TOT)
+
+
+def exact_weighted_ntile(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    order_cols: list[Column | str],
+    out_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-WEIGHT sharding: cut the ordered rows into ``n`` shards of
+    (as close as possible) equal total ``weight_col`` — the
+    equal-token corpus split a training pipeline needs (equal-DOC
+    ntile gives wildly uneven token shards when document lengths are
+    skewed).
+
+    Rule (exact, integer-only, engine-portable):
+    ``shard = (cum_weight_exclusive * n) div total_weight`` under the
+    total order — a row starts a new shard exactly when the weight
+    before it crosses the next 1/n boundary. Distributed the same way
+    as ``global_row_number``: range repartition on the order, local
+    running weight per range partition, per-partition weight sums
+    prefix-summed and broadcast back as offsets. No unbounded window.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = F.col(weight_col).cast("long")
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    running = ranged.withColumn(
+        "__gw_cum",
+        F.sum(w).over(
+            Window.partitionBy(_PID)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT))
+    wall = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        _PID,
+        (F.sum(_CNT).over(Window.orderBy(_PID)) - F.col(_CNT)).alias(_OFF),
+        F.sum(_CNT).over(wall).alias(_TOT),
+    )
+    cume_excl = F.col(_OFF) + F.col("__gw_cum") - w
+    return (
+        running.join(F.broadcast(offsets), _PID)
+        .withColumn("__gw_num", (cume_excl * n).cast("long"))
+        .withColumn(
+            out_col,
+            # exact integer division (`div`), never double `/` — the
+            # boundary rows land identically in every engine
+            F.least(
+                F.lit(n - 1).cast("long"),
+                F.expr(f"__gw_num div {_TOT}").cast("long"),
+            ),
+        )
+        .drop(_PID, _OFF, _CNT, _TOT, "__gw_cum", "__gw_num")
+    )

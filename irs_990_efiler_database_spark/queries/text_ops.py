@@ -1839,3 +1839,50 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", left).alias("left_ctx"),
         F.concat_ws(" ", right).alias("right_ctx"),
     )
+
+
+@register(
+    "doc_token_equal_shards",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - w AS cume,
+             SUM(w) OVER () AS total
+      FROM w
+    )
+    SELECT CAST(LEAST(7, (cume * 8) // total) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY 1
+    """,
+)
+def doc_token_equal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-TOKEN corpus sharding (8 shards): documents in doc_id
+    order are cut where the cumulative token count crosses each 1/8
+    boundary — the split a training pipeline actually needs (equal-doc
+    ntile gives wildly uneven token shards under length skew). Runs on
+    the DISTRIBUTED weighted ntile (``operators.ntile.
+    exact_weighted_ntile``: range-partitioned running weights +
+    broadcast offsets, exact integer boundary rule, no unbounded
+    window); the oracle states the same rule as one cumulative-sum
+    window."""
+    from ..operators.ntile import exact_weighted_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+    )
+    sharded = exact_weighted_ntile(w, 8, "w", ["doc_id"], "shard")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_tokens"),
+    )

@@ -485,3 +485,33 @@ def test_exact_ntile_matches_window_ntile(spark):
     # every row_number window must carry a partition spec
     for m in re.finditer(r"Window \[row_number\(\).*?\], \[(.*?)\]", plan):
         assert "__gr_pid" in m.group(0)
+
+
+def test_exact_weighted_ntile_balances_weight(spark):
+    """Weighted sharding: every shard's weight stays within one max-row
+    weight of total/n, boundaries follow the exact integer rule, and
+    heavy single rows can't straddle shards."""
+    from irs_990_efiler_database_spark.operators.ntile import (
+        exact_weighted_ntile,
+    )
+
+    rows = [(i, (i * 13) % 97 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    n = 6
+    out = exact_weighted_ntile(df, n, "w", ["id"], "s", num_partitions=7)
+    got = {r["id"]: r["s"] for r in out.collect()}
+
+    total = sum(w for _, w in rows)
+    cume = 0
+    want = {}
+    for i, w in rows:  # ordered by id
+        want[i] = min(n - 1, (cume * n) // total)
+        cume += w
+    assert got == want
+
+    # balance: each shard within max single weight of the ideal
+    per = {}
+    for i, w in rows:
+        per[want[i]] = per.get(want[i], 0) + w
+    ideal = total / n
+    assert all(abs(v - ideal) <= 97 for v in per.values())
