@@ -38,6 +38,7 @@ FAMILIES = {
     "boilerplate ngrams": ("text_boilerplate_ngrams", ["documents"]),
     "triangle count": ("graph_triangle_count", ["events"]),
     "IVF ANN": ("sim_ann_ivf", ["embeddings"]),
+    "equal-token sharding": ("doc_token_equal_shards", ["documents"]),
 }
 
 
