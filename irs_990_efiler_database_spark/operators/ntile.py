@@ -166,10 +166,14 @@ def exact_weighted_ntile(
         .withColumn(
             out_col,
             # exact integer division (`div`), never double `/` — the
-            # boundary rows land identically in every engine
-            F.least(
-                F.lit(n - 1).cast("long"),
-                F.expr(f"__gw_num div {_TOT}").cast("long"),
+            # boundary rows land identically in every engine; an
+            # all-zero-weight frame (total = 0) degrades to shard 0
+            # instead of an ANSI divide-by-zero
+            F.when(F.col(_TOT) == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(n - 1).cast("long"),
+                    F.expr(f"__gw_num div {_TOT}").cast("long"),
+                )
             ),
         )
         .drop(_PID, _OFF, _CNT, _TOT, "__gw_cum", "__gw_num")
