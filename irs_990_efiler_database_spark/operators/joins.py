@@ -153,7 +153,9 @@ def guarded_join(
     executor OOM three hours into a 100 TB run. Cost: one extra pass
     over each side's key columns; the data rows themselves are not
     shuffled until the join is approved."""
-    norm = how.lower().replace("outer", "").strip("_")
+    norm = how.lower().replace("outer", "").strip("_") or "full"
+    # bare "outer" is Spark's alias for FULL OUTER — normalizing it to
+    # "" and treating that as inner would skip both unmatched terms
     if norm in ("semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
         return left.join(right, on, how)  # output ≤ |left| rows
     lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("_ln"))

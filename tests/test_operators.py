@@ -436,9 +436,12 @@ def test_guarded_join_outer_counts_unmatched(spark):
     # left join = 4 + 10 unmatched = 14 rows: must refuse the same cap
     with pytest.raises(JoinExplosionError, match="would produce 14 rows"):
         guarded_join(left, right, ["k"], "left", max_output_rows=5)
-    # full join adds right-unmatched (none here) — same 14
+    # full join adds right-unmatched (none here) — same 14; the bare
+    # "outer" alias must normalize to full, not inner
     with pytest.raises(JoinExplosionError, match="would produce 14 rows"):
         guarded_join(left, right, ["k"], "full", max_output_rows=5)
+    with pytest.raises(JoinExplosionError, match="would produce 14 rows"):
+        guarded_join(left, right, ["k"], "outer", max_output_rows=5)
     assert guarded_join(left, right, ["k"], "left", max_output_rows=20).count() == 14
     # semi/anti are bounded by |left|: no probe, no refusal
     assert guarded_join(left, right, ["k"], "left_semi", max_output_rows=1).count() == 2
