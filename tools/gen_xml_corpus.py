@@ -23,7 +23,7 @@ def gen_rows(n_docs: int) -> list[tuple[str, str]]:
         xml = texts[i % len(texts)]
         ein = f"{500000000 + i}"
         obj = f"2014{700000000 + i}"
-        xml = re.sub(r"<EIN>10000000\d</EIN>", f"<EIN>{ein}</EIN>", xml, count=1)
+        xml = re.sub(r"<EIN>1000000\d\d</EIN>", f"<EIN>{ein}</EIN>", xml, count=1)
         rows.append((f"file:///synthetic/{obj}_public.xml", xml))
     return rows
 
