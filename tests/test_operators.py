@@ -499,6 +499,7 @@ def test_exact_weighted_ntile_balances_weight(spark):
     )
 
     rows = [(i, (i * 13) % 97 + 1) for i in range(500)]
+    rows += [(500 + i, 0) for i in range(7)]  # zero-weight rows ride along
     df = spark.createDataFrame(rows, "id long, w long")
     n = 6
     out = exact_weighted_ntile(df, n, "w", ["id"], "s", num_partitions=7)
@@ -518,3 +519,5 @@ def test_exact_weighted_ntile_balances_weight(spark):
         per[want[i]] = per.get(want[i], 0) + w
     ideal = total / n
     assert all(abs(v - ideal) <= 97 for v in per.values())
+    # zero-weight rows take the shard at their boundary, never a new one
+    assert all(got[i] == n - 1 for i in range(500, 507))
