@@ -2595,8 +2595,12 @@ def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality single-number (0 = equal, ->1 = concentrated),
     complementing the Pareto top-decile share. Rank-weighted exact
     integer sums (2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n) with a
-    deterministic (value, user) rank order; the ranking window runs
-    over the user-grain frame."""
+    deterministic (value, user) rank order; ranks come from the
+    DISTRIBUTED exact ranker (``operators.ntile.global_row_number``)
+    — the user-grain frame grows with the data, so no
+    single-partition window touches it."""
+    from ..operators.ntile import global_row_number
+
     e = load_table(spark, sf_dir, "events")
     per_user = (
         e.filter(F.col("event_type") == "purchase")
@@ -2607,10 +2611,9 @@ def events_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    w = Window.orderBy("x", "user_id")
-    ranked = per_user.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = global_row_number(
+        per_user, [F.col("x"), F.col("user_id")], "i"
+    ).select("x", F.col("i").cast("long").alias("i"))
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
