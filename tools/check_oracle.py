@@ -3,8 +3,11 @@
 same scale factor; compare row count, schema, and an order-insensitive
 value hash.
 
-Usage: python tools/check_oracle.py [--spark-only] [sf_dir] [query_name ...]
-(--spark-only skips the DuckDB compare and prints per-query Spark wall time)
+Usage: python tools/check_oracle.py [--spark-only] [--shard K/N] [sf_dir] [query_name ...]
+(--spark-only skips the DuckDB compare and prints per-query Spark wall
+time; --shard K/N runs every N-th query starting at K (0-based) so a
+full-registry sweep can fan out over N processes — e.g.
+``for k in 0 1 2 3; do python tools/check_oracle.py --shard $k/4 & done``)
 """
 
 from __future__ import annotations
@@ -62,6 +65,12 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--spark-only"]
     spark_only = "--spark-only" in sys.argv[1:]
+    shard_k, shard_n = 0, 1
+    for i, a in enumerate(list(argv)):
+        if a == "--shard":
+            shard_k, shard_n = (int(x) for x in argv[i + 1].split("/"))
+            del argv[i : i + 2]
+            break
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -79,8 +88,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(sorted(qs.items())):
         if only and name not in only:
+            continue
+        if qi % shard_n != shard_k:
             continue
         t0 = time.time()
         try:
