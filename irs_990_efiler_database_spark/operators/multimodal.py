@@ -398,3 +398,75 @@ def audio_window_rms(media: DataFrame, window: int = 100) -> DataFrame:
 
     audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return audio.mapInPandas(batches, _RMS_SCHEMA)
+
+
+_ZCR_SCHEMA = (
+    "media_id long, window_ix long, n_samples long, zero_crossings long, "
+    "mean_abs_dev double"
+)
+
+
+def audio_zero_crossing(
+    media: DataFrame, window: int = 100, center: int = 96
+) -> DataFrame:
+    """Windowed zero-crossing rate + mean absolute deviation over
+    decoded audio samples — the cheap voiced/unvoiced + energy
+    screen of an audio-curation pipeline (ZCR is the classic
+    speech/music/noise discriminator; MAD is the clip-level loudness).
+
+    Samples center on ``center`` (the fake codec reads uint8 text
+    bytes; a real PCM decoder is already signed and uses center=0). A
+    crossing is a STRICTLY sign-flipping adjacent pair inside one
+    window (product < 0 — zeros don't count, the engine-portable
+    rule). Same whole-batch vectorization as ``audio_window_rms``:
+    one concatenated buffer, three bincounts, no per-row Python;
+    arithmetic is integer-exact until the final MAD division."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = pdf["payload"].tolist()
+            if not payloads:
+                continue
+            ids = pdf["media_id"].to_numpy()
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            nwin = (lens + window - 1) // window
+            allb = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(
+                np.int64
+            )
+            c = allb - center
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(allb.size) - np.repeat(starts, lens)
+            woff = np.concatenate([[0], np.cumsum(nwin)[:-1]])
+            keys = np.repeat(woff, lens) + pos // window
+            tot = int(nwin.sum())
+            # a pair (i, i+1) is eligible iff i+1 is in the SAME doc
+            # (pos < len-1) and the SAME window (pos % window != last)
+            eligible = (pos < np.repeat(lens, lens) - 1) & (
+                pos % window != window - 1
+            )
+            flip = np.zeros(allb.size, dtype=bool)
+            if allb.size > 1:
+                flip[:-1] = (c[:-1] * c[1:]) < 0
+            flips = (flip & eligible).astype(np.float64)
+            zc = np.bincount(keys, weights=flips, minlength=tot)
+            sumabs = np.bincount(
+                keys, weights=np.abs(c).astype(np.float64), minlength=tot
+            )
+            cnt = np.bincount(keys, minlength=tot)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(ids, nwin),
+                    "window_ix": np.arange(tot) - np.repeat(woff, nwin),
+                    "n_samples": cnt,
+                    "zero_crossings": zc.astype(np.int64),
+                    "mean_abs_dev": sumabs / cnt,
+                }
+            )
+
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return audio.mapInPandas(batches, _ZCR_SCHEMA)

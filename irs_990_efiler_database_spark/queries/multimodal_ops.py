@@ -528,3 +528,53 @@ def mm_audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("window_ix").cast("long").alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),
     ).drop("grp")
+
+
+@register(
+    "mm_audio_zero_crossing",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT media_id,
+             unnest(generate_series(1, length(text))) AS i,
+             text
+      FROM a
+    ),
+    v AS (
+      SELECT media_id,
+             CAST((i - 1) // 100 AS BIGINT) AS window_ix,
+             i,
+             ascii(substring(text, i, 1)) - 96 AS c
+      FROM s
+    ),
+    p AS (
+      SELECT media_id, window_ix, c, i,
+             LEAD(c) OVER (PARTITION BY media_id ORDER BY i) AS nxt,
+             ((i - 1) // 100 = i // 100) AS same_window
+      FROM v
+    )
+    SELECT media_id, window_ix,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL AND same_window
+                          AND c * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(SUM(ABS(c)) AS DOUBLE) / COUNT(*) AS mean_abs_dev
+    FROM p
+    GROUP BY media_id, window_ix
+    """,
+)
+def mm_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed zero-crossing rate + mean absolute deviation over
+    fake-decoded audio (100-sample windows, center 96): the classic
+    voiced/unvoiced + loudness screen, vectorized as three numpy
+    bincounts per Arrow batch with zero per-row Python
+    (operators.multimodal.audio_zero_crossing). A crossing is a
+    strictly sign-flipping adjacent pair INSIDE one window — the
+    oracle states the same rule with LEAD over the ascii-decoded
+    corpus, so every count and MAD double is hash-compared."""
+    from ..operators.multimodal import audio_zero_crossing, synthetic_media
+
+    media = synthetic_media(load_table(spark, sf_dir, "documents"))
+    return audio_zero_crossing(media)
