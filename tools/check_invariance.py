@@ -47,7 +47,18 @@ def canon(v):
     return str(v)
 
 sp = int(sys.argv[1]); sf = sys.argv[2]; names = sys.argv[3:]
-spark = get_spark("invariance-" + str(sp), shuffle_partitions=sp)
+extra = {{}}
+if sp != 8:
+    # second config also perturbs scan splits and Arrow batch sizes:
+    # catches per-batch logic bugs in mapInPandas operators (results
+    # must not depend on how rows land in batches)
+    extra = {{
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    }}
+spark = get_spark(
+    "invariance-" + str(sp), shuffle_partitions=sp, extra_conf=extra
+)
 out = {{}}
 qs = all_queries()
 for name in names:
