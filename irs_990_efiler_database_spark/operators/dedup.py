@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as PWindow
+from ..caching import tracked_persist
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> 60-bit token hashes
@@ -218,7 +219,7 @@ def minhash_lsh_pairs(
     # eagerly — a lazy persist lets the self-join's parallel branches
     # race the cache and double-compute the md5 work (observed as 4x
     # run-to-run bench variance)
-    sh = shingled(df, id_col, text_col, n, k, bands, rows).persist()
+    sh = tracked_persist(shingled(df, id_col, text_col, n, k, bands, rows))
     sh.count()
     bandsdf = sh.select(
         "id", F.posexplode("bh").alias("band_idx", "band_hash")
@@ -300,7 +301,7 @@ def simhash_pairs(
     (``cap_hot_buckets``)."""
     # persist+materialize: the band self-join reads the fingerprint
     # frame twice, and its explode+60-vote aggregation is the cost
-    sh = simhash(df, id_col, text_col).persist()
+    sh = tracked_persist(simhash(df, id_col, text_col))
     sh.count()
     nbands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
@@ -410,9 +411,11 @@ def minhash_lsh_pairs_between(
     production the indexed side's (id, bands, sig, sh) frame is the
     persisted signature index; here it is derived in the same job so
     the DuckDB oracle can replay both sides."""
-    sh = shingled(df, id_col, text_col, n, k, bands, rows).withColumn(
-        "is_new", new_pred
-    ).persist()
+    sh = tracked_persist(
+        shingled(df, id_col, text_col, n, k, bands, rows).withColumn(
+            "is_new", new_pred
+        )
+    )
     sh.count()
     bandsdf = sh.select(
         "id", "is_new", F.posexplode("bh").alias("band_idx", "band_hash")
@@ -509,10 +512,12 @@ def prefix_filter_pairs(
         if token_mode == "word3"
         else char_shingles(norm, n)
     )
-    docs = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens, shingle_base_hash).alias("sh"),
-    ).persist()
+    docs = tracked_persist(
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens, shingle_base_hash).alias("sh"),
+        )
+    )
     tok = docs.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
     dfc = tok.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
     w = PWindow.partitionBy("id").orderBy("dfc", "h")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..catalog import load_table
 from ..operators.dedup import (
     MERSENNE31,
@@ -215,7 +216,7 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAZY — the InMemoryRelation boundary alone blocks the collapse;
     the first consuming action pays the one materialization, so
     plan-only consumers (plan_audit) pay nothing."""
-    sh = shingled(_augmented(spark, sf_dir)).select("id", "bh").persist()
+    sh = tracked_persist(shingled(_augmented(spark, sf_dir)).select("id", "bh"))
     return (
         sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
         .groupBy(F.col("band_idx").cast("long").alias("band_idx"), "band_hash")
@@ -731,7 +732,7 @@ def fdedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set separates containment from Jaccard."""
     from ..operators.dedup import cap_hot_buckets, shingled
 
-    sh = shingled(_augmented(spark, sf_dir)).persist()  # lazy barrier
+    sh = tracked_persist(shingled(_augmented(spark, sf_dir)))  # lazy barrier
     bands = sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
     bands = cap_hot_buckets(bands, ["band_idx", "band_hash"], 1000)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1151,7 +1152,7 @@ def fdedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep costs one corpus scan plus three capped band joins."""
     from ..operators.dedup import band_hashes, cap_hot_buckets, shingled
 
-    sh = shingled(_augmented(spark, sf_dir)).select("id", "sig").persist()
+    sh = tracked_persist(shingled(_augmented(spark, sf_dir)).select("id", "sig"))
     out = None
     for bands, rows in ((2, 8), (4, 4), (8, 2)):
         bd = sh.select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import tracked_persist
 from ..catalog import load_table
 from . import register
 
@@ -84,11 +85,11 @@ def graph_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     # one joined (src, dst, outdeg) frame, partitioned by src, reused 5x
-    adj = (
+    adj = tracked_persist(
         edges.join(deg, edges.src == deg.node)
         .select("src", "dst", "outdeg")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition("src"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     ranks = deg.select("node", F.lit(_SCALE).cast("long").alias("pr"))
     for _ in range(_ITERS):
@@ -173,14 +174,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = (F.struct("du", "u") < F.struct("dv", "v"))
-    edges = (
+    edges = tracked_persist(
         pairs.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     paths = edges.join(e2, edges.v == e2.b).select("u", "v", "c")
@@ -347,14 +348,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = F.struct("du", "u") < F.struct("dv", "v")
-    edges = (
+    edges = tracked_persist(
         pairs.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     paths = edges.join(e2, edges.v == e2.b).select("u", "v", "c")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..catalog import load_table
 from ..operators.sketch import kmv_bottom_k, kmv_estimate
 from . import register
@@ -293,8 +294,8 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kmv_bottom_k(
         e.filter(F.col("event_type") == "purchase"), "user_id", _IK
     )
-    a = a.persist()
-    b = b.persist()
+    a = tracked_persist(a)
+    b = tracked_persist(b)
     u = kmv_merge(_IK, a, b)
 
     def est(syn, name):

@@ -9,8 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..catalog import load_table
 from . import register
+
+
+def _spread_docs(d: DataFrame) -> DataFrame:
+    """Spread the documents frame across cores before interpreted
+    HOF-lambda work (the documents table arrives as 1-2 parquet
+    partitions at test SF; a no-op on a well-partitioned corpus)."""
+    from ..operators.dedup import _spread
+
+    return _spread(d)
 
 
 @register(
@@ -245,15 +255,28 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top word-bigrams (n-gram frequency analysis):
-    per-row bigram construction, map-side-combined counting, top-k."""
+    per-row bigram construction, map-side-combined counting, top-k.
+
+    Two-projection build (the _with_3grams pattern): the token split
+    materializes into its own column first, then the n-gram lambda
+    slices the attribute. Interpreted HOF lambdas re-evaluate computed
+    argument expressions per element — building grams straight off
+    split() re-ran the regex once per token (the 27x class documented
+    in BENCH_NOTES round 5)."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim("text")), r"\s+")
-    grams = F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    w = _spread_docs(d).select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
+    tk = F.col("toks")
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(grams).alias("bigram"))
+        w.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -757,7 +780,9 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 48-bytes-per-gram aggregate instead — same eager persist+count
     # pattern as the LSH builders, and at 100 TB this frame is
     # |distinct(doc,gram)| rows, far smaller than the corpus.
-    gc = g.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    gc = tracked_persist(
+        g.groupBy("doc_id", "g3").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     gc.count()
     bp = (
         gc.groupBy("g3")
@@ -1211,13 +1236,19 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     order from exact integer counts on both engines, rounded once.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim("text")), r"\s+")
-    grams = F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    w0 = _spread_docs(d).select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
-    bi = d.select(F.explode(grams).alias("bigram"))
-    uni = d.select(F.explode(t).alias("w"))
+    tk = F.col("toks")
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = w0.select(F.explode(grams).alias("bigram"))
+    uni = w0.select(F.explode(tk).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.count(F.lit(1)).alias("nu"))
     nb = bi.agg(F.count(F.lit(1)).alias("nb"))
@@ -1666,20 +1697,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the gram key (the text_boilerplate_ngrams shape); the
     ratio is one double division of exact counts."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim("text")), r"\s+")
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(t, i + 2), F.element_at(t, i + 3)
-            ),
-        )
-    )
-    grams = (
-        d.select("doc_id", grams_arr.alias("gs"))
-        .persist()
-        .select("doc_id", F.explode("gs").alias("g"))
-    )
+    grams = tracked_persist(
+        _with_3grams(d).select("doc_id", F.array_distinct("g3").alias("gs"))
+    ).select("doc_id", F.explode("gs").alias("g"))
     dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return (
         grams.join(dfc, "g")
