@@ -71,8 +71,31 @@ def cmd_fetch(args) -> int:
     return 0 if n_fail == 0 else 3
 
 
+def _parse_register_spec(spec: str):
+    """LOCATION[:NAME[:ROOT1,ROOT2]] → register_master_table kwargs."""
+    parts = spec.split(":")
+    location = parts[0]
+    name = parts[1] if len(parts) > 1 and parts[1] else None
+    roots = parts[2].split(",") if len(parts) > 2 and parts[2] else None
+    return dict(
+        location=location,
+        table_name=name,
+        cardinality="MANY" if roots else "ONE",
+        group_roots=roots,
+    )
+
+
 def cmd_build(args) -> int:
     from .jobs import build_database
+    from .plans.concordance import register_master_table
+
+    # registrations are per-process (the slice spec lives in memory and
+    # feeds the parse schema), so `build` re-registers custom-named /
+    # MANY slices itself; bare LOCATIONs in --tables auto-register
+    for spec in args.register or []:
+        kw = _parse_register_spec(spec)
+        name = register_master_table(**kw)
+        print(f"registered master slice: {name}", file=sys.stderr)
 
     spark = _session(args)
     res = build_database(
@@ -168,6 +191,13 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--glob", default=None, help="raw XML glob")
     src.add_argument("--bundle", default=None, help="(url, xml) parquet bundle")
     s.add_argument("--tables", default=None, help="comma list (default: reference parity)")
+    s.add_argument(
+        "--register",
+        action="append",
+        metavar="LOCATION[:NAME[:ROOTS]]",
+        help="register a master-concordance slice for this build "
+        "(repeatable); bare LOCATIONs in --tables auto-register",
+    )
     s.add_argument("--csv", action="store_true")
     s.set_defaults(fn=cmd_build)
 

@@ -104,6 +104,31 @@ def build_database(
     """
     if (xml_glob is None) == (bundle_path is None):
         raise ValueError("exactly one of xml_glob / bundle_path required")
+    builders = _all_builders()
+    selected = tables if tables is not None else _default_tables()
+    # auto-register BEFORE the source read: a requested table that is
+    # not a concordance / Schedule N / registered slice may name a
+    # master-concordance LOCATION directly (the `register` CLI
+    # advertises exactly this workflow, and registrations are
+    # per-process). Registration clears the cached superset parse
+    # schema, so it must precede read_return_xml_files — the slice's
+    # xpaths have to be in the parse struct.
+    for t in selected:
+        if t not in builders:
+            from .plans.concordance import register_master_table
+
+            try:
+                register_master_table(t)
+            except KeyError:
+                known = ", ".join(sorted(builders))
+                raise KeyError(
+                    f"unknown table {t!r}: not a buildable table or a "
+                    f"master-concordance LOCATION (known: {known})"
+                ) from None
+            builders[t] = (
+                lambda r, _t=t: build_rdb_table(r, _t),
+                ("TAXYR", "FORMTYPE"),
+            )
     returns = (
         read_return_xml_files(spark, xml_glob)
         if xml_glob is not None
@@ -119,8 +144,6 @@ def build_database(
     ok = ok.persist()
     try:
         result = BuildResult()
-        builders = _all_builders()
-        selected = tables if tables is not None else _default_tables()
         from concurrent.futures import ThreadPoolExecutor
 
         from pyspark.sql import Observation
@@ -152,10 +175,36 @@ def build_database(
         # once) — submitting them concurrently overlaps their fixed
         # job-setup/commit latency, the dominant cost of small builds;
         # on a real cluster it also keeps executors fed between commits
+        # submit + as_completed (not ex.map): one table's failure must
+        # not propagate while sibling writes are mid-flight — collect
+        # per-table errors, cancel not-yet-started writes, let running
+        # ones drain, then raise ONE attributed error after the pool
+        # has fully quiesced (so the finally-unpersist never races a
+        # live job)
+        from concurrent.futures import as_completed
+
+        failures: dict[str, Exception] = {}
         with ThreadPoolExecutor(max_workers=min(4, len(selected) or 1)) as ex:
-            for name, path, n in ex.map(write_one, selected):
-                result.tables[name] = path
-                result.rows[name] = n
+            futs = {ex.submit(write_one, name): name for name in selected}
+            for fut in as_completed(futs):
+                try:
+                    name, path, n = fut.result()
+                except Exception as e:  # noqa: BLE001 — attributed below
+                    failures[futs[fut]] = e
+                    for other in futs:
+                        other.cancel()
+                else:
+                    result.tables[name] = path
+                    result.rows[name] = n
+        if failures:
+            detail = "; ".join(
+                f"{t}: {type(e).__name__}: {e}" for t, e in sorted(failures.items())
+            )
+            done = ", ".join(sorted(result.tables)) or "none"
+            raise RuntimeError(
+                f"build failed for table(s) [{detail}] — completed tables "
+                f"({done}) are written and idempotently re-buildable"
+            ) from next(iter(failures.values()))
 
         dl_path = f"{out_dir.rstrip('/')}/DEAD-LETTER"
         result.dead_rows = dead.count()

@@ -158,6 +158,13 @@ def guarded_join(
     # "" and treating that as inner would skip both unmatched terms
     if norm in ("semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
         return left.join(right, on, how)  # output ≤ |left| rows
+    if norm not in ("inner", "left", "right", "full"):
+        # a typo ('lefy') or cross join must not silently fall through
+        # to the inner-join estimate — the guard would under-count
+        raise ValueError(
+            f"guarded_join: unsupported join type {how!r} "
+            "(inner/left/right/full/semi/anti)"
+        )
     lc = left.groupBy(*on).agg(F.count(F.lit(1)).alias("_ln"))
     rc = right.groupBy(*on).agg(F.count(F.lit(1)).alias("_rn"))
     both = lc.join(rc, on, "full_outer")

@@ -81,15 +81,24 @@ def global_row_number(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division (SQL ``div``) — never double ``/``,
+    whose 53-bit mantissa mis-assigns boundary ranks near 2^53."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
 def ntile_of_rank(rank: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) tile for a 1-based ``rank`` out of ``total`` rows:
     the first ``total % n`` tiles take ``total div n + 1`` rows, the
-    remainder ``total div n`` (ANSI / Spark / DuckDB NTILE rule)."""
-    low = F.floor(total / n)  # base tile size (may be 0 when total < n)
+    remainder ``total div n`` (ANSI / Spark / DuckDB NTILE rule).
+    Integer-exact: all arithmetic is long ``div``/``%``; the
+    ``low = 0`` case (total < n, every rank in a big tile) is guarded
+    explicitly rather than by lazy CASE evaluation."""
+    low = _idiv(total, F.lit(n))  # base tile size (0 when total < n)
     rem = total % n  # tiles that take one extra row
     cut = rem * (low + 1)  # last rank inside the big tiles
-    big = F.floor((rank - 1) / (low + 1)) + 1
-    small = rem + F.floor((rank - 1 - cut) / low) + 1
+    big = _idiv(rank - 1, low + 1) + 1
+    small = rem + _idiv(rank - 1 - cut, F.greatest(low, F.lit(1))) + 1
     return F.when(rank <= cut, big).otherwise(small).cast("long")
 
 

@@ -72,7 +72,10 @@ def _infer_type(xpaths: list[str]) -> str:
     if any(lf.endswith(_NUM_SUFFIXES) for lf in leaves):
         return "numeric"
     if all(lf.endswith(_BOOL_SUFFIXES) for lf in leaves):
-        return "checkbox"
+        # "boolean" is the type name rdb_builder._typed recodes
+        # (X/1/true → true) — master slices must match the per-table
+        # concordance checkbox semantics in typed builds
+        return "boolean"
     return "text"
 
 

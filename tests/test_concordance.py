@@ -125,6 +125,36 @@ def test_master_slice_multiversion_coalesce_values(spark):
     assert sa1["100000011"]["CHURCHAII"] == "X"
 
 
+def test_master_typed_checkbox_becomes_boolean(spark):
+    """_infer_type labels all-Ind/Checkbox master variables 'boolean' —
+    the type name _typed recodes (X/1/true → true) — so typed-mode
+    master slices match per-table concordance checkbox semantics
+    (ADVICE r5: 'checkbox' silently fell through as raw text)."""
+    from irs_990_efiler_database_spark.extract.golden import fixtures_dir
+    from irs_990_efiler_database_spark.extract.rdb_builder import build_rdb_table
+    from irs_990_efiler_database_spark.plans.concordance import _infer_type
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    assert _infer_type(["/Return/A/ChurchInd", "/Return/B/ChurchCheckbox"]) == "boolean"
+    assert _infer_type(["/Return/A/ChurchInd", "/Return/A/Church"]) == "text"
+
+    rows = table_rows("SCHED-A-PART-01")
+    bool_vars = {r["variable"] for r in rows if r["data_type"] == "boolean"}
+    assert bool_vars, "expected checkbox variables in SCHED-A-PART-01"
+    returns = read_return_xml_files(spark, str(fixtures_dir() / "*.xml"))
+    out = build_rdb_table(returns, "SCHED-A-PART-01", typed=True)
+    typed_fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    for v in bool_vars:
+        assert typed_fields[v] == "boolean", v
+    got = {r["EIN"]: r.asDict() for r in out.collect()}
+    assert got["100000010"]["PUBLORGAINDN"] is True
+    # CHURCHAII's pre-2013 leaf (Church170b1Ai) has no Ind suffix, so
+    # inference conservatively keeps it text — raw 'X' passes through
+    assert got["100000011"]["CHURCHAII"] == "X"
+
+
 def test_register_master_table_dynamic(spark):
     """ANY master LOCATION can be registered at runtime: the slice
     joins table_rows, the cached superset XML schema is rebuilt to
@@ -273,7 +303,7 @@ def test_master_loader_handles_every_location():
             assert r["xpath"].startswith("/Return"), (loc, r)
             assert r["variable"] and r["rdb_table"] == loc
             assert r["cardinality"] == "ONE"
-            assert r["data_type"] in ("numeric", "checkbox", "text")
+            assert r["data_type"] in ("numeric", "boolean", "text")
         # guard derivation must never throw, whatever the mix
         schedule_guard(rows)
     assert n_rows >= len(load_master_index())  # every xpath reachable

@@ -873,3 +873,57 @@ def test_cli_build_and_tables(spark, tmp_path, capsys):
     parsed = _json.loads(spec)
     assert parsed["table"] == "SCHED-A-PART-01"
     assert "PUBLORGAINDN" in parsed["vars"]
+
+
+def test_cli_register_then_build_fresh_process(spark, tmp_path, capsys):
+    """The advertised register→build workflow across process
+    boundaries (ADVICE r5): `build` must not depend on in-memory
+    registrations from a previous `register` invocation — bare
+    LOCATIONs in --tables auto-register, and --register re-declares
+    custom-named / MANY slices."""
+    from irs_990_efiler_database_spark.__main__ import main
+    from irs_990_efiler_database_spark.plans.concordance import _MASTER_TABLES
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+    )
+
+    def fresh():  # simulate a new CLI process: no runtime registrations
+        for k in list(_MASTER_TABLES):
+            _MASTER_TABLES.pop(k)
+        build_return_schema.cache_clear()
+
+    try:
+        # 1. bare master LOCATION in --tables auto-registers
+        fresh()
+        out = str(tmp_path / "db1")
+        rc = main(
+            ["build", out, "--glob", "tests/fixtures/*.xml",
+             "--tables", "IRS990PF-PART-01"]
+        )
+        assert rc == 0
+        assert "IRS990PF-PART-01: 2 rows" in capsys.readouterr().out
+
+        # 2. --register declares a custom-named MANY slice
+        fresh()
+        out2 = str(tmp_path / "db2")
+        rc = main(
+            ["build", out2, "--glob", "tests/fixtures/*.xml",
+             "--register",
+             "IRS990PF-PART-08-LINE-1:PF-OFF:"
+             "OfcrDirTrusteesOrKeyEmployee,OfficerDirTrstKeyEmplGrp",
+             "--tables", "PF-OFF"]
+        )
+        assert rc == 0
+        assert "PF-OFF: 3 rows" in capsys.readouterr().out
+
+        # 3. an unknown table still errors with attribution
+        fresh()
+        import pytest
+
+        with pytest.raises(KeyError, match="NOT-A-TABLE"):
+            main(
+                ["build", str(tmp_path / "db3"),
+                 "--glob", "tests/fixtures/*.xml", "--tables", "NOT-A-TABLE"]
+            )
+    finally:
+        fresh()

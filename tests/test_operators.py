@@ -446,6 +446,12 @@ def test_guarded_join_outer_counts_unmatched(spark):
     # semi/anti are bounded by |left|: no probe, no refusal
     assert guarded_join(left, right, ["k"], "left_semi", max_output_rows=1).count() == 2
     assert guarded_join(left, right, ["k"], "left_anti", max_output_rows=1).count() == 10
+    # an unknown join type (typo or cross) must error, not silently
+    # fall through to the too-permissive inner-join estimate (ADVICE r5)
+    with pytest.raises(ValueError, match="unsupported join type"):
+        guarded_join(left, right, ["k"], "lefy", max_output_rows=5)
+    with pytest.raises(ValueError, match="unsupported join type"):
+        guarded_join(left, right, ["k"], "cross", max_output_rows=5)
 
 
 def test_exact_ntile_matches_window_ntile(spark):
