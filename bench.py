@@ -117,18 +117,24 @@ def main() -> None:
     # host state for cross-round normalization
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    # per-entry best-of-N spread (max - min): separates host-noise
+    # drift from real plan regressions — a ±15% move on an entry whose
+    # spread exceeds the move is contention, not code (VERDICT r5 #8)
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best, worst = min(best, dt), max(worst, dt)
             # the LSH pairs operators persist their shingle/fingerprint
             # frames for the duration of the returned DataFrame's life;
             # drop those blocks between runs (untimed) so no query is
             # charged for a predecessor's leftover cache or GC pressure
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
+        spreads[name] = round(worst - best, 4)
 
     # end-to-end extraction throughput: 2000 synthetic 990 documents →
     # all 12 output tables + partitioned writes (the reference's own
@@ -147,12 +153,14 @@ def main() -> None:
         # expensive entry, so one co-tenant contention spike otherwise
         # dominates the whole headline total (observed 17.9 s -> 93 s
         # on identical code purely from host load)
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for i in range(max(1, runs)):
             t0 = time.perf_counter()
             build_database(spark, f"{tmp}/out{i}", bundle_path=f"{tmp}/bundle")
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best, worst = min(best, dt), max(worst, dt)
         timings[f"x990_build_database_{n_docs}_docs"] = round(best, 4)
+        spreads[f"x990_build_database_{n_docs}_docs"] = round(worst - best, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -165,6 +173,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # fixed single-core probe: observed 1x-3x wall-clock
                 # swings across identical runs from invisible co-tenant

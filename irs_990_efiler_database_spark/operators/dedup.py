@@ -34,7 +34,16 @@ def normalize_text(col: Column) -> Column:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of a (normalized) string."""
+    """Distinct character n-grams of a (normalized) string.
+
+    ``col`` MUST be a materialized ATTRIBUTE (aliased in its own
+    projection), never an inline computed expression: the lambda body
+    evaluates ``col.substr`` once PER SHINGLE, so an inlined
+    ``lower(trim(regexp_replace(...)))`` would re-run the normalize
+    regex O(len) times per document (the plan_audit HOF-recompute
+    gate catches this on the executed plan). Referencing the
+    attribute twice here (length bound + lambda) also stops
+    CollapseProject from re-inlining the upstream alias."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
 
@@ -174,9 +183,15 @@ def shingled(
     identical to string-set Jaccard up to md5-prefix collisions
     (~2^-32 per pair — and both engines hash identically, so the
     oracle comparison is exact either way)."""
-    norm = normalize_text(F.col(text_col))
     df = _spread(df)
-    out = df.select(F.col(id_col).alias("id"), char_shingles(norm, n).alias("_shs"))
+    # normalize in its OWN projection: char_shingles' lambda slices the
+    # string per shingle, so the regex normalize must be a materialized
+    # attribute, not inlined into the lambda body (O(len^2) otherwise)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    out = base.select("id", char_shingles(F.col("_norm"), n).alias("_shs"))
     out = out.select("id", F.transform("_shs", shingle_base_hash).alias("sh"))
     out = out.select(
         "id", "sh", minhash_signature_from_hashes(F.col("sh"), k).alias("sig")
@@ -454,14 +469,17 @@ def minhash_lsh_pairs_between(
     )
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a (normalized, single-spaced) string.
+def word_ngrams(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a MATERIALIZED word-array attribute.
 
-    Word grams draw from a combinatorially larger space than character
-    shingles (vocab^n vs alphabet^n), so their document frequencies
-    are heavy-tailed — the regime prefix filtering needs. Documents
-    with fewer than n words yield an empty set."""
-    words = F.split(col, " ")
+    ``words`` must be an aliased ``split(...)`` column, not an inline
+    split expression: the lambda reads ``element_at(words, ...)`` per
+    gram, so an inlined split would re-tokenize the document once per
+    gram (the plan_audit HOF-recompute gate catches the inlined form
+    on the executed plan). Word grams draw from a combinatorially
+    larger space than character shingles (vocab^n vs alphabet^n), so
+    their document frequencies are heavy-tailed — the regime prefix
+    filtering needs. Arrays shorter than n words yield an empty set."""
     grams = F.transform(
         F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))),
         lambda x, i: F.concat_ws(
@@ -506,16 +524,26 @@ def prefix_filter_pairs(
     the cost of a dense-df token space on short texts.
     """
     t = float(threshold)
-    norm = normalize_text(F.col(text_col))
-    tokens = (
-        word_ngrams(norm, 3)
-        if token_mode == "word3"
-        else char_shingles(norm, n)
+    # each derivation stage in its own projection (norm → words →
+    # grams): the gram lambdas slice per element, so their inputs must
+    # be materialized attributes, never inlined normalize/split trees
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
     )
+    if token_mode == "word3":
+        words = base.select("id", F.split(F.col("_norm"), " ").alias("_w"))
+        tokenized = words.select(
+            "id", word_ngrams(F.col("_w"), 3).alias("_toks")
+        )
+    else:
+        tokenized = base.select(
+            "id", char_shingles(F.col("_norm"), n).alias("_toks")
+        )
     docs = tracked_persist(
-        _spread(df).select(
-            F.col(id_col).alias("id"),
-            F.transform(tokens, shingle_base_hash).alias("sh"),
+        tokenized.select(
+            "id",
+            F.transform(F.col("_toks"), shingle_base_hash).alias("sh"),
         )
     )
     tok = docs.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))

@@ -49,28 +49,45 @@ def global_row_number(
     Also carries a ``__gr_tot`` total-row-count column (consumed by
     ``exact_ntile``; dropped from public output by callers).
 
-    Cost: one range shuffle of the input + one pid-hash shuffle for
-    the local windows + a broadcast join against the #partitions-row
-    offset frame. Every window partition is one range partition."""
+    Cost: ONE range shuffle of the input + a broadcast join against
+    the #partitions-row offset frame (plus the tiny (pid, count)
+    aggregation). The local rank needs no window at all: after
+    ``sortWithinPartitions`` on the total order,
+    ``monotonically_increasing_id`` encodes (partition id << 33 |
+    row index) — pid and 1-based local rank decode with shifts, so
+    the pid-hash exchange a ``Window.partitionBy(pid)`` would force
+    never happens. Exactness does not depend on where the range
+    sampler puts partition boundaries: offset(pid) + local_rank is
+    the global rank under the total order for ANY contiguous
+    partitioning, so the result is partitioning-invariant."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        _LRN, F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+    # one nondeterministic mid column (CollapseProject never inlines
+    # nondeterministic expressions, so pid/lrn decode the SAME value)
+    local = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__gr_mid", F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col("__gr_mid"), 33))
+        .withColumn(
+            _LRN,
+            F.col("__gr_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1),
+        )
+        .drop("__gr_mid")
     )
     # offsets: counts per pid, prefix-summed over the tiny pid frame
     # (bounded by num_partitions rows — the one safe ordered window)
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    # bounded-window: counts has exactly #partitions rows
     wall = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
         _PID,
+        # bounded-window: prefix sum over the #partitions-row frame
         (F.sum(_CNT).over(Window.orderBy(_PID)) - F.col(_CNT)).alias(_OFF),
         F.sum(_CNT).over(wall).alias(_TOT),
     )
@@ -160,11 +177,13 @@ def exact_weighted_ntile(
         ),
     )
     counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT))
+    # bounded-window: counts has exactly #partitions rows
     wall = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
         _PID,
+        # bounded-window: prefix sum over the #partitions-row frame
         (F.sum(_CNT).over(Window.orderBy(_PID)) - F.col(_CNT)).alias(_OFF),
         F.sum(_CNT).over(wall).alias(_TOT),
     )

@@ -1846,6 +1846,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v")
     )
+    # bounded-window: input is the per-day aggregate (≤ #days rows)
     w = Window.orderBy("day")
     terms = F.lit(0.5) * F.col("v")
     for i in range(1, 7):
@@ -2431,6 +2432,7 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
         ).alias("v")
     )
+    # bounded-window: input is the per-day aggregate (≤ #days rows)
     w = Window.orderBy("day").rowsBetween(-6, 0)
     m = daily.select(
         "day",
@@ -2549,6 +2551,7 @@ def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 1_000_000).cast("decimal(38,0)")
         ).cast("long").alias("v")
     )
+    # bounded-window: input is the per-day aggregate (≤ #days rows)
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return (
         daily.select(

@@ -239,6 +239,7 @@ def idx_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = idx.groupBy("TaxYear").agg(
         F.count(F.lit(1)).cast("long").alias("n_filings")
     )
+    # bounded-window: input is the per-TaxYear aggregate (≤ ~30 rows)
     w = Window.orderBy("TaxYear")
     prev = F.lag("n_filings").over(w)
     return yearly.select(

@@ -712,6 +712,7 @@ def sim_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbounded window), THEN ranks over the bounded K-row frame; the
     # in-top-K ranks equal the global ranks for those rows
     K = 50
+    # bounded-window: frame is .limit(K) rows (TakeOrderedAndProject)
     wt = Window.orderBy(F.col("ts").desc(), "doc_id")
     trank = (
         tscored.orderBy(F.col("ts").desc(), "doc_id")
@@ -731,6 +732,7 @@ def sim_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("ss"),
         )
     )
+    # bounded-window: frame is .limit(K) rows (TakeOrderedAndProject)
     ws = Window.orderBy(F.col("ss").desc(), "doc_id")
     srank = (
         sscored.orderBy(F.col("ss").desc(), "doc_id")

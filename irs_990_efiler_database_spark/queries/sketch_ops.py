@@ -156,6 +156,7 @@ def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.groupBy(
         F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("long").alias("bin")
     ).agg(F.count(F.lit(1)).alias("c"))
+    # bounded-window: input is the per-bin histogram aggregate
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = b.withColumn("cum", F.sum("c").over(w))
 

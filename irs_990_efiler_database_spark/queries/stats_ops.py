@@ -695,6 +695,7 @@ def stat_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("p_cnt").alias("np"), F.sum("q_cnt").alias("nq")
     )
+    # bounded-window: input is the per-bin histogram aggregate
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -408,25 +408,37 @@ def text_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side streams map-side through the hash join — no shuffle of
     corpus text, never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim("text"), r"\s+")
-    grams13 = F.when(
-        F.size(t) >= 13,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - F.lit(12)),
-                lambda i: F.array_join(F.slice(t, i, 13), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", F.explode(grams13).alias("g"))
-    ev = grams.filter(F.col("doc_id") < 50).select(
-        F.col("doc_id").alias("eval_id"), "g"
+    # explode-positions form: the token split materializes below the
+    # Generate and each 13-gram is one codegen'd slice of the carried
+    # array — no HOF lambda, so nothing for CollapseProject to inline
+    # back into a per-element recompute (plan_audit gate (d)). The
+    # within-doc dedup the old array_distinct did moves to ONE distinct
+    # over the post-join survivors — shared 13-grams are the rare
+    # exception, so that shuffle is negligible vs deduping the corpus.
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    inst = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= 13, F.sequence(F.lit(1), F.size("t") - 12)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id", F.array_join(F.slice("t", F.col("pos"), 13), " ").alias("g")
     )
-    corp = grams.filter(F.col("doc_id") >= 50).select(
+    ev = (
+        inst.filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("eval_id"), "g")
+        .distinct()
+    )
+    corp = inst.filter(F.col("doc_id") >= 50).select(
         F.col("doc_id").alias("corpus_id"), "g"
     )
     return (
         corp.join(F.broadcast(ev), "g")
+        .select("eval_id", "corpus_id", "g")
+        .distinct()
         .groupBy("eval_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("shared_13grams"))
     )
@@ -542,6 +554,33 @@ def _with_3grams(d: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return w.select("doc_id", g3.alias("g3"))
+
+
+def _exploded_3grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g) — one row per word-3-gram INSTANCE, via the
+    explode-positions form: tokens materialize below the Generate,
+    positions explode, each gram is one codegen'd ``slice`` of the
+    carried array. Use THIS (not ``explode(_with_3grams(...))``) when
+    the grams feed an explode: a Generate over the single-use gram
+    array re-inlines the transform lambda — split included — into a
+    per-element recompute (caught by plan_audit gate (d); measured
+    27× on this exact query family)."""
+    from ..operators.dedup import _spread
+
+    w = _spread(d).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    return w.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        "doc_id", F.concat_ws(" ", F.slice("toks", F.col("pos"), 3)).alias("g")
+    )
 
 
 @register(
@@ -769,9 +808,15 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its 3-gram instances are boilerplate and a flag at 10%. Two
     grouped aggregations over the exploded grams plus one key-only
     join — the boilerplate set joins by gram hash, deliberately NOT
-    broadcast (it grows with the corpus; AQE picks the strategy)."""
+    broadcast (it grows with the corpus; AQE picks the strategy).
+
+    Gram instances come from the explode-POSITIONS form, not
+    explode(_with_3grams(...)): a Generate over the single-use gram
+    array inlines the whole lambda (split included) back into a
+    per-element recompute — the r5 'fixed' plan had silently
+    regressed; plan_audit gate (d) now proves this plan clean."""
     d = load_table(spark, sf_dir, "documents")
-    g = _with_3grams(d).select("doc_id", F.explode("g3").alias("g3"))
+    g = _exploded_3grams(d).withColumnRenamed("g", "g3")
     # one aggregation on (doc_id, g3) feeds all three branches.
     # ReusedExchange can NOT deduplicate them: per-branch column
     # pruning narrows each subtree differently, so the plans are not
@@ -1008,11 +1053,18 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.ntile.exact_ntile``: range-partitioned local ranks +
     broadcast offsets — no single-partition window), bit-identical to
     the oracle's global NTILE; the mergeable binned-quantile sketch
-    (`sketch_binned_quantiles`) remains the approximate alternative."""
+    (`sketch_binned_quantiles`) remains the approximate alternative.
+
+    The score frame is tracked-persisted: exact_ntile's range sampler
+    and rank pass would otherwise each re-derive the full LM pipeline
+    (token explode + freq join + doc agg) — the r5 widest-plan finding
+    (14 shuffles / 6 scans); caching the ~1-row-per-doc scores frame
+    collapses the rederivations to one."""
+    from ..caching import tracked_persist
     from ..operators.ntile import exact_ntile
 
-    scores = text_lm_unigram_score(spark, sf_dir).select(
-        "doc_id", "avg_logprob"
+    scores = tracked_persist(
+        text_lm_unigram_score(spark, sf_dir).select("doc_id", "avg_logprob")
     )
     return (
         exact_ntile(scores, 10, ["avg_logprob", "doc_id"], "decile")

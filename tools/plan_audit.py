@@ -14,7 +14,19 @@ InMemoryTableScan.cachedPlan) and fails the run on:
     LocalTableScan) — the single-partition-window scale-killer;
 (b) any CartesianProduct;
 (c) a ``.collect()`` / ``.toPandas()`` call site in package source
-    outside the allowlisted bounded sites (static scan).
+    outside the allowlisted bounded sites (static scan);
+(d) a higher-order-function lambda whose body contains a COMPUTED
+    expression over outer columns (no lambda variable in its subtree)
+    — interpreted HOFs re-evaluate the whole body per array element,
+    so e.g. ``element_at(split(text, ' '), i)`` re-runs the tokenizer
+    regex per token (the 27×-measured recompute class, VERDICT r5 #1).
+    Checked on the EXECUTED plan, so a CollapseProject that silently
+    inlines a materialized array back into a lambda is caught too;
+(e) a ``Window.orderBy`` (no partitionBy) construction site in package
+    source without a ``# bounded-window: <reason>`` annotation on the
+    same or the preceding line (static AST scan) — every
+    no-partition window must state WHY its input is bounded, so a
+    future edit can't silently unbound one (VERDICT r5 #7).
 
 Usage: python tools/plan_audit.py [sf_dir] [--gate-only]
 Exit code 1 on any gate violation.
@@ -93,6 +105,80 @@ def _subtree_has_bound(node) -> bool:
     return False
 
 
+def _expr_children(e):
+    out = []
+    it = e.children().iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _expr_walk(e):
+    yield e
+    for c in _expr_children(e):
+        yield from _expr_walk(c)
+
+
+# leaf/cheap expression classes allowed to reference outer columns
+# inside a lambda body: O(1) per evaluation, no recompute cost
+_LAMBDA_CHEAP = {
+    "AttributeReference",
+    "NamedLambdaVariable",
+    "Literal",
+    "Size",  # array length is O(1)
+    "GetStructField",
+    "Cast",
+    "KnownNotNull",
+    "KnownFloatingPointNormalized",
+    "NormalizeNaNAndZero",
+}
+
+
+def hof_recompute_violations(plan) -> list[str]:
+    """(d): computed outer expressions inside HOF lambda bodies.
+
+    For every ``LambdaFunction`` in the executed plan's expressions,
+    flag any body subtree that is a computation (class outside
+    ``_LAMBDA_CHEAP``) whose references are ONLY outer columns (no
+    lambda variable) — that subtree is constant per row but
+    re-evaluated per array element by the interpreted HOF evaluator.
+    Cheap wrappers (Size/Cast/field access) are allowed; their
+    children are still checked."""
+    out: list[str] = []
+    for node in _walk(plan):
+        eit = node.expressions().iterator()
+        while eit.hasNext():
+            top = eit.next()
+            if "lambdafunction" not in top.toString():
+                continue
+            for e in _expr_walk(top):
+                if e.getClass().getSimpleName() != "LambdaFunction":
+                    continue
+                body = _expr_children(e)[0]  # (function, *lambda vars)
+                stack = [body]
+                while stack:
+                    sub = stack.pop()
+                    cls = sub.getClass().getSimpleName()
+                    if cls in _LAMBDA_CHEAP:
+                        stack.extend(_expr_children(sub))
+                        continue
+                    has_attr = has_lv = False
+                    for s in _expr_walk(sub):
+                        c = s.getClass().getSimpleName()
+                        if c == "AttributeReference":
+                            has_attr = True
+                        elif c == "NamedLambdaVariable":
+                            has_lv = True
+                    if has_attr and not has_lv:
+                        out.append(
+                            "HOF lambda recomputes outer expression: "
+                            f"{cls} {sub.toString()[:90]}"
+                        )
+                    else:
+                        stack.extend(_expr_children(sub))
+    return out
+
+
 def gate_violations(plan) -> list[str]:
     """Tree-walk gate: (a) unbounded empty-partition windows and
     (b) cartesian products in one executed plan."""
@@ -110,6 +196,45 @@ def gate_violations(plan) -> list[str]:
                 _subtree_has_bound(c) for c in _children(n)
             ):
                 out.append(f"unbounded no-partition {cls}")
+    return out
+
+
+def window_annotation_violations() -> list[str]:
+    """(e): every real ``Window.orderBy(...)`` construction (AST call
+    sites — docstrings/comments don't count) needs a
+    ``# bounded-window: <reason>`` annotation on its line or the line
+    above. The tree gate proves the input is bounded at runtime; the
+    annotation makes the boundedness claim explicit at the source site
+    so an edit that unbounds the input is a reviewable diff."""
+    import ast
+
+    pkg = REPO / "irs_990_efiler_database_spark"
+    out: list[str] = []
+    for p in sorted(pkg.rglob("*.py")):
+        src = p.read_text()
+        lines = src.splitlines()
+        try:
+            tree = ast.parse(src)
+        except SyntaxError as e:  # pragma: no cover
+            out.append(f"{p.name}: unparseable ({e})")
+            continue
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                continue
+            ln = node.lineno  # 1-based
+            window = lines[max(0, ln - 2) : ln]
+            if not any("# bounded-window:" in w for w in window):
+                rel = p.relative_to(pkg)
+                out.append(
+                    f"{rel}:{ln}: Window.orderBy without "
+                    "'# bounded-window:' annotation"
+                )
     return out
 
 
@@ -138,7 +263,7 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     violations: list[str] = [
         f"static: {v}" for v in collect_site_violations()
-    ]
+    ] + [f"static: {v}" for v in window_annotation_violations()]
     lines = [
         "# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)",
         "",
@@ -159,6 +284,7 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
         df = fn(spark, sf_dir)
         exec_plan = df._jdf.queryExecution().executedPlan()
         viol = gate_violations(exec_plan)
+        viol += sorted(set(hof_recompute_violations(exec_plan)))
         for v in viol:
             violations.append(f"{name}: {v}")
         if gate_only:
