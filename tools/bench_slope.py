@@ -39,6 +39,15 @@ FAMILIES = {
     "triangle count": ("graph_triangle_count", ["events"]),
     "IVF ANN": ("sim_ann_ivf", ["embeddings"]),
     "equal-token sharding": ("doc_token_equal_shards", ["documents"]),
+    # streaming (VERDICT r5 #6): cost should be micro-batch-count-
+    # bound (engine overhead per batch), not state-bound — a time
+    # ratio far below the event ratio is the expected signature
+    "stream stateful sessions": (
+        "events_stream_stateful_sessions", ["events"],
+    ),
+    "stream click attribution": (
+        "events_stream_click_attribution", ["events"],
+    ),
 }
 
 
