@@ -80,7 +80,13 @@ def global_row_number(
     )
     # offsets: counts per pid, prefix-summed over the tiny pid frame
     # (bounded by num_partitions rows — the one safe ordered window)
-    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    # coalesce(1) (not an Exchange): CoalesceExec with one partition
+    # reports SinglePartition output partitioning, so the prefix-sum
+    # window below needs NO SinglePartition shuffle — the lone task
+    # just reads the #partitions pre-aggregated rows
+    counts = (
+        local.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT)).coalesce(1)
+    )
     # bounded-window: counts has exactly #partitions rows
     wall = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -176,7 +182,8 @@ def exact_weighted_ntile(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT))
+    # coalesce(1): SinglePartition without an Exchange (see above)
+    counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT)).coalesce(1)
     # bounded-window: counts has exactly #partitions rows
     wall = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

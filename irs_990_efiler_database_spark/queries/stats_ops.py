@@ -376,21 +376,20 @@ def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-basket self-join is quadratic in BASKET size,
     not corpus size; baskets above 100 distinct items are excluded
     up-front (mirrored in the oracle) so a degenerate mega-basket
-    cannot produce O(n^2) rows. Item counts join back AQE-sized; the
-    association doubles are single fixed-order expressions over exact
-    counts, no rounding needed."""
+    cannot produce O(n^2) rows. ONE shuffle derives the basket frame:
+    collect_set per order (bounded ≤100 items) replaces the old
+    groupBy-count + semi-join + distinct triple, and the exploded
+    (order, part) frame keeps hashpartitioning(l_orderkey) from the
+    aggregation, so the pair self-join needs no further exchange.
+    Item counts join back AQE-sized; the association doubles are
+    single fixed-order expressions over exact counts, no rounding."""
     li = load_table(spark, sf_dir, "lineitem")
-    ok = (
+    baskets = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_partkey").alias("nd"))
-        .filter(F.col("nd") <= 100)
-        .select("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= 100)
     )
-    b = (
-        li.join(ok, "l_orderkey", "left_semi")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    b = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     pa = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))

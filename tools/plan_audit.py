@@ -255,6 +255,24 @@ def collect_site_violations() -> list[str]:
     return out
 
 
+def _count_shuffles(plan_str: str) -> int:
+    """Distinct shuffle Exchange operators in the plan string.
+
+    The toString output reprints a cached subtree under EVERY
+    InMemoryTableScan that consumes it, and ReusedExchange repeats its
+    target — counting occurrences overstates the shuffles a run
+    actually executes. Each operator prints a unique ``plan_id``, so
+    distinct ids = distinct shuffle operators (broadcast exchanges
+    excluded; they ship a smallrel, not a repartition)."""
+    ids = re.findall(
+        r"(?<!Broadcast)(?<!Reused)Exchange [^\n]*?\[plan_id=(\d+)\]",
+        plan_str,
+    )
+    if ids:
+        return len(set(ids))
+    return len(re.findall(r"\bExchange\b", plan_str))
+
+
 def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
@@ -267,8 +285,11 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
     lines = [
         "# PLANS — physical-plan audit (auto-generated by tools/plan_audit.py)",
         "",
-        f"Scale dir: `{sf_dir}`. Columns: shuffles = `Exchange` nodes in the",
-        "initial physical plan; joins = join strategy nodes; pushed = parquet",
+        f"Scale dir: `{sf_dir}`. Columns: shuffles = DISTINCT shuffle",
+        "`Exchange` operators (by plan_id) in the initial physical plan —",
+        "occurrence counting would re-count a cached subtree under every",
+        "InMemoryTableScan that consumes it; joins = join strategy nodes;",
+        "pushed = parquet",
         "scans with non-empty `PushedFilters`; gate = scale-pattern tree gate",
         "(fails on CartesianProduct or an unbounded no-partition Window).",
         "Counts are the static pre-AQE plan — AQE can only further reduce",
@@ -291,7 +312,7 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
             spark.catalog.clearCache()
             continue
         plan = exec_plan.toString()
-        n_ex = len(re.findall(r"\bExchange\b", plan))
+        n_ex = _count_shuffles(plan)
         joins = ", ".join(
             f"{j}×{plan.count(j)}" for j in JOIN_NODES if j in plan
         ) or "—"
