@@ -82,6 +82,9 @@ HEADLINE = [
     "events_rfm_segmentation",
     "sim_hybrid_rrf_search",
     "x990_public_support_report",
+    # round 6 additions
+    "fdedup_semantic_pairs",
+    "doc_quality_deciles",
 ]
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 _DEC = "decimal(30,15)"
 
 
@@ -316,6 +318,119 @@ def ivf_assign_broadcast(
         "v",
         "vn",
         F.get(F.col("_cents"), best - 1)["cid"].alias("centroid_id"),
+    )
+
+
+def _dot_f64_impl():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_f64(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.vstack(va.to_numpy())
+        b = np.vstack(vb.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    return dot_f64
+
+
+def _dot_f64(va: Column, vb: Column) -> Column:
+    """Vectorized float64 dot product (Arrow batch → numpy einsum) —
+    the PREFILTER arm only; exact decimal rerank follows for anything
+    it passes. Deferred UDF registration (created per call) keeps
+    module import free of a SparkSession requirement."""
+    return _dot_f64_impl()(va, vb)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 1000,
+    quantizer: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication'): (id_a < id_b, centroid_id, cos) for vectors in
+    the SAME k-means cell with rounded cosine ≥ ``threshold``.
+
+    The embedding-cluster complement of ``embedding_neardup_pairs``:
+    sign-LSH buckets by random hyperplanes (recall on near-identical
+    vectors), centroid cells bucket by SEMANTIC neighborhood — pairs
+    of paraphrase-grade similarity that random planes routinely split
+    land in one cell, which is why the published technique
+    deduplicates within clusters. Scale shape: assignment is the
+    shuffle-free IVF projection (auto literal/broadcast quantizer),
+    candidates join on centroid_id only — per-cell quadratic, never
+    all-pairs; K grows with the corpus (corpus_size / target cell
+    size) so cells stay bounded, and ``max_cell_size`` drops
+    degenerate cells (a collapsed embedding model) before the
+    self-join, same guard as the LSH paths. Centroids here are the K
+    lowest-id vectors (deterministic, oracle-reproducible); a trained
+    k-means table (``ivf_train``) swaps in without changing the plan.
+    """
+    from .dedup import cap_hot_buckets
+
+    cent_rows = [
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
+        .collect()  # K rows — the quantizer is bounded by design
+    ]
+    if quantizer == "auto":
+        k_dim = sum(len(v) for _, v, _ in cent_rows)
+        quantizer = "literal" if k_dim <= 8192 else "broadcast"
+    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    # eager tracked persist, same as the LSH builders: the assignment
+    # projection (per-row decimal quantizer argmax) feeds the hot-cell
+    # count AND both self-join sides — uncached it re-runs ~4×
+    assigned = tracked_persist(assign_fn(corpus, cent_rows, id_col, vec_col))
+    assigned.count()
+    capped = cap_hot_buckets(assigned, ["centroid_id"], max_cell_size)
+    x, y = capped.alias("x"), capped.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.centroid_id") == F.col("y.centroid_id"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.col("x.centroid_id").alias("centroid_id"),
+        F.col("x.v").alias("va"),
+        F.col("y.v").alias("vb"),
+        (F.col("x.vn") * F.col("y.vn")).alias("nn"),
+    )
+    # two-stage verify, the est_prefilter pattern from the MinHash
+    # funnel: a VECTORIZED float64 dot (Arrow-batched numpy — ~1e3×
+    # the throughput of the interpreted per-element decimal HOF)
+    # prunes the per-cell-quadratic candidate stream; only survivors
+    # (+ a margin dwarfing float64 dot error, ~1e-12 relative) pay
+    # the decimal-exact rerank the oracle comparison is pinned to.
+    # The survivor frame is persisted EAGERLY: the planner extracts
+    # the Python-UDF predicate into its own evaluation stage and
+    # would otherwise compute the decimal projection for every
+    # candidate first (measured 17.6 s vs 0.45 s at sf0.1)
+    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
+    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
+    pre.count()
+    return (
+        pre.select(
+            "id_a",
+            "id_b",
+            "centroid_id",
+            F.round(
+                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
     )
 
 

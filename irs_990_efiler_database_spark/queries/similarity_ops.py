@@ -228,6 +228,77 @@ def fdedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, threshold=0.99)
 
 
+@register(
+    "fdedup_semantic_pairs",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    ascore AS (
+      SELECT e.vec_id, c.cid,
+             round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(c.cv[i] AS DOUBLE)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                                     * CAST(e.embedding[i] AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(CAST(c.cv[i] AS DOUBLE)
+                                       * CAST(c.cv[i] AS DOUBLE)
+                                       AS DECIMAL(30,15))) AS DOUBLE))), 6) AS cos
+      FROM embeddings e
+      CROSS JOIN cent c,
+      unnest(generate_series(1, len(e.embedding))) AS t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    cpairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
+             ea.embedding AS va, eb.embedding AS vb
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    cdots AS (
+      SELECT id_a, id_b, centroid_id,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS aa,
+             SUM(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS bb
+      FROM cpairs, unnest(generate_series(1, len(va))) AS t(i)
+      GROUP BY id_a, id_b, centroid_id
+    )
+    SELECT id_a, id_b, centroid_id, cos FROM (
+      SELECT id_a, id_b, centroid_id,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS cos
+      FROM cdots
+    )
+    WHERE cos >= 0.3
+    """,
+)
+def fdedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within-k-means-cell cosine pairs
+    ≥ 0.3 — the embedding-CLUSTER complement of the sign-LSH near-dup
+    path (random hyperplanes split paraphrase-grade pairs that share a
+    semantic cell; the published technique dedups within clusters).
+    Assignment is the shuffle-free IVF projection; candidates join on
+    centroid_id only — per-cell quadratic, never all-pairs."""
+    from ..operators.similarity import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, threshold=0.3, n_centroids=8)
+
+
 _SQL_IVF = """
   cent AS (
     SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8

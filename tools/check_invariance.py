@@ -28,6 +28,7 @@ text_zipf_fit doc_token_equal_shards events_gini_coefficient
 sim_hybrid_rrf_search fdedup_minhash_pairs agg_variance_exact
 stat_corr_pairs mm_audio_zero_crossing agg_percentile_disc
 events_asof_last_purchase q1_pricing_summary text_boilerplate_ngrams
+fdedup_semantic_pairs text_decontaminate_13gram rec_item_cooccurrence
 sketch_binned_quantiles
 """.split()
 
