@@ -243,6 +243,29 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert own == {i: i for i in range(8)}
 
 
+def test_semantic_dedup_finds_planted_copies(spark):
+    """SemDeDup recall property: an exact copy of a vector lands in
+    the SAME centroid cell by construction (identical cosines to every
+    centroid, same lowest-id tie-break), so every planted (v, copy)
+    pair must surface with cos = 1.0 — and the float64 prefilter must
+    not drop them (margin property). Pairs below the threshold never
+    appear."""
+    from irs_990_efiler_database_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(planted)
+    got = semantic_dedup_pairs(aug, threshold=0.999, n_centroids=8)
+    rows = {(r["id_a"], r["id_b"]): r["cos"] for r in got.collect()}
+    for i in range(20):
+        assert rows.get((i, i + 1_000_000)) == 1.0, i
+    assert all(c >= 0.999 for c in rows.values())
+
+
 def test_ivf_broadcast_quantizer_matches_literal_and_scales_plan(spark):
     """The broadcast-join quantizer must (a) agree with the literal
     path row-for-row, (b) show a BroadcastHashJoin on the packed
