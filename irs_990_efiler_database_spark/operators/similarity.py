@@ -120,23 +120,51 @@ def embedding_neardup_pairs(
     self-join — same guard as the text-LSH paths."""
     from .dedup import cap_hot_buckets
 
-    b = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    b = cap_hot_buckets(b, ["bucket"], max_bucket_size)
-    x, y = b.alias("x"), b.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
+    # eager tracked persist: the bucketed projection (per-row plane
+    # dots + norm) feeds the hot-bucket count AND both self-join
+    # sides; carrying the precomputed norm means the per-pair verify
+    # does ONE new dot, not cosine()'s dot + two norm re-derivations
+    b = tracked_persist(
+        cap_hot_buckets(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                l2_norm(F.col(vec_col)).alias("vn"),
+                lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            ),
+            ["bucket"],
+            max_bucket_size,
         )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos"),
+    )
+    b.count()
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.col("x.v").alias("va"),
+        F.col("y.v").alias("vb"),
+        (F.col("x.vn") * F.col("y.vn")).alias("nn"),
+    )
+    # two-stage verify (same as semantic_dedup_pairs): vectorized
+    # float64 prefilter, decimal-exact rerank for survivors only —
+    # persisted eagerly so the extracted-UDF predicate runs BEFORE
+    # the decimal projection
+    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
+    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
+    pre.count()
+    return (
+        pre.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
