@@ -71,7 +71,10 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tmp / "in").mkdir()
     shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
     stream = tumbling_counts(stream_events(spark, str(tmp / "in")))
-    return run_available_now(stream, "events_stream_tumbling_q", str(tmp / "ckpt"))
+    return run_available_now(
+        stream, "events_stream_tumbling_q", str(tmp / "ckpt"),
+        state_partitions=8,
+    )
 
 
 _SLIDING_ORACLE = """
@@ -128,7 +131,10 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tmp / "in").mkdir()
     shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
     stream = sliding_counts(stream_events(spark, str(tmp / "in")))
-    return run_available_now(stream, "events_stream_sliding_q", str(tmp / "ckpt"))
+    return run_available_now(
+        stream, "events_stream_sliding_q", str(tmp / "ckpt"),
+        state_partitions=8,
+    )
 
 
 @register(
@@ -188,7 +194,8 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
     stream = session_windows(stream_events(spark, str(tmp / "in")))
     return run_available_now(
-        stream, "events_stream_sesswin_q", str(tmp / "ckpt"), output_mode="append"
+        stream, "events_stream_sesswin_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -342,7 +349,8 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
     stream = stateful_sessions(stream_events(spark, str(tmp / "in")))
     return run_available_now(
-        stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append"
+        stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -450,7 +458,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     ).drop("ts")
     return run_available_now(
-        deduped, "events_stream_dedup_q", str(tmp / "ckpt"), output_mode="append"
+        deduped, "events_stream_dedup_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -500,7 +509,8 @@ def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
     joined = purchase_click_attribution(clicks, purchases)
     return run_available_now(
-        joined, "events_stream_click_attr_q", str(tmp / "ckpt"), output_mode="append"
+        joined, "events_stream_click_attr_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -612,6 +622,7 @@ def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> D
         "events_stream_click_attr_outer_q",
         str(tmp / "ckpt"),
         output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -1123,7 +1134,10 @@ def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    return run_available_now(agg, "events_stream_enrich_q", str(tmp / "ckpt"))
+    return run_available_now(
+        agg, "events_stream_enrich_q", str(tmp / "ckpt"),
+        state_partitions=8,
+    )
 
 
 @register(
@@ -1646,7 +1660,8 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
     stream = running_totals(stream_events(spark, str(tmp / "in")))
     return run_available_now(
-        stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append"
+        stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -1898,6 +1913,7 @@ def events_stream_dedup_within_watermark(
         "events_stream_dedup_wm_q",
         str(tmp / "ckpt"),
         output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -2313,7 +2329,8 @@ def events_stream_click_attribution_full(
     purchases = ev.filter(F.col("event_type") == "purchase")
     out = purchase_click_attribution_full(clicks, purchases)
     return run_available_now(
-        out, "events_attr_full_q", str(tmp / "ckpt"), output_mode="append"
+        out, "events_attr_full_q", str(tmp / "ckpt"), output_mode="append",
+        state_partitions=8,
     )
 
 

@@ -280,18 +280,38 @@ def run_available_now(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain everything currently in the source into an in-memory sink
-    (test/backfill mode) and return the result table."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (test/backfill mode) and return the result table.
+
+    ``state_partitions``: per-query state-store partition count —
+    pinned into the (fresh) checkpoint from
+    ``spark.sql.shuffle.partitions`` at first batch, so it is a
+    PER-QUERY sizing knob, not a session property. Stateful operators
+    pay a fixed per-partition cost every micro-batch (a state store
+    instance + commit each), so size it to the state volume: a
+    backfill drain of bounded input wants few partitions; a 100 TB
+    production stream sizes it to state volume / executor count. The
+    conf is restored after the drain — batch queries in the session
+    are unaffected."""
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream.sparkSession.table(query_name)
 
 
