@@ -184,7 +184,7 @@ def build_database(
         from concurrent.futures import as_completed
 
         failures: dict[str, Exception] = {}
-        with ThreadPoolExecutor(max_workers=min(4, len(selected) or 1)) as ex:
+        with ThreadPoolExecutor(max_workers=min(8, len(selected) or 1)) as ex:
             futs = {ex.submit(write_one, name): name for name in selected}
             for fut in as_completed(futs):
                 try:

@@ -153,11 +153,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge frame (persisted once); no vertex ever enumerates
     its full undirected neighborhood squared."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # ONE shuffle derives the per-order basket (collect_set ==
+    # per-order distinct; TPC-H orders carry ≤7 lines); the exploded
+    # frame keeps hashpartitioning(l_orderkey) from the aggregation,
+    # so the pair self-join adds no exchange — same shape as
+    # rec_item_cooccurrence
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    b = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
     right = b.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("pk2")
     )
-    pairs = (
+    # pairs feeds BOTH the degree frame and the orientation join —
+    # tracked-persist the (tiny) edge list so the basket pipeline over
+    # lineitem runs once, not once per consumer
+    pairs = tracked_persist(
         b.join(right, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("pk2"))
         .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
@@ -329,9 +340,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its three vertices via one explode) plus the degree frame; all
     double ops are one fixed-order expression over exact counts."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    # one-shuffle basket derivation (see graph_triangle_count)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    b = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
     right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk2"))
-    pairs = (
+    # pairs feeds BOTH the degree frame and the orientation join —
+    # tracked-persist the (tiny) edge list so the basket pipeline over
+    # lineitem runs once, not once per consumer
+    pairs = tracked_persist(
         b.join(right, "l_orderkey")
         .filter(F.col("l_partkey") < F.col("pk2"))
         .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
