@@ -462,6 +462,83 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs_between(
+    corpus: DataFrame,
+    new_pred: Column,
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 1000,
+    quantizer: str = "auto",
+) -> DataFrame:
+    """Incremental SemDeDup: (new_id, idx_id, centroid_id, cos) pairs
+    between the NEW partition of the corpus (rows where ``new_pred``,
+    a predicate over the assigned frame — reference the id column as
+    ``id``, same convention as ``minhash_lsh_pairs_between``)
+    and the already-INDEXED remainder — the day-2 shape of semantic
+    dedup, where a fresh crawl batch is screened against the standing
+    cell index instead of re-pairing the whole corpus (the
+    ``minhash_lsh_pairs_between`` twin on the embedding side).
+
+    Identical funnel to ``semantic_dedup_pairs`` except the cell join
+    is new × indexed, never new × new or indexed × indexed: cost
+    scales with |new batch| × cell occupancy, not |corpus|². In
+    production the indexed side's (id, v, vn, centroid_id) frame is
+    the persisted assignment index; here it derives in the same job so
+    the DuckDB oracle can replay both sides."""
+    from .dedup import cap_hot_buckets
+
+    cent_rows = [
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
+        .collect()  # K rows — the quantizer is bounded by design
+    ]
+    if quantizer == "auto":
+        k_dim = sum(len(v) for _, v, _ in cent_rows)
+        quantizer = "literal" if k_dim <= 8192 else "broadcast"
+    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    assigned = tracked_persist(
+        cap_hot_buckets(
+            assign_fn(corpus, cent_rows, id_col, vec_col).withColumn(
+                "is_new", new_pred
+            ),
+            ["centroid_id"],
+            max_cell_size,
+        )
+    )
+    assigned.count()
+    nb = assigned.filter(F.col("is_new")).alias("x")
+    ob = assigned.filter(~F.col("is_new")).alias("y")
+    cand = nb.join(
+        ob, F.col("x.centroid_id") == F.col("y.centroid_id")
+    ).select(
+        F.col("x.id").alias("new_id"),
+        F.col("y.id").alias("idx_id"),
+        F.col("x.centroid_id").alias("centroid_id"),
+        F.col("x.v").alias("va"),
+        F.col("y.v").alias("vb"),
+        (F.col("x.vn") * F.col("y.vn")).alias("nn"),
+    )
+    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
+    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
+    pre.count()
+    return (
+        pre.select(
+            "new_id",
+            "idx_id",
+            "centroid_id",
+            F.round(
+                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

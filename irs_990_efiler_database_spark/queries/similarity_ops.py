@@ -299,6 +299,79 @@ def fdedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, threshold=0.3, n_centroids=8)
 
 
+@register(
+    "fdedup_semantic_incremental",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    ascore AS (
+      SELECT e.vec_id, c.cid,
+             round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(c.cv[i] AS DOUBLE)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                                     * CAST(e.embedding[i] AS DOUBLE)
+                                     AS DECIMAL(30,15))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(CAST(c.cv[i] AS DOUBLE)
+                                       * CAST(c.cv[i] AS DOUBLE)
+                                       AS DECIMAL(30,15))) AS DOUBLE))), 6) AS cos
+      FROM embeddings e
+      CROSS JOIN cent c,
+      unnest(generate_series(1, len(e.embedding))) AS t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    cpairs AS (
+      SELECT a.vec_id AS new_id, b.vec_id AS idx_id, a.centroid_id,
+             ea.embedding AS va, eb.embedding AS vb
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+    ),
+    cdots AS (
+      SELECT new_id, idx_id, centroid_id,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot,
+             SUM(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS aa,
+             SUM(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS bb
+      FROM cpairs, unnest(generate_series(1, len(va))) AS t(i)
+      GROUP BY new_id, idx_id, centroid_id
+    )
+    SELECT new_id, idx_id, centroid_id, cos FROM (
+      SELECT new_id, idx_id, centroid_id,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS cos
+      FROM cdots
+    )
+    WHERE cos >= 0.3
+    """,
+)
+def fdedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: screen a 'new batch' (every 10th vec_id —
+    an SF-stable fraction) against the standing cell index — new ×
+    indexed pairs only, cost ∝ |batch| × cell occupancy, never
+    corpus²; same two-stage float-prefilter + decimal rerank as the
+    full pass."""
+    from ..operators.similarity import semantic_dedup_pairs_between
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs_between(
+        e, F.col("id") % 10 == 0, threshold=0.3, n_centroids=8
+    )
+
+
 _SQL_IVF = """
   cent AS (
     SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8

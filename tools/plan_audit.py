@@ -71,7 +71,7 @@ _BOUNDING = {
 # static collect/toPandas allowlist: path (relative to package) →
 # max allowed call sites, each documented bounded in its docstring
 _COLLECT_ALLOW = {
-    "operators/similarity.py": 4,  # K centroid rows (ivf_train/topk/semdedup)
+    "operators/similarity.py": 5,  # K centroid rows (ivf_train/topk/semdedup x2)
     "operators/joins.py": 1,  # guarded_join 1-row cardinality probe
     "operators/bpe.py": 1,  # 1 row per BPE merge round
     "sinks.py": 3,  # 1-row probes + driver-side Stata/SPSS exporters
