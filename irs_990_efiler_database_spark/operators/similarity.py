@@ -222,6 +222,31 @@ def ann_topk_bucketed(
     )
 
 
+def _approx_cos_matrix_udf(cent_matrix, cent_norms):
+    """Arrow-batched approx cosine of every row against the K-centroid
+    matrix: one numpy matmul per batch. Float64 error is ~1e-12
+    relative — callers must treat any within-3e-6-of-max tie as
+    ambiguous and fall back to the decimal-exact path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def scores(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray(cent_matrix, dtype=np.float64)  # K × dim
+        cn = np.asarray(cent_norms, dtype=np.float64)  # K
+        A = np.vstack(v.to_numpy()).astype(np.float64)  # B × dim
+        an = np.linalg.norm(A, axis=1)
+        an[an == 0] = 1.0
+        S = (A @ M.T) / (an[:, None] * cn[None, :])
+        return pd.Series(list(S))
+
+    return scores
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float], float]],
@@ -263,24 +288,40 @@ def ivf_assign(
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("vn"),
     )
-    # the centroid literal + K-transform expression lives in ITS OWN
-    # projection: referencing it by column afterwards keeps exactly one
-    # copy in the plan (inlined under array_position/array_max/get it
-    # appears three times — 3x the analysis/codegen cost)
+    # two-stage exact argmax: an Arrow-batched numpy matmul scores
+    # every row against all K centroids (~1e3× the throughput of the
+    # interpreted K-transform decimal path), and ONLY rows whose top
+    # two approx scores sit within 3e-6 of each other pay the
+    # decimal-exact argmax. Exactness: the decimal path ranks on
+    # round(cos, 6); two cells with unrounded gap > 3e-6 keep their
+    # order under both the ≤5e-7 rounding shift and the ~1e-12 float
+    # error, so the fast argmax equals the exact one for every
+    # unflagged row; flagged rows (incl. exact ties, broken to the
+    # lowest cid by first-max array_position) use the decimal arm —
+    # evaluated lazily per row inside the CASE, so the interpreted
+    # cost is paid only where needed.
+    cmat = [v for _, v in cent_sorted]
+    cnorms = [cn[cid] for cid, _ in cent_sorted]
     scored = with_norm.withColumn(
-        "_scores",
-        F.transform(
-            cent,
-            lambda c: F.round(
-                _dot_decimal(F.col("v"), c["cv"]).cast("double")
-                / (F.col("vn") * c["cn"]),
-                6,
-            ),
-        ),
+        "_approx", _approx_cos_matrix_udf(cmat, cnorms)(F.col("v"))
+    )
+    srt = F.array_sort(F.col("_approx"))
+    gap = F.element_at(srt, -1) - F.coalesce(
+        F.element_at(srt, -2), F.lit(-2.0)
     )
     # first occurrence of the max (1-based); F.get is 0-based and
     # NULL-safe under ANSI (element_at would throw on a 0 position)
-    best = F.array_position(F.col("_scores"), F.array_max("_scores"))
+    fast_best = F.array_position(F.col("_approx"), F.array_max("_approx"))
+    dec_scores = F.transform(
+        cent,
+        lambda c: F.round(
+            _dot_decimal(F.col("v"), c["cv"]).cast("double")
+            / (F.col("vn") * c["cn"]),
+            6,
+        ),
+    )
+    exact_best = F.array_position(dec_scores, F.array_max(dec_scores))
+    best = F.when(gap < 3e-6, exact_best).otherwise(fast_best)
     return scored.select(
         "id", "v", "vn", F.get(cids, best - 1).alias("centroid_id")
     )
