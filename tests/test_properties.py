@@ -311,3 +311,54 @@ def test_exact_ntile_matches_pure_python_ntile(spark, vals, n, parts):
         else:
             want[rid] = rem + (rank - 1 - rem * (low + 1)) // low + 1
     assert got == want
+
+
+def test_ntile_of_rank_integer_exact_near_2_53(spark):
+    """ntile_of_rank must stay exact for totals beyond 2^53, where
+    double division mis-assigns boundary ranks (ADVICE r5: the old
+    F.floor(total / n) formulation went through a 53-bit mantissa).
+    Evaluated over literal (rank, total) rows against the pure-integer
+    ANSI rule, pinning every tile boundary around the big-tile cut."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.operators.ntile import ntile_of_rank
+
+    def want(rank, total, n):
+        low, rem = divmod(total, n)
+        cut = rem * (low + 1)
+        if rank <= cut:
+            return (rank - 1) // (low + 1) + 1
+        return rem + (rank - 1 - cut) // low + 1
+
+    total = (1 << 53) + 3901  # not representable exactly as double
+    n = 7
+    low, rem = divmod(total, n)
+    cut = rem * (low + 1)
+    ranks = sorted(
+        {
+            1, total,
+            cut, cut + 1,  # big/small tile boundary
+            low + 1, low + 2,  # first tile edge
+            cut + low, cut + low + 1,  # first small-tile edge
+            (1 << 53) - 1, 1 << 53, (1 << 53) + 1,  # mantissa edge
+        }
+    )
+    df = spark.createDataFrame([(r,) for r in ranks], "rank long")
+    got = {
+        r["rank"]: r["tile"]
+        for r in df.select(
+            "rank",
+            ntile_of_rank(F.col("rank"), F.lit(total), n).alias("tile"),
+        ).collect()
+    }
+    for r in ranks:
+        assert got[r] == want(r, total, n), (r, got[r], want(r, total, n))
+    # low = 0 guard: total < n — every rank is its own tile
+    small = spark.createDataFrame([(1,), (2,), (3,)], "rank long")
+    got_small = {
+        r["rank"]: r["tile"]
+        for r in small.select(
+            "rank", ntile_of_rank(F.col("rank"), F.lit(3), 10).alias("tile")
+        ).collect()
+    }
+    assert got_small == {1: 1, 2: 2, 3: 3}
