@@ -469,6 +469,54 @@ def minhash_lsh_pairs_between(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/rsync-style rolling-boundary
+    dedup): (id, chunk_no, chunk_md5) per document, with chunk
+    boundaries where the TOKEN's 32-bit md5-derived hash ≡ 0 mod
+    ``divisor`` — expected chunk length ≈ divisor tokens.
+
+    Boundaries move WITH the content, which is the whole point: a
+    one-token insertion at the start of a near-duplicate shifts every
+    fixed-chunk boundary (zero shared chunks for
+    ``fdedup_shared_chunk_pairs``) but leaves every content-defined
+    boundary after the edit in place, so the shifted copy still
+    shares all chunks past the first boundary.
+
+    Scale shape: posexplode + one window per (doc) partition for the
+    running boundary count + one (doc, chunk) aggregation — shuffles
+    carry (doc_id, pos, token) then 16-byte chunk digests; chunk
+    contents never join anything."""
+    from pyspark.sql import Window as PWindow
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    boundary = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % divisor
+        == 0
+    ).cast("int")
+    w = PWindow.partitionBy("id").orderBy("pos").rowsBetween(
+        PWindow.unboundedPreceding, PWindow.currentRow
+    )
+    numbered = toks.withColumn("chunk_no", F.sum(boundary).over(w))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+        lambda s: s["tok"],
+    )
+    return numbered.groupBy("id", "chunk_no").agg(
+        F.md5(F.array_join(ordered, " ")).alias("chunk_md5")
+    )
+
+
 def word_ngrams(words: Column, n: int = 3) -> Column:
     """Distinct word n-grams from a MATERIALIZED word-array attribute.
 

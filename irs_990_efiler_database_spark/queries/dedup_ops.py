@@ -648,6 +648,69 @@ def fdedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fdedup_cdc_chunk_pairs",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM w, unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    numbered AS (
+      SELECT doc_id, pos, tok,
+             SUM(CASE WHEN CAST(concat('0x', substring(md5(tok), 1, 8))
+                           AS BIGINT) % 64 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS chunk_no
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_no,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM numbered GROUP BY doc_id, chunk_no
+    ),
+    ok AS (
+      SELECT chunk_md5 FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) <= 1000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS shared_chunks
+    FROM chunks a
+    JOIN ok USING (chunk_md5)
+    JOIN chunks b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def fdedup_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (rolling-hash boundaries — the
+    rsync/Rabin fingerprint family): documents sharing any identical
+    chunk, where boundaries fall on tokens whose 32-bit hash ≡ 0 mod
+    64. The shift-robust complement of fdedup_shared_chunk_pairs:
+    a one-token insertion shifts every FIXED chunk boundary (zero
+    shared fixed chunks) but leaves content-defined boundaries after
+    the edit untouched. Same digest-only funnel: hot-chunk cap, md5
+    equi-join, never text."""
+    from ..operators.dedup import cap_hot_buckets, cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    c = cdc_chunks(d).select(F.col("id").alias("doc_id"), "chunk_md5")
+    c = cap_hot_buckets(c, ["chunk_md5"], 1000)
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_md5") == F.col("b.chunk_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+
+
+@register(
     "fdedup_shared_chunk_pairs",
     oracle=r"""
     WITH w AS (

@@ -243,6 +243,56 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert own == {i: i for i in range(8)}
 
 
+def test_cdc_chunks_survive_a_shift(spark):
+    """The content-defined chunker's reason to exist: a one-token
+    prefix insertion shifts every FIXED chunk boundary (zero shared
+    50-token chunks between original and shifted copy) but leaves
+    every content-defined boundary after the edit in place, so the
+    shifted copy still shares all chunks past the first boundary."""
+    import hashlib
+
+    from irs_990_efiler_database_spark.operators.dedup import cdc_chunks
+
+    words = [f"w{i * 37 % 1009}" for i in range(3000)]
+    text = " ".join(words)
+    shifted = "INSERTED " + text
+    df = spark.createDataFrame(
+        [(1, text), (2, shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in chunks:
+        by_doc[r["id"]].add(r["chunk_md5"])
+    shared = by_doc[1] & by_doc[2]
+    # all of doc 1's chunks except (at most) its first one reappear
+    assert len(shared) >= len(by_doc[1]) - 1
+    assert len(by_doc[1]) > 5, "divisor should cut ~3000 tokens into many chunks"
+
+    # reference chunking in pure python pins the boundary rule exactly
+    def ref_chunks(ws):
+        out, cur = [], []
+        n = 0
+        for w in ws:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            if h % 64 == 0:
+                out.append((n, cur))
+                n += 1
+                cur = []
+            cur.append(w)
+        out.append((n, cur))
+        return {
+            no: hashlib.md5(" ".join(c).encode()).hexdigest()
+            for no, c in out
+            if c
+        }
+
+    # note: tokens BEFORE the first boundary form chunk 0; a boundary
+    # token STARTS its chunk (sum includes the current row)
+    want = ref_chunks(words)
+    got = {r["chunk_no"]: r["chunk_md5"] for r in chunks if r["id"] == 1}
+    assert got == want
+
+
 def test_semantic_dedup_finds_planted_copies(spark):
     """SemDeDup recall property: an exact copy of a vector lands in
     the SAME centroid cell by construction (identical cosines to every
