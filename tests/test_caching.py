@@ -47,12 +47,15 @@ def test_multi_query_session_leaves_zero_cached_rdds(spark):
         "text_ngram_novelty",  # text_ops persisted gram frame
         "fdedup_prefix_filter_pairs",  # prefix-filter docs frame
         "sketch_kmv_intersection",  # sketch_ops synopses
+        "fdedup_semantic_pairs",  # r6: assignment + survivor frames
+        "fdedup_embedding_cosine",  # r6: bucketed frame + survivors
+        "doc_quality_deciles",  # r6: LM score frame
     ):
         qs[name](spark, SF).collect()
 
     assert _n_persistent(spark) > 0, "builders should have persisted"
     released = release_cached()
-    assert released >= 5
+    assert released >= 8
     assert _wait_zero_engine(spark), "engine left cached RDDs behind"
 
 
