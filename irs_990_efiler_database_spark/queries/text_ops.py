@@ -1863,6 +1863,97 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+             len(toks) - 2 AS n_grams
+      FROM w, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             n_grams
+      FROM g
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin
+      FROM wins WHERE pos <= n_grams - 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           md5(array_to_string(list(wmin ORDER BY wmin), ',')) AS fp_md5
+    FROM fp GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS local-fingerprint algorithm): hash every word 3-gram, slide a
+    window of w=4 consecutive gram hashes, keep each window's MINIMUM
+    — the guarantee is that any shared substring of length ≥ w+k-1
+    tokens yields at least one shared fingerprint, with ~2/(w+1)
+    selection density. Output per doc: fingerprint count + an md5 over
+    the sorted fingerprint set (the complete set sits under the hash
+    gate without shipping giant rows).
+
+    Scale shape: explode-positions grams (no HOF), one bounded
+    per-doc ordered window (ROWS CURRENT..w-1 FOLLOWING — frame size
+    4, partitioned by doc), one distinct + one aggregation; shuffles
+    carry (doc, pos, 8-byte hash)."""
+    from pyspark.sql import Window as PWindow
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    g = w.select(
+        "doc_id",
+        "toks",
+        (F.size("toks") - 2).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), 3))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = PWindow.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (
+        g.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    ordered = F.array_sort(F.collect_list("wmin"))
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(ordered, lambda x: x.cast("string")), ","
+            )
+        ).alias("fp_md5"),
+    )
+
+
+@register(
     "text_kwic_concordance",
     oracle="""
     WITH toks AS (
