@@ -85,6 +85,9 @@ HEADLINE = [
     # round 6 additions
     "fdedup_semantic_pairs",
     "doc_quality_deciles",
+    "fdedup_cdc_chunk_pairs",
+    "text_winnow_fingerprints",
+    "fdedup_semantic_incremental",
 ]
 
 
