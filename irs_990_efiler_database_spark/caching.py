@@ -18,8 +18,13 @@ nothing else — with either:
 - ``with cached_scope():`` around a batch of build-and-consume calls
   (releases the frames persisted inside the block on exit).
 
-The harnesses (tools/check_oracle.py, bench.py) call release_cached()
-per query; tests/test_caching.py asserts zero persistent RDDs after a
+The harnesses (tools/check_oracle.py, bench.py) drain caches per
+query with spark.catalog.clearCache() — correct for them, since a
+harness holds no consumer caches of its own (check_oracle.py
+additionally drains the registry via release_cached(), so the scoped
+path is exercised on every sweep). The contract above is for LIBRARY
+consumers, for whom clearCache would evict their own frames;
+tests/test_caching.py asserts zero persistent RDDs after a
 multi-query session that never touches clearCache().
 """
 

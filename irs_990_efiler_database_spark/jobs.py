@@ -203,6 +203,11 @@ def build_database(
         with ThreadPoolExecutor(max_workers=min(8, len(selected) or 1)) as ex:
             futs = {ex.submit(write_one, name): name for name in selected}
             for fut in as_completed(futs):
+                if fut.cancelled():
+                    # a QUEUED sibling we cancelled after the first
+                    # failure — it never ran; reporting it as failed
+                    # would bury the root cause in CancelledError noise
+                    continue
                 try:
                     name, path, n = fut.result()
                 except Exception as e:  # noqa: BLE001 — attributed below

@@ -499,11 +499,7 @@ def cdc_chunks(
             "pos", "tok"
         ),
     )
-    boundary = (
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-        % divisor
-        == 0
-    ).cast("int")
+    boundary = (shingle_base_hash(F.col("tok")) % divisor == 0).cast("int")
     w = PWindow.partitionBy("id").orderBy("pos").rowsBetween(
         PWindow.unboundedPreceding, PWindow.currentRow
     )

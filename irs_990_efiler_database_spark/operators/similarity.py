@@ -149,25 +149,7 @@ def embedding_neardup_pairs(
         F.col("y.v").alias("vb"),
         (F.col("x.vn") * F.col("y.vn")).alias("nn"),
     )
-    # two-stage verify (same as semantic_dedup_pairs): vectorized
-    # float64 prefilter, decimal-exact rerank for survivors only —
-    # persisted eagerly so the extracted-UDF predicate runs BEFORE
-    # the decimal projection
-    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
-    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
-    pre.count()
-    return (
-        pre.select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
-                / F.col("nn"),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return _two_stage_cosine_verify(cand, threshold, ["id_a", "id_b"])
 
 
 def ann_topk_bucketed(
@@ -306,8 +288,11 @@ def ivf_assign(
         "_approx", _approx_cos_matrix_udf(cmat, cnorms)(F.col("v"))
     )
     srt = F.array_sort(F.col("_approx"))
+    # try_element_at: under ANSI, element_at(-2) on a K=1 array throws
+    # instead of returning NULL — a single-centroid quantizer must
+    # take the unflagged (fast) path, not crash
     gap = F.element_at(srt, -1) - F.coalesce(
-        F.element_at(srt, -2), F.lit(-2.0)
+        F.try_element_at(srt, F.lit(-2)), F.lit(-2.0)
     )
     # first occurrence of the max (1-based); F.get is 0-based and
     # NULL-safe under ANSI (element_at would throw on a 0 position)
@@ -415,6 +400,59 @@ def _dot_f64(va: Column, vb: Column) -> Column:
     return _dot_f64_impl()(va, vb)
 
 
+
+def _collect_centroids(corpus, n_centroids, id_col, vec_col):
+    """The K lowest-id vectors with decimal-exact norms — the
+    deterministic, oracle-reproducible quantizer seed (a trained
+    k-means table drops in without changing any plan). One bounded
+    collect: K rows by design."""
+    return [
+        (int(r[0]), list(r[1]), float(r[2]))
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
+        .collect()
+    ]
+
+
+def _pick_assign_fn(cent_rows, quantizer: str):
+    """'auto' picks the inlined-literal quantizer while K×dim stays
+    under 8192 plan scalars (measured ~25% faster at tiny K) and the
+    O(1)-plan broadcast-packed variant beyond."""
+    if quantizer == "auto":
+        k_dim = sum(len(v) for _, v, _ in cent_rows)
+        quantizer = "literal" if k_dim <= 8192 else "broadcast"
+    return ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+
+
+def _two_stage_cosine_verify(
+    cand: DataFrame, threshold: float, out_cols: list[str]
+) -> DataFrame:
+    """The shared verify funnel (est_prefilter pattern): a VECTORIZED
+    float64 dot (Arrow-batched numpy — ~1e3× the throughput of the
+    interpreted per-element decimal HOF) prunes the candidate stream;
+    only survivors (+ a 1e-3 margin dwarfing float64 dot error,
+    ~1e-12 relative) pay the decimal-exact rerank the oracle
+    comparison is pinned to. ``cand`` must carry va/vb/nn plus
+    ``out_cols``. The survivor frame persists EAGERLY: the planner
+    extracts the Python-UDF predicate into its own evaluation stage
+    and would otherwise compute the decimal projection for every
+    candidate first (measured 17.6 s vs 0.45 s at sf0.1)."""
+    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
+    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
+    pre.count()
+    return (
+        pre.select(
+            *out_cols,
+            F.round(
+                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,
@@ -446,18 +484,10 @@ def semantic_dedup_pairs(
     """
     from .dedup import cap_hot_buckets
 
-    cent_rows = [
-        (int(r[0]), list(r[1]), float(r[2]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
-        .collect()  # K rows — the quantizer is bounded by design
-    ]
-    if quantizer == "auto":
-        k_dim = sum(len(v) for _, v, _ in cent_rows)
-        quantizer = "literal" if k_dim <= 8192 else "broadcast"
-    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    cent_rows = _collect_centroids(corpus, n_centroids, id_col, vec_col)
+    assign_fn = _pick_assign_fn(cent_rows, quantizer)
     # eager tracked persist, same as the LSH builders: the assignment
-    # projection (per-row decimal quantizer argmax) feeds the hot-cell
+    # projection (per-row quantizer argmax) feeds the hot-cell
     # count AND both self-join sides — uncached it re-runs ~4×
     assigned = tracked_persist(assign_fn(corpus, cent_rows, id_col, vec_col))
     assigned.count()
@@ -475,31 +505,8 @@ def semantic_dedup_pairs(
         F.col("y.v").alias("vb"),
         (F.col("x.vn") * F.col("y.vn")).alias("nn"),
     )
-    # two-stage verify, the est_prefilter pattern from the MinHash
-    # funnel: a VECTORIZED float64 dot (Arrow-batched numpy — ~1e3×
-    # the throughput of the interpreted per-element decimal HOF)
-    # prunes the per-cell-quadratic candidate stream; only survivors
-    # (+ a margin dwarfing float64 dot error, ~1e-12 relative) pay
-    # the decimal-exact rerank the oracle comparison is pinned to.
-    # The survivor frame is persisted EAGERLY: the planner extracts
-    # the Python-UDF predicate into its own evaluation stage and
-    # would otherwise compute the decimal projection for every
-    # candidate first (measured 17.6 s vs 0.45 s at sf0.1)
-    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
-    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
-    pre.count()
-    return (
-        pre.select(
-            "id_a",
-            "id_b",
-            "centroid_id",
-            F.round(
-                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
-                / F.col("nn"),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    return _two_stage_cosine_verify(
+        cand, threshold, ["id_a", "id_b", "centroid_id"]
     )
 
 
@@ -530,16 +537,8 @@ def semantic_dedup_pairs_between(
     the DuckDB oracle can replay both sides."""
     from .dedup import cap_hot_buckets
 
-    cent_rows = [
-        (int(r[0]), list(r[1]), float(r[2]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
-        .collect()  # K rows — the quantizer is bounded by design
-    ]
-    if quantizer == "auto":
-        k_dim = sum(len(v) for _, v, _ in cent_rows)
-        quantizer = "literal" if k_dim <= 8192 else "broadcast"
-    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    cent_rows = _collect_centroids(corpus, n_centroids, id_col, vec_col)
+    assign_fn = _pick_assign_fn(cent_rows, quantizer)
     assigned = tracked_persist(
         cap_hot_buckets(
             assign_fn(corpus, cent_rows, id_col, vec_col).withColumn(
@@ -562,21 +561,8 @@ def semantic_dedup_pairs_between(
         F.col("y.v").alias("vb"),
         (F.col("x.vn") * F.col("y.vn")).alias("nn"),
     )
-    approx = _dot_f64(F.col("va"), F.col("vb")) / F.col("nn")
-    pre = tracked_persist(cand.filter(approx >= threshold - 1e-3))
-    pre.count()
-    return (
-        pre.select(
-            "new_id",
-            "idx_id",
-            "centroid_id",
-            F.round(
-                _dot_decimal(F.col("va"), F.col("vb")).cast("double")
-                / F.col("nn"),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    return _two_stage_cosine_verify(
+        cand, threshold, ["new_id", "idx_id", "centroid_id"]
     )
 
 
@@ -613,16 +599,8 @@ def ivf_topk(
     costs seconds."""
     from pyspark.sql import Window
 
-    cent_rows = [
-        (int(r[0]), list(r[1]), float(r[2]))
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col, l2_norm(F.col(vec_col)))
-        .collect()  # K rows — the quantizer is bounded by design
-    ]
-    if quantizer == "auto":
-        k_dim = sum(len(v) for _, v, _ in cent_rows)
-        quantizer = "literal" if k_dim <= 8192 else "broadcast"
-    assign_fn = ivf_assign_broadcast if quantizer == "broadcast" else ivf_assign
+    cent_rows = _collect_centroids(corpus, n_centroids, id_col, vec_col)
+    assign_fn = _pick_assign_fn(cent_rows, quantizer)
     assigned = assign_fn(corpus, cent_rows, id_col, vec_col)
 
     cent_df = corpus.sparkSession.createDataFrame(

@@ -258,10 +258,14 @@ def fdedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ascore
       ) WHERE rn = 1
     ),
+    okcell AS (
+      SELECT centroid_id FROM assign GROUP BY 1 HAVING COUNT(*) <= 1000
+    ),
     cpairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
              ea.embedding AS va, eb.embedding AS vb
       FROM assign a
+      JOIN okcell USING (centroid_id)
       JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
       JOIN embeddings eb ON eb.vec_id = b.vec_id
@@ -329,10 +333,14 @@ def fdedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ascore
       ) WHERE rn = 1
     ),
+    okcell AS (
+      SELECT centroid_id FROM assign GROUP BY 1 HAVING COUNT(*) <= 1000
+    ),
     cpairs AS (
       SELECT a.vec_id AS new_id, b.vec_id AS idx_id, a.centroid_id,
              ea.embedding AS va, eb.embedding AS vb
       FROM assign a
+      JOIN okcell USING (centroid_id)
       JOIN assign b ON a.centroid_id = b.centroid_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
       JOIN embeddings eb ON eb.vec_id = b.vec_id

@@ -267,16 +267,8 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _spread_docs(d).select(
         F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
-    tk = F.col("toks")
-    grams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        w.select(F.explode(grams).alias("bigram"))
+        _exploded_2grams(w)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -526,6 +518,25 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "for", "is"]
+
+
+def _exploded_2grams(toks_frame: DataFrame) -> DataFrame:
+    """One row per word-2-gram INSTANCE from a frame carrying a
+    materialized ``toks`` array column. The toks attribute is
+    referenced ≥3 times (size bound + slice lambda), so CollapseProject
+    keeps the split materialized and the Generate-inlined lambda
+    touches only the attribute — gate-(d) clean (shared by
+    text_top_bigrams and text_pmi_collocations so a future HOF-shape
+    fix can't drift between them)."""
+    tk = F.col("toks")
+    grams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_frame.select(F.explode(grams).alias("bigram"))
 
 
 def _with_3grams(d: DataFrame) -> DataFrame:
@@ -1291,16 +1302,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = _spread_docs(d).select(
         F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
-    tk = F.col("toks")
-    grams = F.when(
-        F.size(tk) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bi = w0.select(F.explode(grams).alias("bigram"))
-    uni = w0.select(F.explode(tk).alias("w"))
+    bi = _exploded_2grams(w0)
+    uni = w0.select(F.explode(F.col("toks")).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.count(F.lit(1)).alias("nu"))
     nb = bi.agg(F.count(F.lit(1)).alias("nb"))

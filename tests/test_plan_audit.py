@@ -167,6 +167,13 @@ def test_window_annotation_scan(tmp_path, monkeypatch):
     (pkg / "docstring_only.py").write_text(
         '"""Mentions Window.orderBy(...) in prose only."""\n'
     )
+    # an aliased import must not evade the contract
+    (pkg / "aliased.py").write_text(
+        "from pyspark.sql import Window as W\n"
+        "w = W.orderBy('x')\n"
+    )
     monkeypatch.setattr(plan_audit, "REPO", tmp_path)
     out = plan_audit.window_annotation_violations()
-    assert len(out) == 1 and "unannotated.py:2" in out[0]
+    assert len(out) == 2
+    assert any("unannotated.py:2" in v for v in out)
+    assert any("aliased.py:2" in v for v in out)

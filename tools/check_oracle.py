@@ -105,7 +105,13 @@ def main() -> int:
             continue
         finally:
             # builders may persist() reused intermediates; without this,
-            # cached frames accumulate across a full-registry sweep
+            # cached frames accumulate across a full-registry sweep.
+            # release_cached() first (drains the package's tracked-
+            # persist registry — the library-consumer path, exercised
+            # here on every sweep), then clearCache() as the backstop
+            from irs_990_efiler_database_spark.caching import release_cached
+
+            release_cached()
             spark.catalog.clearCache()
         if spark_only:
             print(f"TIME {name}: {sn} rows [{time.time()-t0:.2f}s]")

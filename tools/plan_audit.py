@@ -218,13 +218,24 @@ def window_annotation_violations() -> list[str]:
         except SyntaxError as e:  # pragma: no cover
             out.append(f"{p.name}: unparseable ({e})")
             continue
+        # every local name bound to pyspark's Window class — aliases
+        # included (`import ... as W` / PWindow) so an aliased
+        # `W.orderBy(...)` can't evade the annotation contract
+        window_names = {"Window"}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and (
+                node.module or ""
+            ).startswith("pyspark.sql"):
+                for a in node.names:
+                    if a.name == "Window":
+                        window_names.add(a.asname or a.name)
         for node in ast.walk(tree):
             if not (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "orderBy"
                 and isinstance(node.func.value, ast.Name)
-                and node.func.value.id == "Window"
+                and node.func.value.id in window_names
             ):
                 continue
             ln = node.lineno  # 1-based
