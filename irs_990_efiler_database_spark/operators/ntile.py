@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__gr_pid"
 _LRN = "__gr_lrn"
@@ -67,7 +68,28 @@ def global_row_number(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     # one nondeterministic mid column (CollapseProject never inlines
     # nondeterministic expressions, so pid/lrn decode the SAME value)
-    local = (
+    #
+    # tracked_persist: the offsets branch below and the probe-side
+    # join BOTH contain this range shuffle. They are structurally
+    # different after column pruning, so Spark may NOT reuse one
+    # exchange between them — and RangePartitioning re-SAMPLES its
+    # boundaries per execution. When ``df`` sits on top of a shuffle
+    # (any aggregate input), the shuffle's partition-internal row
+    # order is nondeterministic across executions, so two samplings
+    # can pick DIFFERENT boundaries: the counts branch then describes
+    # a different partitioning than the rows being ranked, and
+    # offset(pid) + local_rank silently mis-ranks (observed in-repo:
+    # 13k/15k wrong prefix sums on an aggregated levels frame at
+    # sf0.01). Persisting the ranked frame pins ONE materialized
+    # partitioning that both branches read; eviction-recompute replays
+    # the same shuffle dependency (boundaries are fixed when the
+    # cached RDD's stage is created), so consistency survives memory
+    # pressure. Cost: one MEMORY_AND_DISK copy of the ranked columns
+    # for the duration of the query (released under the
+    # caching.tracked_persist contract).
+    from ..caching import tracked_persist
+
+    local = tracked_persist(
         df.repartitionByRange(num_partitions, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__gr_mid", F.monotonically_increasing_id())
@@ -76,7 +98,8 @@ def global_row_number(
             _LRN,
             F.col("__gr_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1),
         )
-        .drop("__gr_mid")
+        .drop("__gr_mid"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # offsets: counts per pid, prefix-summed over the tiny pid frame
     # (bounded by num_partitions rows — the one safe ordered window)
@@ -174,13 +197,23 @@ def exact_weighted_ntile(
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         _PID, F.spark_partition_id()
     )
-    running = ranged.withColumn(
-        "__gw_cum",
-        F.sum(w).over(
-            Window.partitionBy(_PID)
-            .orderBy(*cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # tracked_persist: pins ONE materialized range partitioning for
+    # both the offsets branch and the final join — see the boundary-
+    # consistency note in global_row_number (the two branches do not
+    # reliably share an exchange after column pruning, and range
+    # boundaries re-sample per execution over shuffle-ordered input)
+    from ..caching import tracked_persist
+
+    running = tracked_persist(
+        ranged.withColumn(
+            "__gw_cum",
+            F.sum(w).over(
+                Window.partitionBy(_PID)
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
         ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # coalesce(1): SinglePartition without an Exchange (see above)
     counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT)).coalesce(1)
@@ -213,3 +246,74 @@ def exact_weighted_ntile(
         )
         .drop(_PID, _OFF, _CNT, _TOT, "__gw_cum", "__gw_num")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[Column | str],
+    out_col: str = "cum",
+    total_col: str | None = None,
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = exact global running sum of ``weight_col``
+    under the total order ``order_cols`` (include a unique tiebreak),
+    without any single-partition window — the distributed prefix-sum
+    primitive behind rank statistics (Mann-Whitney tie blocks), CDF
+    tables, and equal-weight sharding.
+
+    ``inclusive=False`` yields the EXCLUSIVE prefix (sum of strictly
+    preceding rows). ``total_col`` (optional) additionally attaches
+    the grand total to every row. Same machinery and invariance
+    argument as ``exact_weighted_ntile``: one range shuffle, local
+    running sums per contiguous range partition, a #partitions-row
+    offset frame prefix-summed and broadcast back. Weights accumulate
+    in long arithmetic — associative and order-free.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = F.col(weight_col).cast("long")
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # tracked_persist: boundary consistency across the offsets branch
+    # and the final join (see global_row_number)
+    from ..caching import tracked_persist
+
+    running = tracked_persist(
+        ranged.withColumn(
+            "__gs_cum",
+            F.sum(w).over(
+                Window.partitionBy(_PID)
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # coalesce(1): SinglePartition without an Exchange (see above)
+    counts = running.groupBy(_PID).agg(F.sum(w).alias(_CNT)).coalesce(1)
+    # bounded-window: counts has exactly #partitions rows
+    wall = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        _PID,
+        # bounded-window: prefix sum over the #partitions-row frame
+        (F.sum(_CNT).over(Window.orderBy(_PID)) - F.col(_CNT)).alias(_OFF),
+        F.sum(_CNT).over(wall).alias(_TOT),
+    )
+    cum = F.col(_OFF) + F.col("__gs_cum")
+    if not inclusive:
+        cum = cum - w
+    out = (
+        running.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, cum.cast("long"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOT))
+    return out.drop(_PID, _OFF, _CNT, _TOT, "__gs_cum")

@@ -408,3 +408,117 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             coef.alias("clustering_coef"),
         )
     )
+
+
+_LINKPRED_ORACLE = """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY 1
+    ),
+    mid AS (
+      SELECT node FROM deg WHERE d <= 64
+    ),
+    wedges AS (
+      SELECT a1.u AS a, a2.v AS c, COUNT(*) AS cn
+      FROM adj a1
+      JOIN mid m ON a1.v = m.node
+      JOIN adj a2 ON a1.v = a2.u AND a1.u < a2.v
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.cn
+      FROM wedges w
+      LEFT JOIN pairs p ON p.u = w.a AND p.v = w.c
+      WHERE p.u IS NULL AND w.cn >= 2
+    )
+    SELECT cand.a AS u, cand.c AS v, cand.cn AS common_neighbors,
+           da.d AS deg_u, dc.d AS deg_v,
+           CAST(cand.cn AS DOUBLE) / (da.d + dc.d - cand.cn) AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg dc ON dc.node = cand.c
+"""
+
+
+@register("graph_link_prediction_jaccard", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction over the co-purchase graph: for every
+    NON-adjacent part pair with >= 2 common neighbors, the
+    common-neighbor count and neighborhood Jaccard — the classic
+    recommend-an-edge primitive (people-you-may-know / frequently-
+    bought-together candidates).
+
+    Scale design: candidate pairs come from the wedge join (two-hop
+    paths through a shared neighbor), which fans out quadratically in
+    the MID node's degree — so mid nodes are capped at degree <= 64
+    (hubs contribute wedges through their spokes' other neighbors,
+    not through themselves; the cap is deterministic and mirrored in
+    the oracle, the standard mitigation in production link-prediction
+    pipelines). The existing-edge removal is a broadcast-able
+    anti-join on the (tiny relative to wedges) edge list; Jaccard is
+    one double division over exact integer counts. The edge list is
+    tracked-persisted once and feeds adjacency, degrees, and the
+    anti-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    b = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+    right = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("pk2"))
+    pairs = tracked_persist(
+        b.join(right, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .groupBy(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    adj = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    mid = deg.filter(F.col("d") <= 64).select(F.col("node").alias("mid"))
+    a1 = adj.select(F.col("u").alias("a"), F.col("v").alias("m"))
+    a2 = adj.select(F.col("u").alias("m2"), F.col("v").alias("c"))
+    wedges = (
+        a1.join(mid, a1.m == mid.mid)
+        .join(a2, (F.col("m") == F.col("m2")) & (F.col("a") < F.col("c")))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    cand = wedges.join(
+        pairs,
+        (wedges.a == pairs.u) & (wedges.c == pairs.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_u"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("u"),
+            F.col("c").alias("v"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )

@@ -833,3 +833,428 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cuped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test from exact decimal moments (unequal-variance A/B test)
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+    WITH m AS (
+      SELECT user_id % 2 AS grp,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS HUGEINT)) AS s1,
+             SUM(CAST(round(value * 100) AS HUGEINT)
+                 * CAST(round(value * 100) AS HUGEINT)) AS s2
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+        MAX(CASE WHEN grp = 0 THEN s1 END) AS s10,
+        MAX(CASE WHEN grp = 0 THEN s2 END) AS s20,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN s1 END) AS s11,
+        MAX(CASE WHEN grp = 1 THEN s2 END) AS s21
+      FROM m
+    )
+    SELECT n0, n1,
+           CAST(s10 AS DOUBLE) / n0 / 100 AS mean0,
+           CAST(s11 AS DOUBLE) / n1 / 100 AS mean1,
+           (CAST(s10 AS DOUBLE) / n0 - CAST(s11 AS DOUBLE) / n1)
+             / sqrt(CAST(n0 * s20 - s10 * s10 AS DOUBLE) / n0 / (n0 - 1) / n0
+                    + CAST(n1 * s21 - s11 * s11 AS DOUBLE) / n1 / (n1 - 1) / n1)
+             AS t_stat,
+           (CAST(n0 * s20 - s10 * s10 AS DOUBLE) / n0 / (n0 - 1) / n0
+            + CAST(n1 * s21 - s11 * s11 AS DOUBLE) / n1 / (n1 - 1) / n1)
+           * (CAST(n0 * s20 - s10 * s10 AS DOUBLE) / n0 / (n0 - 1) / n0
+              + CAST(n1 * s21 - s11 * s11 AS DOUBLE) / n1 / (n1 - 1) / n1)
+           / ((CAST(n0 * s20 - s10 * s10 AS DOUBLE) / n0 / (n0 - 1) / n0)
+              * (CAST(n0 * s20 - s10 * s10 AS DOUBLE) / n0 / (n0 - 1) / n0)
+              / (n0 - 1)
+              + (CAST(n1 * s21 - s11 * s11 AS DOUBLE) / n1 / (n1 - 1) / n1)
+                * (CAST(n1 * s21 - s11 * s11 AS DOUBLE) / n1 / (n1 - 1) / n1)
+                / (n1 - 1))
+             AS df_welch
+    FROM w
+"""
+
+
+@register("stat_welch_ttest", oracle=_WELCH_ORACLE)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two user arms (user_id
+    parity) on purchase values — the mean-metric counterpart of
+    stat_two_proportion_ztest. Per-arm moments (n, Σc, Σc²) accumulate
+    in DECIMAL over integer cents (associative, partitioning-free);
+    the t statistic and Welch–Satterthwaite degrees of freedom are one
+    fixed-order double projection over six exact integers, so both
+    engines run bit-identical IEEE ops. One map-side-combined
+    aggregation + a 2-row pivot — scales with the scan."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    m = (
+        e.filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("grp"), c.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("decimal(38,0)").alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    w = (
+        m.groupBy()
+        .pivot("grp", [0, 1])
+        .agg(
+            F.first("n").alias("n"),
+            F.first("s1").alias("s1"),
+            F.first("s2").alias("s2"),
+        )
+        .select(
+            F.col("0_n").alias("n0"),
+            F.col("0_s1").alias("s10"),
+            F.col("0_s2").alias("s20"),
+            F.col("1_n").alias("n1"),
+            F.col("1_s1").alias("s11"),
+            F.col("1_s2").alias("s21"),
+        )
+    )
+    # per-arm (sample variance / n) in cents^2 — the Welch standard
+    # error legs; numerators are exact decimal integers
+    se0 = (
+        (F.col("n0") * F.col("s20") - F.col("s10") * F.col("s10")).cast("double")
+        / F.col("n0") / (F.col("n0") - 1) / F.col("n0")
+    )
+    se1 = (
+        (F.col("n1") * F.col("s21") - F.col("s11") * F.col("s11")).cast("double")
+        / F.col("n1") / (F.col("n1") - 1) / F.col("n1")
+    )
+    mean0c = F.col("s10").cast("double") / F.col("n0")
+    mean1c = F.col("s11").cast("double") / F.col("n1")
+    t = (mean0c - mean1c) / F.sqrt(se0 + se1)
+    df_w = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("n0") - 1) + se1 * se1 / (F.col("n1") - 1)
+    )
+    return w.select(
+        "n0",
+        "n1",
+        (mean0c / 100).alias("mean0"),
+        (mean1c / 100).alias("mean1"),
+        t.alias("t_stat"),
+        df_w.alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test via the distributed prefix-sum ranker
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+    WITH cents AS (
+      SELECT o_custkey % 2 AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    levels AS (
+      SELECT c,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS v0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS v1,
+             COUNT(*) AS nl
+      FROM cents GROUP BY c
+    ),
+    pre AS (
+      SELECT c, v0, v1, nl,
+             COALESCE(SUM(nl) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM levels
+    ),
+    agg AS (
+      SELECT CAST(SUM(v0) AS BIGINT) AS n0,
+             CAST(SUM(v1) AS BIGINT) AS n1,
+             CAST(SUM(v1 * (2 * cum + nl + 1)) AS DECIMAL(38,0)) AS s2r1,
+             CAST(SUM(nl * nl * nl - nl) AS DECIMAL(38,0)) AS ties
+      FROM pre
+    )
+    SELECT n0, n1,
+           CAST(s2r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           (CAST(s2r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+            - CAST(n0 * n1 AS DOUBLE) / 2)
+           / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+                  * ((n0 + n1 + 1)
+                     - CAST(ties AS DOUBLE)
+                       / ((n0 + n1) * (n0 + n1 - 1)))) AS z_stat
+    FROM agg
+"""
+
+
+@register("stat_mann_whitney_u", oracle=_MWU_ORACLE)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two customer
+    arms on order value — the NONPARAMETRIC A/B primitive (medians,
+    not means). The global tie-averaged rank sum never materializes a
+    per-row rank: values collapse to distinct-value levels (one
+    map-side-combined aggregation), the exclusive prefix count over
+    levels comes from the DISTRIBUTED prefix-sum ranker
+    (operators/ntile.py global_running_sum — one range shuffle of the
+    LEVELS frame, no single-partition window), and the rank sum folds
+    per level as v1 * (2*C + n + 1) in exact integers (doubled to
+    keep half-ranks integral). Tie-corrected normal approximation in
+    one fixed-order double expression. Scales: cost is dominated by
+    the level aggregation; the ranked frame is |distinct values|."""
+    from ..operators.ntile import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_custkey") % 2).alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    levels = cents.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("v0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("v1"),
+        F.count(F.lit(1)).alias("nl"),
+    )
+    pre = global_running_sum(
+        levels, "nl", [F.col("c")], out_col="cum", inclusive=False
+    )
+    agg = pre.agg(
+        F.sum("v0").cast("long").alias("n0"),
+        F.sum("v1").cast("long").alias("n1"),
+        F.sum(
+            (F.col("v1") * (2 * F.col("cum") + F.col("nl") + 1)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("decimal(38,0)").alias("s2r1"),
+        F.sum(
+            (
+                F.col("nl") * F.col("nl") * F.col("nl") - F.col("nl")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("ties"),
+    )
+    u1 = (F.col("s2r1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = (F.col("n0") * F.col("n1")).cast("double") / 2
+    nn = F.col("n0") + F.col("n1")
+    var = (
+        F.col("n0").cast("double") * F.col("n1") / 12
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        u1.alias("u1"),
+        ((u1 - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (percentile_cont) via the distributed ranker
+# ---------------------------------------------------------------------------
+
+_PCTL_SPECS = [("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90)]
+
+_PCTL_ORACLE = f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS rn
+      FROM cents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM cents),
+    targets AS (
+      SELECT label, num,
+             ((n - 1) * num) // 100 + 1 AS lo_rank,
+             ((n - 1) * num) % 100 AS rem,
+             n
+      FROM n, (VALUES {", ".join(f"('{lbl}', {num})" for lbl, num in _PCTL_SPECS)})
+             AS p(label, num)
+    ),
+    picked AS (
+      SELECT t.label, t.rem, t.n,
+             MAX(CASE WHEN r.rn = t.lo_rank THEN r.c END) AS v_lo,
+             MAX(CASE WHEN r.rn = t.lo_rank
+                        + (CASE WHEN t.rem > 0 THEN 1 ELSE 0 END)
+                 THEN r.c END) AS v_hi
+      FROM targets t
+      JOIN ranked r
+        ON r.rn = t.lo_rank
+        OR r.rn = t.lo_rank + (CASE WHEN t.rem > 0 THEN 1 ELSE 0 END)
+      GROUP BY 1, 2, 3
+    )
+    SELECT label, n,
+           CAST(v_lo * (100 - rem) + v_hi * rem AS DOUBLE) / 100 / 100
+             AS value
+    FROM picked
+"""
+
+
+@register("stat_percentile_cont_distributed", oracle=_PCTL_ORACLE)
+def stat_percentile_cont_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT interpolated percentiles (SQL percentile_cont semantics:
+    h = (n-1)p, linear interpolation between floor/ceil ranks) over
+    ALL orders — computed distributedly: the global rank comes from
+    operators/ntile.py global_row_number (range shuffle + broadcast
+    offsets, never a single-partition window), the four target ranks
+    are integer-exact ((n-1)*num div 100 — no double h, so boundary
+    ranks can't mis-assign), and the 8-row target frame broadcast-
+    joins back on rank equality. Interpolation is integer cents
+    (v_lo*(100-rem) + v_hi*rem) with ONE final double division, so
+    the result is bit-identical on any partitioning and matches the
+    DuckDB formula exactly. The percentile_approx contract test
+    (sketch family) covers the approximate path; this is the exact
+    path at scale."""
+    from ..operators.ntile import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(
+        cents, [F.col("c"), F.col("o_orderkey")], out_col="rn"
+    ).select("c", "rn")
+    n1 = cents.agg(F.count(F.lit(1)).alias("n"))
+    specs = F.array(
+        *[
+            F.struct(F.lit(lbl).alias("label"), F.lit(num).alias("num"))
+            for lbl, num in _PCTL_SPECS
+        ]
+    )
+    targets = (
+        n1.select("n", F.explode(specs).alias("p"))
+        .select(
+            F.col("p.label").alias("label"),
+            F.col("p.num").alias("num"),
+            "n",
+        )
+        .withColumn(
+            "lo_rank",
+            F.expr("((n - 1) * num) div 100").cast("long") + 1,
+        )
+        .withColumn("rem", ((F.col("n") - 1) * F.col("num")) % 100)
+    )
+    # two lookup rows per percentile (lo and hi collapse when rem = 0)
+    lookups = targets.select(
+        "label",
+        "rem",
+        "n",
+        F.explode(
+            F.array(
+                F.col("lo_rank"),
+                F.col("lo_rank")
+                + F.when(F.col("rem") > 0, 1).otherwise(0).cast("long"),
+            )
+        ).alias("rn"),
+        F.col("lo_rank"),
+    )
+    picked = (
+        ranked.join(F.broadcast(lookups), "rn")
+        .groupBy("label", "rem", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("c"))).alias(
+                "v_lo"
+            ),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.col("lo_rank")
+                    + F.when(F.col("rem") > 0, 1).otherwise(0).cast("long"),
+                    F.col("c"),
+                )
+            ).alias("v_hi"),
+        )
+    )
+    val = (
+        F.col("v_lo") * (100 - F.col("rem")) + F.col("v_hi") * F.col("rem")
+    ).cast("double") / 100 / 100
+    return picked.select("label", "n", val.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily event series
+# ---------------------------------------------------------------------------
+
+_STL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, c,
+             (day - DATE '1970-01-01') % 7 AS dow,
+             SUM(c) OVER w AS t7,
+             COUNT(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT dow,
+             SUM(7 * c - t7) AS s_num,
+             7 * COUNT(*) AS s_den
+      FROM tr WHERE cnt7 = 7 GROUP BY 1
+    )
+    SELECT tr.day,
+           CAST(tr.c AS DOUBLE) / 100 AS total,
+           CASE WHEN tr.cnt7 = 7
+                THEN CAST(tr.t7 AS DOUBLE) / 7 / 100 END AS trend,
+           CAST(seas.s_num AS DOUBLE) / seas.s_den / 100 AS seasonal,
+           CASE WHEN tr.cnt7 = 7
+                THEN CAST(tr.c AS DOUBLE) / 100
+                     - CAST(tr.t7 AS DOUBLE) / 7 / 100
+                     - CAST(seas.s_num AS DOUBLE) / seas.s_den / 100
+           END AS residual
+    FROM tr JOIN seas ON tr.dow = seas.dow
+"""
+
+
+@register("stat_seasonal_decompose", oracle=_STL_ORACLE)
+def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily event-value
+    series: trend = centered 7-day moving total (integer cents, only
+    emitted for full windows), seasonal = day-of-week mean of the
+    detrended series (kept exact as Σ(7c − t7) over 7·count — no
+    intermediate double), residual = total − trend − seasonal in one
+    fixed-order double projection. Day-of-week is epoch-day mod 7
+    (engine-portable — no locale-dependent dayofweek()). The series
+    frame is the bounded daily aggregate (#days rows), so the ordered
+    trend window is driver-scale; the seasonal join is a 7-row
+    broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    # bounded-window: input is the per-day aggregate (#days rows)
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "c",
+        (F.datediff("day", F.lit("1970-01-01")) % 7).alias("dow"),
+        F.sum("c").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    )
+    seas = (
+        tr.filter(F.col("cnt7") == 7)
+        .groupBy("dow")
+        .agg(
+            F.sum(7 * F.col("c") - F.col("t7")).alias("s_num"),
+            (7 * F.count(F.lit(1))).alias("s_den"),
+        )
+    )
+    trend = F.when(
+        F.col("cnt7") == 7, F.col("t7").cast("double") / 7 / 100
+    )
+    seasonal = F.col("s_num").cast("double") / F.col("s_den") / 100
+    return tr.join(F.broadcast(seas), "dow").select(
+        "day",
+        (F.col("c").cast("double") / 100).alias("total"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(
+            F.col("cnt7") == 7,
+            F.col("c").cast("double") / 100 - trend - seasonal,
+        ).alias("residual"),
+    )

@@ -600,3 +600,46 @@ def test_exact_weighted_ntile_balances_weight(spark):
     assert all(abs(v - ideal) <= 97 for v in per.values())
     # zero-weight rows take the shard at their boundary, never a new one
     assert all(got[i] == n - 1 for i in range(500, 507))
+
+
+def test_ranker_prefix_sums_exact_on_aggregated_input(spark):
+    """Regression: the ranking family must be internally consistent
+    when its INPUT sits on top of a shuffle (an aggregate), where
+    partition-internal row order — and therefore the range sampler's
+    boundary choice — is nondeterministic across plan branches. Before
+    the tracked_persist pin in operators/ntile.py, the offsets branch
+    could describe a DIFFERENT range partitioning than the rows being
+    ranked (observed: 13k/15k wrong prefix sums over a 15k-level
+    aggregate at sf0.01), silently corrupting every downstream rank.
+    This drives the exact reproduction shape: orders → per-cents level
+    aggregate → global_running_sum / global_row_number, checked
+    against a driver-side recomputation."""
+    from irs_990_efiler_database_spark.operators.ntile import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    levels = (
+        o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+
+    pre = global_running_sum(
+        levels, "nl", [F.col("c")], out_col="cum", inclusive=False,
+        total_col="tot",
+    )
+    got = {r["c"]: (r["cum"], r["tot"]) for r in pre.collect()}
+    rows = sorted(
+        (r["c"], r["nl"]) for r in levels.collect()
+    )
+    total = sum(nl for _, nl in rows)
+    run = 0
+    for c, nl in rows:
+        assert got[c] == (run, total), f"prefix mismatch at c={c}"
+        run += nl
+
+    rn = global_row_number(levels, [F.col("c")], out_col="rn")
+    got_rn = [r["c"] for r in rn.orderBy("rn").select("c").collect()]
+    assert got_rn == [c for c, _ in rows]

@@ -206,3 +206,121 @@ def test_triangle_count_matches_bruteforce(spark):
     )
     assert row.n_edges == len(edges)
     assert row.n_triangles == brute
+
+
+def test_percentile_cont_matches_builtin_exact_percentile(spark):
+    """The distributed interpolated percentile must agree with Spark's
+    own exact `percentile` aggregate (same (n-1)p linear-interpolation
+    rule) on the raw doubles, within float formatting noise."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_percentile_cont_distributed,
+    )
+
+    got = {
+        r["label"]: r["value"]
+        for r in stat_percentile_cont_distributed(spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    ref = o.agg(
+        F.expr("percentile(c, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("p")
+    ).collect()[0]["p"]
+    for lbl, rv in zip(("p25", "p50", "p75", "p90"), ref):
+        assert abs(got[lbl] - rv / 100.0) < 1e-6, (lbl, got[lbl], rv / 100.0)
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """U and the tie-corrected z must equal a driver-side O(n log n)
+    recomputation from tie-averaged ranks at sf0.001."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_mann_whitney_u,
+    )
+
+    row = stat_mann_whitney_u(spark, SF_DIR).collect()[0]
+    data = [
+        (int(r["o_custkey"]) % 2, round(float(r["o_totalprice"]) * 100))
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    ]
+    vals = sorted(v for _, v in data)
+    # tie-averaged rank per value
+    import collections
+
+    cnt = collections.Counter(vals)
+    rank = {}
+    run = 0
+    for v in sorted(cnt):
+        rank[v] = run + (cnt[v] + 1) / 2
+        run += cnt[v]
+    n0 = sum(1 for g, _ in data if g == 0)
+    n1 = sum(1 for g, _ in data if g == 1)
+    r1 = sum(rank[v] for g, v in data if g == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert abs(row["u1"] - u1) < 1e-9
+    n = n0 + n1
+    ties = sum(c**3 - c for c in cnt.values())
+    var = n0 * n1 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n0 * n1 / 2) / var**0.5
+    assert abs(row["z_stat"] - z) < 1e-9
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """t and the Welch–Satterthwaite df must match a numpy
+    recomputation over the raw per-arm samples."""
+    import numpy as np
+
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_welch_ttest,
+    )
+
+    row = stat_welch_ttest(spark, SF_DIR).collect()[0]
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    arms = {
+        g: np.array(
+            [
+                round(float(r["value"]) * 100)
+                for r in e.filter(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("user_id") % 2 == g)
+                ).collect()
+            ],
+            dtype=np.float64,
+        )
+        for g in (0, 1)
+    }
+    m0, m1 = arms[0].mean(), arms[1].mean()
+    v0 = arms[0].var(ddof=1) / len(arms[0])
+    v1 = arms[1].var(ddof=1) / len(arms[1])
+    t = (m0 - m1) / (v0 + v1) ** 0.5
+    df = (v0 + v1) ** 2 / (
+        v0**2 / (len(arms[0]) - 1) + v1**2 / (len(arms[1]) - 1)
+    )
+    assert abs(row["t_stat"] - t) < 1e-6
+    assert abs(row["df_welch"] - df) < 1e-3
+    assert abs(row["mean0"] - m0 / 100) < 1e-9
+    assert abs(row["mean1"] - m1 / 100) < 1e-9
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    """Decomposition identity: total == trend + seasonal + residual on
+    every full-window day, and the trend equals the 7-day centered
+    mean recomputed driver-side."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_seasonal_decompose,
+    )
+
+    rows = stat_seasonal_decompose(spark, SF_DIR).collect()
+    assert rows
+    daily = {r["day"]: r for r in rows}
+    days = sorted(daily)
+    full = [r for r in rows if r["trend"] is not None]
+    assert full, "series long enough for at least one full window"
+    for r in full:
+        assert abs(
+            r["total"] - (r["trend"] + r["seasonal"] + r["residual"])
+        ) < 1e-9
+        i = days.index(r["day"])
+        window = days[i - 3 : i + 4]
+        assert len(window) == 7
+        mean7 = sum(daily[d]["total"] for d in window) / 7
+        assert abs(r["trend"] - mean7) < 1e-6
