@@ -88,6 +88,9 @@ HEADLINE = [
     "fdedup_cdc_chunk_pairs",
     "text_winnow_fingerprints",
     "fdedup_semantic_incremental",
+    "stat_percentile_cont_distributed",
+    "stat_mann_whitney_u",
+    "text_char_trigram_lang_id",
 ]
 
 

@@ -578,3 +578,117 @@ def mm_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthetic_media(load_table(spark, sf_dir, "documents"))
     return audio_zero_crossing(media)
+
+
+_DH_HASH_SQL = " + ".join(
+    f"CASE WHEN cv[{i + 1}] > cv[{i + 2}] THEN {1 << i} ELSE 0 END"
+    for i in range(15)
+)
+
+
+@register(
+    "mm_dhash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    ),
+    media AS (
+      SELECT doc_id AS media_id, text AS t,
+             octet_length(encode(text)) AS nb
+      FROM base
+    ),
+    h AS (
+      SELECT media_id, ascii(substring(t, i, 1)) // 16 AS bin
+      FROM media, unnest(generate_series(1, nb)) AS u(i)
+      WHERE nb > 0
+    ),
+    hh AS (
+      SELECT media_id, bin, COUNT(*) AS cnt FROM h GROUP BY media_id, bin
+    ),
+    vec AS (
+      SELECT media_id, [{_AH_VEC_SQL}] AS cv, SUM(cnt) AS nb
+      FROM hh GROUP BY media_id
+    ),
+    vech AS (
+      SELECT media_id, cv, nb, CAST({_DH_HASH_SQL} AS BIGINT) AS dhash
+      FROM vec
+    ),
+    cap AS (
+      SELECT dhash FROM vech GROUP BY dhash HAVING COUNT(*) <= 1000
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b, a.dhash,
+           round(CAST({_AH_L1_SQL} AS DOUBLE) / (a.nb * b.nb), 9) AS l1
+    FROM vech a
+    JOIN cap USING (dhash)
+    JOIN vech b ON a.dhash = b.dhash AND a.media_id < b.media_id
+    WHERE CAST({_AH_L1_SQL} AS DOUBLE) / (a.nb * b.nb) <= 0.01
+    """,
+)
+def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (dHash) perceptual near-dup detection — the
+    GRADIENT twin of mm_ahash_neardup: bit i is set where histogram
+    bin i holds strictly more mass than bin i+1 (15 bits over the
+    16-bin features). dHash is the production default for image
+    near-dup (more stable than aHash under global brightness shifts,
+    here: under uniform payload-frequency shifts, since only
+    ADJACENT-bin ordering matters, not the global mean). Same scale
+    shape as aHash: pure integer bit test, capped equi-join on the
+    fingerprint, integer cross-multiplied L1 verify with one final
+    division. Planted exact copies (media_id + 1e6) are the truth
+    set."""
+    from ..operators.dedup import cap_hot_buckets
+    from ..operators.multimodal import byte_histogram_rows, synthetic_media
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    hist = byte_histogram_rows(synthetic_media(aug))
+    vec = hist.groupBy("media_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == i, F.col("cnt")).otherwise(0))
+                for i in range(16)
+            ]
+        ).alias("cv"),
+        F.sum("cnt").alias("nb"),
+    )
+    dhash = None
+    for i in range(15):
+        bit = F.when(
+            F.col("cv")[i] > F.col("cv")[i + 1], F.lit(1 << i)
+        ).otherwise(0)
+        dhash = bit if dhash is None else dhash + bit
+    vech = vec.select("media_id", "cv", "nb", dhash.cast("long").alias("dhash"))
+    vech = cap_hot_buckets(vech, ["dhash"], 1000)
+    a, b = vech.alias("a"), vech.alias("b")
+    l1num = F.aggregate(
+        F.zip_with(
+            F.col("a.cv"),
+            F.col("b.cv"),
+            lambda x, y: F.abs(x * F.col("b.nb") - y * F.col("a.nb")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    l1 = l1num.cast("double") / (F.col("a.nb") * F.col("b.nb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("dhash"),
+            F.round(l1, 9).alias("l1"),
+            l1.alias("_l1raw"),
+        )
+        .filter(F.col("_l1raw") <= 0.01)
+        .drop("_l1raw")
+    )

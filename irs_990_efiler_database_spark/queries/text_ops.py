@@ -2052,3 +2052,98 @@ def doc_token_equal_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("w").cast("long").alias("total_tokens"),
     )
+
+
+_CHAR3_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent", "er "),
+    "de": ("der", "und", "sch", "ein", "ich", "cht"),
+    "fr": ("les", "ent", "de ", "que", "eur", "ais"),
+    "es": ("de ", "la ", "os ", "que", "ent", "cio"),
+}
+
+
+def _sql_char3_scores() -> str:
+    parts = []
+    for lang, grams in _CHAR3_PROFILES.items():
+        lst = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        parts.append(f"len(list_filter(tris, t -> t IN ({lst}))) AS s_{lang}")
+    return ", ".join(parts)
+
+
+@register(
+    "text_char_trigram_lang_id",
+    oracle=f"""
+    WITH lo AS (
+      SELECT doc_id, lower(trim(text)) AS lo FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(lo) - 2, 0)),
+               i -> substr(lo, i, 3)) AS tris
+      FROM lo
+    ),
+    scores AS (
+      SELECT doc_id, {_sql_char3_scores()} FROM tri
+    )
+    SELECT doc_id,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM scores
+    """,
+)
+def text_char_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-TRIGRAM language ID — the n-gram-profile heuristic
+    (Cavnar-Trenkle) next to the stopword-profile text_lang_id:
+    works on languages without whitespace-stable stopwords and on
+    short/fragmentary text. The lowered text is materialized in its
+    OWN projection before the trigram HOF (the _with_3grams
+    two-projection discipline — the lambda touches only attribute
+    columns, so nothing recomputes per element), trigrams come from
+    one native transform over sequence(1, len-2), and per-language
+    scores are size(filter(...)) membership counts — all codegen'd,
+    zero Python in the row path, scales with the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    lo = d.select("doc_id", F.lower(F.trim("text")).alias("lo"))
+    tris_expr = F.when(
+        F.length("lo") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("lo") - 2),
+            lambda i: F.col("lo").substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = lo.select("doc_id", tris_expr.alias("tris"))
+    def _score(grams: tuple) -> "F.Column":
+        return F.size(
+            F.filter(F.col("tris"), lambda t: t.isin(list(grams)))
+        ).cast("long")
+
+    scores = tri.select(
+        "doc_id",
+        *[
+            _score(grams).alias(f"s_{lang}")
+            for lang, grams in _CHAR3_PROFILES.items()
+        ],
+    )
+    s = {k: F.col(f"s_{k}") for k in _CHAR3_PROFILES}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0),
+            F.lit("unknown"),
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scores.withColumn("lang_pred", pred)

