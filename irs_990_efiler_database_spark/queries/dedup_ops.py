@@ -1317,3 +1317,98 @@ def fdedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         _F.count(_F.lit(1)).cast("long").alias("n_clusters"),
         _F.sum("sz").cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "fdedup_soft_reweight",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cbands a
+      JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    goodpairs AS (
+      SELECT c.id_a, c.id_b
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM goodpairs
+      UNION
+      SELECT id_b, id_a FROM goodpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    members AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM members GROUP BY 1
+    )
+    SELECT base.doc_id,
+           COALESCE(m.cluster_id, base.doc_id) AS cluster_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           1.0 / COALESCE(s.cluster_size, 1) AS weight
+    FROM base
+    LEFT JOIN members m ON m.doc_id = base.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = m.cluster_id
+    """,
+)
+def fdedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: instead of DROPPING near-duplicates, every document
+    keeps weight 1/|cluster| (singletons keep 1.0) — the
+    training-loss reweighting alternative to hard dedup (each
+    duplicated content unit contributes one document's worth of
+    gradient in expectation, without discarding the stylistic
+    variation across copies). Composes the verified MinHash-LSH pairs
+    → connected components → cluster sizes, then a LEFT join back to
+    the corpus; the weight is one exact integer division. Same scale
+    posture as the cluster pipeline it reuses (banded candidates,
+    capped buckets, one shuffle per CC round); the reweight join
+    broadcasts the (tiny) cluster-membership frame."""
+    from ..operators.dedup import connected_components
+
+    corpus = _augmented(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    members = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    mem = members.join(F.broadcast(sizes), "cluster_id")
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(mem), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1))
+            ).alias("weight"),
+        )
+    )

@@ -1258,3 +1258,172 @@ def stat_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double") / 100 - trend - seasonal,
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (hash-derived replicate weights)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds (inverse-CDF table for the hash uniform)
+_POIS_CDF = (
+    ("0.36787944117144233", 0),
+    ("0.7357588823428847", 1),
+    ("0.9196986029286058", 2),
+    ("0.9810118431238462", 3),
+    ("0.9963401531726563", 4),
+    ("0.9994058151824183", 5),
+    ("0.9999167588507119", 6),
+)
+_B_REPS = 32
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {thr} THEN {k}" for thr, k in _POIS_CDF
+    )
+    + " ELSE 7 END"
+)
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             b
+      FROM orders, unnest(generate_series(0, {_B_REPS - 1})) AS r(b)
+    ),
+    u AS (
+      SELECT c, b,
+             CAST(concat('0x', substring(md5(concat(
+                 CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))),
+               1, 8)) AS BIGINT) / 4294967296.0 AS u
+      FROM reps
+    ),
+    w AS (
+      SELECT c, b, {_BOOT_W_SQL} AS w FROM u
+    ),
+    rep AS (
+      SELECT b,
+             CAST(round(CAST(SUM(w * c) AS DOUBLE) / SUM(w) * 100)
+                  AS HUGEINT) AS mbi
+      FROM w GROUP BY b
+    ),
+    boot AS (
+      SELECT COUNT(*) AS nb,
+             CAST(SUM(mbi) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(mbi * mbi) AS DECIMAL(38,0)) AS s2
+      FROM rep
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sc
+      FROM orders
+    )
+    SELECT base.n AS n_rows, boot.nb AS n_replicas,
+           CAST(base.sc AS DOUBLE) / base.n / 100 AS est_mean,
+           sqrt((CAST(boot.nb AS DOUBLE) * CAST(boot.s2 AS DOUBLE)
+                 - CAST(boot.s1 AS DOUBLE) * CAST(boot.s1 AS DOUBLE))
+                / boot.nb / (boot.nb - 1)) / 10000 AS boot_se,
+           CAST(base.sc AS DOUBLE) / base.n / 100
+             - 1.959963984540054
+               * (sqrt((CAST(boot.nb AS DOUBLE) * CAST(boot.s2 AS DOUBLE)
+                       - CAST(boot.s1 AS DOUBLE) * CAST(boot.s1 AS DOUBLE))
+                      / boot.nb / (boot.nb - 1)) / 10000) AS ci_lo,
+           CAST(base.sc AS DOUBLE) / base.n / 100
+             + 1.959963984540054
+               * (sqrt((CAST(boot.nb AS DOUBLE) * CAST(boot.s2 AS DOUBLE)
+                       - CAST(boot.s1 AS DOUBLE) * CAST(boot.s1 AS DOUBLE))
+                      / boot.nb / (boot.nb - 1)) / 10000) AS ci_hi
+    FROM boot CROSS JOIN base
+"""
+
+
+@register("stat_bootstrap_ci_poisson", oracle=_BOOT_ORACLE)
+def stat_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value via the
+    DETERMINISTIC Poisson bootstrap — the resampling scheme that
+    actually works on a cluster (Chamandy et al., Google 2012):
+    instead of drawing n samples with replacement (a global shuffle
+    per replicate), each row draws its own Poisson(1) replicate
+    weight from an md5 hash uniform, so all 32 replicates compute
+    in ONE map-side-combined aggregation pass with zero data
+    movement, reproducible on any partitioning. Replicate means are
+    exact integer ratios rounded to 1e-4-dollar integer units; the
+    bootstrap SE comes from exact decimal moments over the 32-row
+    replicate frame in one fixed-order double projection
+    (normal-approximation CI, the standard large-B shortcut)."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = None
+    for thr, k in _POIS_CDF:
+        cond = u < float(thr)
+        w = F.when(cond, k) if w is None else w.when(cond, k)
+    w = w.otherwise(7)
+    rep = (
+        reps.select("c", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("sc"),
+            F.sum("w").alias("nw"),
+        )
+        .select(
+            F.round(F.col("sc").cast("double") / F.col("nw") * 100)
+            .cast("decimal(19,0)")
+            .alias("mbi")
+        )
+    )
+    boot = rep.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("mbi").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("mbi") * F.col("mbi")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("sc"),
+    )
+    est = F.col("sc").cast("double") / F.col("n") / 100
+    se = (
+        F.sqrt(
+            (
+                F.col("nb").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / F.col("nb")
+            / (F.col("nb") - 1)
+        )
+        / 10000
+    )
+    zq = F.lit(1.959963984540054)
+    return boot.crossJoin(F.broadcast(base)).select(
+        F.col("n").alias("n_rows"),
+        F.col("nb").alias("n_replicas"),
+        est.alias("est_mean"),
+        se.alias("boot_se"),
+        (est - zq * se).alias("ci_lo"),
+        (est + zq * se).alias("ci_hi"),
+    )

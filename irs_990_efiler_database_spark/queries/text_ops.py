@@ -2147,3 +2147,112 @@ def text_char_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("es"))
     )
     return scores.withColumn("lang_pred", pred)
+
+
+@register(
+    "doc_dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, lang, unnest(toks) AS w FROM toks
+    ),
+    db AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 256
+               AS bucket,
+             COUNT(*) AS n
+      FROM words GROUP BY 1, 2, 3
+    ),
+    gb AS (
+      SELECT bucket,
+             SUM(n) AS r_b,
+             SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS t_b
+      FROM db GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM gb
+    ),
+    terms AS (
+      SELECT db.doc_id, db.n,
+             CAST(round(
+               db.n * (ln(CAST(gb.t_b + 1 AS DOUBLE) / (tot.t_tot + 256))
+                       - ln(CAST(gb.r_b + 1 AS DOUBLE) / (tot.r_tot + 256))),
+               12) AS DECIMAL(28,12)) AS term
+      FROM db JOIN gb USING (bucket) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(term) AS DOUBLE) AS dsir_logweight
+    FROM terms GROUP BY doc_id
+    """,
+)
+def doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): per-document log importance =
+    Σ_features n_f · (log p_target(f) − log p_raw(f)) over hashed
+    unigram features (256 md5 buckets), target = the English slice of
+    the corpus, add-1 smoothing on both distributions. The pipeline a
+    pretraining team runs to upsample target-like data out of a raw
+    crawl.
+
+    Scale shape: one explode → (doc, bucket) count aggregation
+    (map-side combined); the GLOBAL bucket table is 256 rows —
+    broadcast back; per-(doc,bucket) log-ratio terms are rounded to
+    DECIMAL(28,12) before the per-doc sum, so the reduction is
+    associative and partitioning-invariant (the payload-entropy
+    discipline). No per-row Python, no full-corpus shuffle beyond the
+    count aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    words = toks.select(
+        "doc_id", "lang", F.explode("toks").alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 256
+    )
+    db = words.groupBy("doc_id", "lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = db.groupBy("bucket").agg(
+        F.sum("n").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "t_b"
+        ),
+    )
+    tot = glob.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    terms = (
+        db.join(F.broadcast(glob), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                F.col("n")
+                * (
+                    F.log(
+                        (F.col("t_b") + 1).cast("double")
+                        / (F.col("t_tot") + 256)
+                    )
+                    - F.log(
+                        (F.col("r_b") + 1).cast("double")
+                        / (F.col("r_tot") + 256)
+                    )
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("term").cast("double").alias("dsir_logweight"),
+    )

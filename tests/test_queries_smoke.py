@@ -81,3 +81,27 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert (row["u"], row["v"]) not in edges
         assert row["common_neighbors"] >= 2
         assert 0.0 < row["jaccard"] <= 1.0
+
+
+def test_soft_reweight_conserves_cluster_mass(spark):
+    """SoftDeDup invariants: singleton weight = 1, every cluster's
+    weights sum to exactly 1 document, and every planted near-copy
+    shares a cluster with its original (weight <= 0.5)."""
+    from collections import defaultdict
+
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        fdedup_soft_reweight,
+    )
+
+    rows = fdedup_soft_reweight(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-9
+        for m in members:
+            assert m["cluster_size"] == len(members)
+    copies = [r for r in rows if r["doc_id"] >= 1_000_000]
+    assert copies
+    for r in copies:
+        assert r["weight"] <= 0.5, f"copy {r['doc_id']} not clustered"

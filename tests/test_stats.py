@@ -324,3 +324,49 @@ def test_seasonal_decompose_identity_and_trend(spark):
         assert len(window) == 7
         mean7 = sum(daily[d]["total"] for d in window) / 7
         assert abs(r["trend"] - mean7) < 1e-6
+
+
+def test_bootstrap_ci_brackets_mean_and_se_sane(spark):
+    """The hash-derived Poisson bootstrap must bracket the point
+    estimate, and its SE must land within 2x of the analytic
+    sd/sqrt(n) (they estimate the same quantity)."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_bootstrap_ci_poisson,
+    )
+
+    r = stat_bootstrap_ci_poisson(spark, SF_DIR).collect()[0]
+    assert r["ci_lo"] < r["est_mean"] < r["ci_hi"]
+    assert r["boot_se"] > 0
+    import math
+
+    vals = [
+        float(x["o_totalprice"])
+        for x in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    analytic = sd / math.sqrt(n)
+    assert analytic / 2 < r["boot_se"] < analytic * 2
+
+
+def test_dsir_upweights_target_language(spark):
+    """DSIR importance weights must rank target-language (en)
+    documents above the others on average — the property the
+    resampling step depends on."""
+    from irs_990_efiler_database_spark.queries.text_ops import (
+        doc_dsir_importance_weights,
+    )
+
+    w = {
+        r["doc_id"]: r["dsir_logweight"] / r["n_tokens"]
+        for r in doc_dsir_importance_weights(spark, SF_DIR).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    en = [w[d] for d in w if langs[d] == "en"]
+    rest = [w[d] for d in w if langs[d] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
