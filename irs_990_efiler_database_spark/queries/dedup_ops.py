@@ -15,7 +15,7 @@ finds what it should.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
@@ -1411,4 +1411,136 @@ def fdedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.coalesce(F.col("cluster_size"), F.lit(1))
             ).alias("weight"),
         )
+    )
+
+
+# ------------------------------------------------- exact substrings
+
+_ESS_W = 30  # window width (chars); Lee et al. use 50 tokens at CC scale
+
+
+@register(
+    "fdedup_exact_substring_spans",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    win AS (
+      SELECT doc_id, i AS p, i + {_ESS_W - 1} AS e,
+             md5(substring(t, i, {_ESS_W})) AS h
+      FROM norm, unnest(generate_series(1, len(t) - {_ESS_W - 1})) AS g(i)
+      WHERE len(t) >= {_ESS_W}
+    ),
+    duph AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans AS (
+      SELECT w.doc_id, w.p, w.e FROM win w JOIN duph USING (h)
+    ),
+    flagged AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM spans
+    ),
+    islands AS (
+      SELECT doc_id, p, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, isl, MIN(p) AS s, MAX(e) AS e
+      FROM islands GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_chars
+      FROM merged GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(len(n.t) AS BIGINT) AS n_chars,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / len(n.t) AS dup_frac
+    FROM norm n LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def fdedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): find every maximal span of
+    text that appears verbatim in >= 2 distinct documents, and report
+    the per-document duplicated-character fraction — the statistic the
+    span-removal pass is driven by.
+
+    The reference algorithm builds a corpus suffix array; the
+    cluster-native formulation here is the rolling-window hash join:
+    every W-char window is hashed (one md5, 16-byte key), windows
+    whose hash occurs in >= 2 docs are "duplicated", and overlapping
+    duplicated windows are merged into maximal spans with a
+    gaps-and-islands pass (running MAX(end) over a doc-partitioned
+    window). Scale shape: the window table is ~1 row/char — the same
+    amplification as char-shingle MinHash — aggregated by a 16-byte
+    key with map-side combine; the span merge is a doc-partitioned
+    (never global) sort; no pair join anywhere, so a phrase shared by
+    a million docs costs one hash group, not a million-squared pair
+    set. Stride can be raised above 1 to trade recall for cost at
+    the 100-TB tier."""
+    corpus = _augmented(spark, sf_dir)
+    norm = corpus.select("doc_id", _NORM(F.col("text")).alias("t"))
+    win = (
+        norm.filter(F.length("t") >= _ESS_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (_ESS_W - 1))
+            ).alias("p"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            (F.col("p") + (_ESS_W - 1)).alias("e"),
+            F.md5(F.substring(F.col("t"), F.col("p"), F.lit(_ESS_W))).alias("h"),
+        )
+    )
+    duph = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    spans = win.join(duph, "h").select("doc_id", "p", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.withColumn(
+        "is_new",
+        (
+            F.col("p")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("isl", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    perdoc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return norm.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        F.length("t").cast("long").alias("n_chars"),
+        (
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+            / F.length("t")
+        ).alias("dup_frac"),
     )

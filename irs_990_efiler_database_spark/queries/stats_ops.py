@@ -1427,3 +1427,154 @@ def stat_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (est - zq * se).alias("ci_lo"),
         (est + zq * se).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# signSGD distributed classifier (integer-exact logistic training)
+# ---------------------------------------------------------------------------
+
+_SGN_B = 64      # hashed feature buckets
+_SGN_ITERS = 3   # full-batch sign-gradient steps
+
+
+def _signgd_iter_sql(i: int) -> str:
+    """One unrolled signSGD iteration: score -> hard-sigmoid error ->
+    per-bucket gradient -> 1-unit sign update."""
+    return f"""
+    z{i} AS (
+      SELECT f.doc_id, f.y, SUM(w{i - 1}.w * f.x) AS z
+      FROM feat f JOIN w{i - 1} USING (bucket) GROUP BY 1, 2
+    ),
+    e{i} AS (
+      SELECT doc_id,
+             LEAST(GREATEST(5000 + 125 * z, 0), 10000) - 10000 * y AS err
+      FROM z{i}
+    ),
+    g{i} AS (
+      SELECT f.bucket, SUM(e.err * f.x) AS g
+      FROM feat f JOIN e{i} e USING (doc_id) GROUP BY 1
+    ),
+    w{i} AS (
+      SELECT w{i - 1}.bucket,
+             w{i - 1}.w - CASE WHEN COALESCE(g{i}.g, 0) > 0 THEN 1
+                               WHEN COALESCE(g{i}.g, 0) < 0 THEN -1
+                               ELSE 0 END AS w
+      FROM w{i - 1} LEFT JOIN g{i} USING (bucket)
+    )"""
+
+
+_SIGNGD_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, y,
+             CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT)
+               % {_SGN_B} AS bucket,
+             COUNT(*) AS x
+      FROM words GROUP BY 1, 2, 3
+    ),
+    w0 AS (
+      SELECT i AS bucket, CAST(0 AS BIGINT) AS w
+      FROM unnest(generate_series(0, {_SGN_B - 1})) g(i)
+    ),{",".join(_signgd_iter_sql(i) for i in range(1, _SGN_ITERS + 1))},
+    zf AS (
+      SELECT f.doc_id, f.y, SUM(w{_SGN_ITERS}.w * f.x) AS z
+      FROM feat f JOIN w{_SGN_ITERS} USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(y AS INT) AS label,
+           CAST(z AS BIGINT) AS score_u,
+           CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS INT) AS pred_label,
+           CAST(CASE WHEN (z > 0) = (y = 1) THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM zf
+"""
+
+
+def _sgn(c):
+    return (
+        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+
+
+@register("stat_signgd_text_classifier", oracle=_SIGNGD_ORACLE)
+def stat_signgd_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed text-quality classifier trained with signSGD
+    (Bernstein et al. 2018) — the communication-efficient variant of
+    full-batch gradient descent where each step transmits ONE SIGN BIT
+    per weight. Logistic model over {_SGN_B} hashed unigram-count
+    features (the fastText / hashing-trick shape), hard-sigmoid link,
+    target = (lang = 'en').
+
+    Everything is INTEGER arithmetic: probabilities live in 1e-4 units
+    (hard sigmoid = clamp(5000 + 125*z_u, 0, 10000) with weights in
+    0.05 units), gradients are exact integer sums, and the update is
+    w -= sign(g) — so the trained weights and every document score are
+    bit-exact on any engine, any partitioning, any summation order.
+    Scale shape per iteration: score = feat ⋈ broadcast(64-row weight
+    frame) + map-side-combined doc aggregation; gradient = one shuffle
+    join of the error frame back to feat on doc_id + a 64-group
+    aggregation. Nothing ever collects to the driver; iteration count
+    is the only serial dimension (the signSGD paper's point: the
+    all-reduce payload is {_SGN_B} sign bits)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _SGN_B
+    )
+    feat = words.groupBy("doc_id", "y", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = spark.range(_SGN_B).select(
+        F.col("id").alias("bucket"), F.lit(0).cast("long").alias("w")
+    )
+    for _ in range(_SGN_ITERS):
+        z = (
+            feat.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+        )
+        err = z.select(
+            "doc_id",
+            (
+                F.least(
+                    F.greatest(F.lit(5000) + 125 * F.col("z"), F.lit(0)),
+                    F.lit(10000),
+                )
+                - 10000 * F.col("y")
+            ).alias("err"),
+        )
+        g = (
+            feat.join(err, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
+        )
+        w = (
+            w.join(g, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") - _sgn(F.coalesce(F.col("g"), F.lit(0))))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    zf = (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+    )
+    return zf.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        F.col("z").cast("long").alias("score_u"),
+        (F.col("z") > 0).cast("int").alias("pred_label"),
+        ((F.col("z") > 0) == (F.col("y") == 1)).cast("int").alias("correct"),
+    )

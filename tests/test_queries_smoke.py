@@ -105,3 +105,34 @@ def test_soft_reweight_conserves_cluster_mass(spark):
     assert copies
     for r in copies:
         assert r["weight"] <= 0.5, f"copy {r['doc_id']} not clustered"
+
+
+def test_exact_substring_spans_cover_planted_copies(spark):
+    """Every doc_id < 25 original is fully contained in its planted
+    copy, so its entire normalized text is one duplicated span
+    (dup_frac == 1.0 exactly); the copy's duplicated prefix covers
+    everything but the appended suffix tail."""
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        fdedup_exact_substring_spans,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in fdedup_exact_substring_spans(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    originals = [r for d, r in rows.items() if d < 25]
+    copies = [r for d, r in rows.items() if d >= 1_000_000]
+    assert originals and copies
+    for r in originals:
+        assert r["n_dup_spans"] == 1
+        assert r["dup_chars"] == r["n_chars"]
+        assert r["dup_frac"] == 1.0
+    for r in copies:
+        # the copy = original + 27-char suffix; at W=30 the duplicated
+        # prefix span reaches to within <30 chars of the suffix start
+        assert r["dup_chars"] >= r["n_chars"] - 27 - 30
+    for r in rows.values():
+        assert 0 <= r["dup_chars"] <= r["n_chars"]
+        assert (r["n_dup_spans"] == 0) == (r["dup_chars"] == 0)

@@ -370,3 +370,53 @@ def test_dsir_upweights_target_language(spark):
     rest = [w[d] for d in w if langs[d] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_signgd_matches_pure_python_reimplementation(spark):
+    """The distributed signSGD trainer must reproduce, bit for bit, a
+    from-scratch single-threaded reimplementation of the same integer
+    algorithm — proving the DataFrame composition implements the
+    published update rule, not something merely similar."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        _SGN_B,
+        _SGN_ITERS,
+        stat_signgd_text_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    feat, label = {}, {}
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        c = Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _SGN_B
+            for w in toks
+        )
+        feat[r["doc_id"]] = c
+        label[r["doc_id"]] = 1 if r["lang"] == "en" else 0
+    w = [0] * _SGN_B
+    for _ in range(_SGN_ITERS):
+        g = defaultdict(int)
+        for d, c in feat.items():
+            z = sum(w[b] * x for b, x in c.items())
+            err = min(max(5000 + 125 * z, 0), 10000) - 10000 * label[d]
+            for b, x in c.items():
+                g[b] += err * x
+        w = [
+            w[b] - (1 if g[b] > 0 else -1 if g[b] < 0 else 0)
+            for b in range(_SGN_B)
+        ]
+    expect = {
+        d: sum(w[b] * x for b, x in c.items()) for d, c in feat.items()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in stat_signgd_text_classifier(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for d, r in got.items():
+        assert r["score_u"] == expect[d], f"doc {d}"
+        assert r["pred_label"] == (1 if expect[d] > 0 else 0)
+        assert r["correct"] == (r["pred_label"] == label[d])
