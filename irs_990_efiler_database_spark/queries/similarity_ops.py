@@ -1030,3 +1030,68 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+_SQL_PQ = """
+  cb AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+  ),
+  subd AS (
+    SELECT e.vec_id, s.m, c.cid,
+           SUM(CAST(
+             (CAST(e.embedding[s.m * 16 + i] AS DOUBLE)
+              - CAST(c.cv[s.m * 16 + i] AS DOUBLE))
+             * (CAST(e.embedding[s.m * 16 + i] AS DOUBLE)
+                - CAST(c.cv[s.m * 16 + i] AS DOUBLE))
+             AS DECIMAL(30,15))) AS d2d
+    FROM embeddings e
+    CROSS JOIN cb c
+    CROSS JOIN generate_series(0, 3) s(m),
+    unnest(generate_series(1, 16)) t(i)
+    GROUP BY e.vec_id, s.m, c.cid
+  ),
+  codes AS (
+    SELECT vec_id, m, cid AS code FROM (
+      SELECT vec_id, m, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY round(CAST(d2d AS DOUBLE), 6), cid) AS rn
+      FROM subd
+    ) WHERE rn = 1
+  ),
+  adc AS (
+    SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id,
+           round(CAST(SUM(d.d2d) AS DOUBLE), 6) AS adc
+    FROM codes n
+    JOIN subd d ON d.m = n.m AND d.cid = n.code
+    WHERE d.vec_id < 5 AND n.vec_id <> d.vec_id
+    GROUP BY 1, 2
+  )
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_SQL_PQ}
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT query_id, neighbor_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-3 (Jégou et al. 2011): 64-dim
+    vectors compressed to 4 subspace codes (16 dims / 8 codewords
+    each), per-query distance TABLES computed once, per-pair cost = 4
+    table lookups — the compressed-corpus ANN family next to sign-LSH
+    (bucketing) and IVF (cells). The DuckDB oracle recomputes the
+    identical decimal-exact subspace distances positionally, assigns
+    the same codes, and sums the same table entries, so the ADC
+    distances compare bit-for-bit."""
+    from ..operators.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_sub=4, n_codes=8)
