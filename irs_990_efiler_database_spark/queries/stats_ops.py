@@ -1578,3 +1578,117 @@ def stat_signgd_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("z") > 0).cast("int").alias("pred_label"),
         ((F.col("z") > 0) == (F.col("y") == 1)).cast("int").alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression, closed form (exact integer moments + Cramer's rule)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 10000
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """Fixed-order 3x3 determinant: a(ei-fh) - b(di-fg) + c(dh-eg).
+    Written with identical association in the SQL oracle so every
+    IEEE double op matches bit-for-bit."""
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+_RIDGE_ORACLE = f"""
+    WITH u AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+      FROM u
+    ),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n, sy, s1y, s2y,
+        (n * ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12)
+         - s1 * (s1 * (s22 + {_RIDGE_LAMBDA}) - s12 * s2)
+         + s2 * (s1 * s12 - (s11 + {_RIDGE_LAMBDA}) * s2)) AS det,
+        (sy * ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12)
+         - s1 * (s1y * (s22 + {_RIDGE_LAMBDA}) - s12 * s2y)
+         + s2 * (s1y * s12 - (s11 + {_RIDGE_LAMBDA}) * s2y)) AS det0,
+        (n * (s1y * (s22 + {_RIDGE_LAMBDA}) - s12 * s2y)
+         - sy * (s1 * (s22 + {_RIDGE_LAMBDA}) - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2)) AS det1,
+        (n * ((s11 + {_RIDGE_LAMBDA}) * s2y - s1y * s12)
+         - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - (s11 + {_RIDGE_LAMBDA}) * s2))  AS det2
+      FROM m
+    )
+    SELECT n,
+           CAST({_RIDGE_LAMBDA} AS BIGINT) AS ridge_lambda,
+           round((det0 / det) / 100, 6) AS b0,
+           round((det1 / det) / 100, 6) AS b1_qty,
+           round((det2 / det) / 100, 6) AS b2_disc_pct
+    FROM d
+"""
+
+
+@register("stat_ridge_closed_form", oracle=_RIDGE_ORACLE)
+def stat_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression (L2-regularized least squares,
+    Hoerl & Kennard 1970) in closed form: extendedprice ~ quantity +
+    discount, solved from the normal equations (X'X + lambda*I')b = X'y
+    with the penalty on the two slope coefficients only (I' zeroes the
+    intercept entry — the standard convention). The 3x3 system is
+    solved by Cramer's rule over NINE exact integer moments; inputs are
+    integerized (cents / discount percentage points) so every moment is
+    an exact integer sum — order-free under any partitioning — and the
+    determinant arithmetic is fixed-order IEEE doubles written
+    identically in the DuckDB oracle.
+
+    Scale shape: ONE map-side-combined aggregation over the fact table
+    produces nine scalars; the solve is a single-row projection. This
+    is the d<<n regime where closed-form beats iterative solvers at any
+    corpus size — the same shape a distributed GLM fit uses for its
+    Gram-matrix pass. Contrast with stat_signgd_text_classifier, which
+    covers the iterative/high-d regime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity")).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    u = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    dec = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("s22"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("s12"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"),
+    )
+    n = F.col("nn").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s11 = F.col("s11").cast("double") + _RIDGE_LAMBDA
+    s22 = F.col("s22").cast("double") + _RIDGE_LAMBDA
+    s12 = F.col("s12").cast("double")
+    sy = F.col("sy").cast("double")
+    s1y, s2y = F.col("s1y").cast("double"), F.col("s2y").cast("double")
+    det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det0 = _det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    det1 = _det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    det2 = _det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    return m.select(
+        F.col("nn").cast("long").alias("n"),
+        F.lit(_RIDGE_LAMBDA).cast("long").alias("ridge_lambda"),
+        F.round((det0 / det) / 100, 6).alias("b0"),
+        F.round((det1 / det) / 100, 6).alias("b1_qty"),
+        F.round((det2 / det) / 100, 6).alias("b2_disc_pct"),
+    )

@@ -2256,3 +2256,105 @@ def doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_tokens"),
         F.sum("term").cast("double").alias("dsir_logweight"),
     )
+
+
+@register(
+    "text_kneser_ney_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i+1])) AS w2
+      FROM toks
+    ),
+    cbi AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(cb) AS ctx, COUNT(*) AS nf FROM cbi GROUP BY 1),
+    bwd AS (SELECT w2, COUNT(*) AS nb FROM cbi GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS tt FROM cbi),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(log(
+               (GREATEST(CAST(cb.cb AS DOUBLE) - 0.75, 0)
+                + (0.75 * cx.nf) * (CAST(bw.nb AS DOUBLE) / tv.tt))
+               / cx.ctx), 9) AS DECIMAL(24,12)) AS lp
+      FROM bi b
+      JOIN cbi cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN ctx cx ON cx.w1 = b.w1
+      JOIN bwd bw ON bw.w2 = b.w2
+      CROSS JOIN tot tv
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_kn_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form, absolute discount
+    D = 0.75) — the smoothing that add-1 ('text_bigram_lm_score')
+    approximates badly: probability mass discounted from observed
+    bigrams is redistributed by CONTINUATION probability (how many
+    distinct contexts a word follows), not raw frequency, so
+    high-frequency-but-fixed collocates ('francisco') stop stealing
+    mass from genuinely versatile words.
+
+      P(w2|w1) = (max(c(w1,w2)-D, 0) + D·N1+(w1,·)·P_cont(w2)) / c(w1·)
+      P_cont(w2) = N1+(·,w2) / |distinct bigram types|
+
+    Scale shape: one tokenization feeds one bigram count; the three KN
+    statistics (context totals + fan-out by w1, continuation fan-in by
+    w2, one-row type total) are aggregations OVER the bigram-type
+    table — vocabulary-bounded, far smaller than the corpus. Scoring
+    joins on w1/w2 keys; per-term logprobs round to 9 dp and
+    accumulate in DECIMAL, so the document average is order-free under
+    any shuffle. Probability arithmetic is fixed-order IEEE double ops
+    written identically in the DuckDB oracle — bit-reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    docs = d.select("doc_id", t.alias("t"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w1"),
+                F.slice(
+                    F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    cbi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = cbi.groupBy("w1").agg(
+        F.sum("cb").alias("ctx"), F.count(F.lit(1)).alias("nf")
+    )
+    bwd = cbi.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    tot = cbi.agg(F.count(F.lit(1)).alias("tt"))
+    p = (
+        F.greatest(F.col("cb").cast("double") - 0.75, F.lit(0.0))
+        + (F.lit(0.75) * F.col("nf")) * (F.col("nb").cast("double") / F.col("tt"))
+    ) / F.col("ctx")
+    lp = F.round(F.log10(p), 9).cast("decimal(24,12)")
+    return (
+        pairs.join(cbi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_kn_logprob"),
+        )
+    )

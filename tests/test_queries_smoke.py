@@ -136,3 +136,52 @@ def test_exact_substring_spans_cover_planted_copies(spark):
     for r in rows.values():
         assert 0 <= r["dup_chars"] <= r["n_chars"]
         assert (r["n_dup_spans"] == 0) == (r["dup_chars"] == 0)
+
+
+def test_kneser_ney_matches_python_reimplementation(spark):
+    """Interpolated KN scores must match a from-scratch Python
+    implementation of the same formula to float tolerance, and every
+    document must report exactly len(tokens)-1 bigrams."""
+    import math
+    from collections import Counter, defaultdict
+
+    from irs_990_efiler_database_spark.queries.text_ops import (
+        text_kneser_ney_bigram_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    cbi = Counter()
+    for t in docs.values():
+        cbi.update(zip(t, t[1:]))
+    ctx, nf, nb = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (w1, w2), c in cbi.items():
+        ctx[w1] += c
+        nf[w1] += 1
+        nb[w2] += 1
+    tt = len(cbi)
+    expect = {}
+    for d, t in docs.items():
+        lps = [
+            round(
+                math.log10(
+                    (max(cbi[(w1, w2)] - 0.75, 0)
+                     + (0.75 * nf[w1]) * (nb[w2] / tt)) / ctx[w1]
+                ),
+                9,
+            )
+            for w1, w2 in zip(t, t[1:])
+        ]
+        expect[d] = (len(lps), sum(lps) / len(lps))
+    got = {
+        r["doc_id"]: r
+        for r in text_kneser_ney_bigram_score(spark, sf).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n, avg) in expect.items():
+        assert got[d]["n_bigrams"] == n
+        assert abs(got[d]["avg_kn_logprob"] - avg) < 1e-5
+        assert got[d]["avg_kn_logprob"] < 0

@@ -420,3 +420,28 @@ def test_signgd_matches_pure_python_reimplementation(spark):
         assert r["score_u"] == expect[d], f"doc {d}"
         assert r["pred_label"] == (1 if expect[d] > 0 else 0)
         assert r["correct"] == (r["pred_label"] == label[d])
+
+
+def test_ridge_closed_form_matches_numpy_solve(spark):
+    """Cramer's-rule ridge must agree with numpy solving the same
+    penalized normal equations on the raw rows."""
+    import numpy as np
+
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        _RIDGE_LAMBDA,
+        stat_ridge_closed_form,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    x1 = np.array([round(r[0]) for r in rows], dtype=np.float64)
+    x2 = np.array([round(r[1] * 100) for r in rows], dtype=np.float64)
+    y = np.array([round(r[2] * 100) for r in rows], dtype=np.float64)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    A = X.T @ X + _RIDGE_LAMBDA * np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y) / 100
+    got = stat_ridge_closed_form(spark, SF_DIR).collect()[0]
+    assert got["n"] == len(rows)
+    for g, e in zip((got["b0"], got["b1_qty"], got["b2_disc_pct"]), beta):
+        assert abs(g - e) < 1e-4, (g, e)
