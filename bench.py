@@ -91,6 +91,11 @@ HEADLINE = [
     "stat_percentile_cont_distributed",
     "stat_mann_whitney_u",
     "text_char_trigram_lang_id",
+    "fdedup_exact_substring_spans",
+    "stat_signgd_text_classifier",
+    "sim_pq_adc_topk",
+    "text_kneser_ney_bigram_score",
+    "stat_ridge_closed_form",
 ]
 
 

@@ -742,6 +742,48 @@ def _d2_decimal(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_fast_codes_udf(cb_subs):
+    """Arrow-batched PQ encoding: per batch, one vectorized numpy
+    squared-L2 against each subspace codebook (B × K × dsub broadcast
+    subtract — the same difference-then-square order as the decimal
+    path, so float64 error stays ~1e-13 absolute). Returns per row the
+    fast argmin codes AND the top-2 distance gap per subspace; callers
+    must route any subspace whose gap is within 3e-6 (the 6-dp rounding
+    granularity of the exact path, plus float slack) to the
+    decimal-exact argmin."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<codes:array<int>, gaps:array<double>>")
+    def enc(v):
+        import numpy as np
+        import pandas as pd
+
+        n_sub = len(cb_subs)
+        if len(v) == 0:
+            return pd.DataFrame({"codes": [], "gaps": []})
+        X = np.vstack(v.to_numpy()).astype(np.float64)  # B × dim
+        codes = np.empty((len(X), n_sub), dtype=np.int32)
+        gaps = np.empty((len(X), n_sub), dtype=np.float64)
+        pos = 0
+        for m, C in enumerate(cb_subs):
+            C = np.asarray(C, dtype=np.float64)  # K × dsub
+            dsub = C.shape[1]
+            Xm = X[:, pos : pos + dsub]
+            pos += dsub
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # B × K
+            codes[:, m] = d2.argmin(axis=1)
+            if C.shape[0] > 1:
+                top2 = np.partition(d2, 1, axis=1)
+                gaps[:, m] = top2[:, 1] - top2[:, 0]
+            else:
+                gaps[:, m] = np.inf
+        return pd.DataFrame(
+            {"codes": list(codes), "gaps": list(gaps)}
+        )
+
+    return enc
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -762,71 +804,133 @@ def pq_adc_topk(
     subspace has its own ``n_codes``-entry codebook (deterministically
     seeded from the lowest-id vectors' sub-vectors, same contract as
     the IVF quantizer — a trained per-subspace k-means table drops in
-    unchanged). Encoding assigns every sub-vector to its nearest
-    codeword by exact decimal squared-L2 (rounded before the argmin so
-    ties break identically on every engine, then by code).
+    unchanged). Encoding is two-stage exact (the ivf_assign contract):
+    an Arrow-batched numpy argmin encodes every (row, subspace), and
+    only subspaces whose top-2 distance gap sits inside the 6-dp
+    rounding band of the exact path (< 3e-6) are re-assigned by the
+    decimal-exact argmin — computed as a small explode + broadcast
+    codebook join over the flagged rows only, NOT an inlined literal
+    tree (the literal form pushed Catalyst analysis alone past the
+    data time at any SF).
 
     ADC is the part that scales: per QUERY a distance TABLE
     d²(query_sub, codeword) of n_sub × n_codes exact decimals is
-    computed ONCE; per (query, neighbor) pair the approximate distance
-    is just ``n_sub`` table lookups summed — no per-pair float math at
-    all. Plan shape: the corpus is touched by one shuffle-free encode
-    projection, then one broadcast nested-loop against the tiny query
-    frame whose per-pair cost is 4 array lookups on 4 codes; at 100 TB
-    the scan payload per vector is the 4-byte code word, not the
-    256-byte embedding. For production dims (n_sub×n_codes beyond the
-    plan-scalar budget) the literal codebook swaps for the
-    broadcast-packed form exactly like ``ivf_assign_broadcast``."""
+    computed ONCE (explode × broadcast codebook join, reassembled as a
+    flat sorted array); per (query, neighbor) pair the approximate
+    distance is ``n_sub`` array lookups summed in decimal — no
+    per-pair float math at all. Plan shape: the corpus is touched by
+    one shuffle-free encode projection plus a flagged-subset exact
+    pass, then one broadcast nested-loop against the tiny query frame;
+    at 100 TB the scan payload per vector is the 4-byte code word, not
+    the 256-byte embedding."""
     from pyspark.sql import Window
 
     cb = sorted(_collect_centroids(corpus, n_codes, id_col, vec_col))
     dim = len(cb[0][1])
     dsub = dim // n_sub
+    spark = corpus.sparkSession
 
-    def cw_lit(m: int, j: int) -> Column:
-        sub = cb[j][1][m * dsub : (m + 1) * dsub]
-        return F.array(*[F.lit(float(x)).cast("double") for x in sub])
-
-    def code_at(vc: Column, m: int) -> Column:
-        subv = F.slice(vc, m * dsub + 1, dsub)
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(_d2_decimal(subv, cw_lit(m, j)).cast("double"), 6).alias("d2"),
-                    F.lit(j).alias("code"),
-                )
-                for j in range(n_codes)
-            ]
-        )
-        return F.array_min(cands)["code"]
-
-    enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.array(*[code_at(F.col(vec_col), m) for m in range(n_sub)]).alias(
-            "codes"
-        ),
-    )
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _d2_decimal(
-                        F.slice(F.col("qv"), m * dsub + 1, dsub), cw_lit(m, j)
-                    )
-                    for j in range(n_codes)
-                ]
-            )
+    # tiny codebook FRAME (n_sub × n_codes rows): both the exact-encode
+    # fallback and the query distance tables join against it broadcast,
+    # keeping the expression tree O(1) in n_sub × n_codes × dsub
+    cb_df = spark.createDataFrame(
+        [
+            (m, j, [float(x) for x in cb[j][1][m * dsub : (m + 1) * dsub]])
             for m in range(n_sub)
-        ]
+            for j in range(n_codes)
+        ],
+        "m int, code int, cw array<double>",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select("query_id", dtab.alias("dtab"))
+
+    cb_subs = [
+        [cb[j][1][m * dsub : (m + 1) * dsub] for j in range(n_codes)]
+        for m in range(n_sub)
+    ]
+    fast = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        _pq_fast_codes_udf(cb_subs)(F.col(vec_col)).alias("fc"),
+    )
+    # decimal-exact re-assignment for flagged (row, subspace) pairs:
+    # explode only the subspaces whose gap is ambiguous, join the
+    # broadcast codebook, argmin on (rounded d2, code) via struct-min
+    flagged = (
+        fast.filter(F.exists("fc.gaps", lambda g: g < 3e-6))
+        .select(
+            "neighbor_id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "fc",
+        )
+        .filter(F.element_at(F.col("fc.gaps"), F.col("m") + 1) < 3e-6)
+        .select(
+            "neighbor_id",
+            "m",
+            F.slice(F.col("v"), F.col("m") * dsub + 1, dsub).alias("subv"),
+        )
+    )
+    exact = (
+        flagged.join(F.broadcast(cb_df), "m")
+        .select(
+            "neighbor_id",
+            "m",
+            F.struct(
+                F.round(
+                    _d2_decimal(F.col("subv"), F.col("cw")).cast("double"), 6
+                ).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("sc"),
+        )
+        .groupBy("neighbor_id", "m")
+        .agg(F.min("sc")["code"].alias("xcode"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("m"), F.collect_list("xcode")
+            ).alias("xmap")
+        )
+    )
+    enc = fast.join(exact, "neighbor_id", "left").select(
+        "neighbor_id",
+        F.array(
+            *[
+                F.coalesce(
+                    F.element_at(F.col("xmap"), F.lit(m)),
+                    F.col("fc.codes").getItem(m),
+                )
+                for m in range(n_sub)
+            ]
+        ).alias("codes"),
+    )
+
+    # per-query flat distance table: entry m*n_codes + code + 1 holds
+    # the exact decimal d²(query sub-vector m, codeword code)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _d2_decimal(
+                F.slice(F.col("qv"), F.col("m") * dsub + 1, dsub), F.col("cw")
+            ).alias("d2"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code", "d2"))),
+                lambda s: s["d2"],
+            ).alias("dtab")
+        )
+    )
 
     adc_dec = None
     for m in range(n_sub):
         term = F.element_at(
-            F.col("dtab").getItem(m), F.col("codes").getItem(m) + 1
+            F.col("dtab"), F.col("codes").getItem(m) + (m * n_codes + 1)
         )
         adc_dec = term if adc_dec is None else adc_dec + term
     scored = (

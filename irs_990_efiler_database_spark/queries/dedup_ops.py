@@ -1485,31 +1485,44 @@ def fdedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a million docs costs one hash group, not a million-squared pair
     set. Stride can be raised above 1 to trade recall for cost at
     the 100-TB tier."""
-    corpus = _augmented(spark, sf_dir)
+    from ..operators.dedup import _spread
+
+    corpus = _spread(_augmented(spark, sf_dir))
     norm = corpus.select("doc_id", _NORM(F.col("text")).alias("t"))
+    # windows built as ONE per-doc array then exploded: each output row
+    # carries only (p, 32-byte hash), never a copy of the document text
+    # (the naive explode(sequence) + substring form duplicates the full
+    # text per window — W× the shuffle payload). `t` is a materialized
+    # attribute referenced twice (length bound + lambda), so
+    # CollapseProject keeps the normalize projection and the lambda is
+    # gate-(d) clean.
+    tcol = F.col("t")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.length(tcol) - (_ESS_W - 1)),
+        lambda i: F.struct(
+            i.alias("p"), F.md5(tcol.substr(i, F.lit(_ESS_W))).alias("h")
+        ),
+    )
     win = (
         norm.filter(F.length("t") >= _ESS_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("t") - (_ESS_W - 1))
-            ).alias("p"),
-            F.col("t"),
-        )
-        .select(
-            "doc_id",
-            "p",
-            (F.col("p") + (_ESS_W - 1)).alias("e"),
-            F.md5(F.substring(F.col("t"), F.col("p"), F.lit(_ESS_W))).alias("h"),
-        )
+        .select("doc_id", F.explode(wins).alias("z"))
+        .select("doc_id", F.col("z.p").alias("p"), F.col("z.h").alias("h"))
     )
-    duph = (
-        win.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+    # duplicated-window detection in ONE shuffle on the hash key and
+    # ONE pass over the window table: distinct-doc count per hash via
+    # dense_rank + running max on the same (h) partitioning — the
+    # groupBy + semi-join form scans/computes the window table twice
+    # (or persists ~1 row/char, wrong at the 100-TB tier).
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    w_hall = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spans = (
+        win.withColumn("dr", F.dense_rank().over(w_h))
+        .withColumn("nd", F.max("dr").over(w_hall))
         .filter(F.col("nd") >= 2)
-        .select("h")
+        .select("doc_id", "p", (F.col("p") + (_ESS_W - 1)).alias("e"))
     )
-    spans = win.join(duph, "h").select("doc_id", "p", "e")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("p")
