@@ -522,3 +522,108 @@ def graph_link_prediction_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (teleport to a seed set)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_SQL = "(node % 2 = 1 AND (node // 2) % 10 = 0)"
+
+_PPR_ORACLE_TEMPLATE = """
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1
+    ), r0 AS (
+      SELECT node,
+             CAST(CASE WHEN {seed} THEN {scale} ELSE 0 END AS BIGINT) AS pr
+      FROM deg
+    ){iters}
+    SELECT node, pr AS ppr,
+           CAST(CASE WHEN {seed} THEN 1 ELSE 0 END AS INT) AS is_seed
+    FROM r{n}
+"""
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    for i in range(1, _ITERS + 1):
+        seed_dst = _PPR_SEED_SQL.replace("node", "e.dst")
+        steps.append(
+            f""", r{i} AS (
+      SELECT e.dst AS node,
+             CAST(CASE WHEN {seed_dst} THEN {_BASE} ELSE 0 END
+                  + SUM(r.pr * 85 // 100 // d.outdeg) AS BIGINT) AS pr
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg d ON d.node = e.src
+      GROUP BY 1
+    )"""
+        )
+    return _PPR_ORACLE_TEMPLATE.format(
+        seed=_PPR_SEED_SQL, scale=_SCALE, iters="".join(steps), n=_ITERS
+    )
+
+
+def _ppr_seed(node) -> F.Column:
+    return (node % 2 == 1) & ((node.cast("long") / F.lit(2)).cast("long") % 10 == 0)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003 / the Pinterest
+    Pixie-style seed-biased variant): the teleport mass lands only on
+    a SEED SET — here every 10th supplier node — so the stationary
+    scores measure proximity to the seeds, the primitive behind
+    related-item retrieval and label propagation from a trusted
+    whitelist (e.g. quality-seeded crawl ranking at corpus scale).
+
+    Same scale design as graph_pagerank_5iter: one persisted
+    (src, dst, outdeg) frame reused by all five supersteps, exactly one
+    groupBy(dst) shuffle per iteration, integer fixed-point so any
+    partitioning reproduces the hash. The seed membership is a pure
+    expression on the node id — no extra join anywhere — and the base
+    (teleport) term is CASEd per node instead of added uniformly;
+    non-seed nodes receive rank only through edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    adj = tracked_persist(
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "outdeg")
+        .repartition("src"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    seed0 = F.when(_ppr_seed(F.col("node")), F.lit(_SCALE)).otherwise(F.lit(0))
+    ranks = deg.select("node", seed0.cast("long").alias("pr"))
+    for _ in range(_ITERS):
+        base = F.when(_ppr_seed(F.col("node")), F.lit(_BASE)).otherwise(
+            F.lit(0)
+        )
+        ranks = (
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("((pr * 85) div 100) div outdeg").alias("contrib"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("c"))
+            .select("node", (base + F.col("c")).cast("long").alias("pr"))
+        )
+    return ranks.select(
+        "node",
+        F.col("pr").alias("ppr"),
+        _ppr_seed(F.col("node")).cast("int").alias("is_seed"),
+    )

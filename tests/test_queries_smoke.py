@@ -185,3 +185,23 @@ def test_kneser_ney_matches_python_reimplementation(spark):
         assert got[d]["n_bigrams"] == n
         assert abs(got[d]["avg_kn_logprob"] - avg) < 1e-5
         assert got[d]["avg_kn_logprob"] < 0
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Teleport mass lands only on the seed set, so seed nodes must
+    dominate: mean seed PPR far above mean non-seed PPR, and every
+    non-seed score is purely edge-propagated (> 0 in a connected
+    symmetric graph, but strictly below the teleport base + inflow of
+    a comparable seed)."""
+    from irs_990_efiler_database_spark.queries.graph_ops import (
+        graph_personalized_pagerank,
+    )
+
+    rows = graph_personalized_pagerank(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    seeds = [r["ppr"] for r in rows if r["is_seed"] == 1]
+    rest = [r["ppr"] for r in rows if r["is_seed"] == 0]
+    assert seeds and rest
+    assert all(p >= 0 for p in seeds + rest)
+    assert sum(seeds) / len(seeds) > 10 * (sum(rest) / len(rest))
