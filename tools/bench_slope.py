@@ -48,6 +48,16 @@ FAMILIES = {
     "stream click attribution": (
         "events_stream_click_attribution", ["events"],
     ),
+    # round 6 additions: the window-per-char span dedup (payload = ~1
+    # row/char) and the iterative integer trainer (per-iteration cost
+    # = one doc-keyed shuffle + one 64-group aggregation)
+    "exact-substring spans": (
+        "fdedup_exact_substring_spans", ["documents"],
+    ),
+    "signSGD classifier": (
+        "stat_signgd_text_classifier", ["documents"],
+    ),
+    "PQ-ADC topk": ("sim_pq_adc_topk", ["embeddings"]),
 }
 
 
