@@ -1692,3 +1692,49 @@ def stat_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((det1 / det) / 100, 6).alias("b1_qty"),
         F.round((det2 / det) / 100, 6).alias("b2_disc_pct"),
     )
+
+
+@register(
+    "doc_model_quality_filter",
+    oracle=f"""
+    WITH sig AS ({_SIGNGD_ORACLE}),
+    j AS (
+      SELECT d.lang, s.pred_label
+      FROM documents d JOIN sig s ON s.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(pred_label) AS BIGINT) AS n_kept,
+           CAST(SUM(pred_label) AS DOUBLE) / COUNT(*) AS kept_frac
+    FROM j
+    GROUP BY 1
+    """,
+)
+def doc_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3 / CCNet / FineWeb
+    pipeline stage): run the trained classifier over the corpus and
+    keep only documents it scores positive, reporting the per-language
+    keep rate — the audit table a data curator reads before committing
+    a filter. The classifier is stat_signgd_text_classifier composed as
+    a frame; because its scores are integer-exact, the kept set is
+    bit-reproducible on any engine or partitioning (a float-scored
+    filter can disagree with itself across runs at the decision
+    boundary).
+
+    Scale shape: classifier plan (broadcast 64-row weights, two
+    shuffles per iteration) + one fact-side join on doc_id + one
+    map-side-combined aggregation to ~n_lang rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = stat_signgd_text_classifier(spark, sf_dir)
+    return (
+        d.select("doc_id", "lang")
+        .join(sig.select("doc_id", "pred_label"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("pred_label").cast("long").alias("n_kept"),
+            (
+                F.sum("pred_label").cast("double") / F.count(F.lit(1))
+            ).alias("kept_frac"),
+        )
+    )

@@ -2258,9 +2258,7 @@ def doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_kneser_ney_bigram_score",
-    oracle="""
+_KN_ORACLE = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
@@ -2294,8 +2292,10 @@ def doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_kn_logprob
     FROM scored
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("text_kneser_ney_bigram_score", oracle=_KN_ORACLE)
 def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
     Chen & Goodman 1999's interpolated form, absolute discount
@@ -2356,5 +2356,69 @@ def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("lp").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_kn_logprob"),
+        )
+    )
+
+
+@register(
+    "text_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH kn AS ({_KN_ORACLE}),
+    langd AS (
+      SELECT d.doc_id, d.lang, k.avg_kn_logprob
+      FROM documents d JOIN kn k ON k.doc_id = d.doc_id
+    ),
+    bucketed AS (
+      SELECT lang, avg_kn_logprob,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY avg_kn_logprob DESC, doc_id) AS bucket
+      FROM langd
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(avg_kn_logprob AS DECIMAL(24,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, rank documents by language-model score and split
+    them into head / middle / tail tertiles (bucket 1 = most fluent) —
+    the filtering stage CCNet, RedPajama and friends use to keep the
+    head+middle of the crawl and drop or down-weight the tail. The LM
+    is the interpolated Kneser-Ney bigram model from
+    text_kneser_ney_bigram_score, composed as a frame (the engine's
+    query builders are ordinary DataFrame functions — composition
+    costs nothing).
+
+    Scale shape: scoring is the KN plan (vocabulary-bounded joins);
+    bucketing is an NTILE over a lang-PARTITIONED window — per-language
+    sort, never global. At 100-TB-per-language scale the window swaps
+    for the distributed exact ranker (operators/ntile.py) keyed by
+    lang without changing semantics; ties break on doc_id so both
+    engines assign identical tertiles. Output is 3 rows per language."""
+    d = load_table(spark, sf_dir, "documents")
+    kn = text_kneser_ney_bigram_score(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_kn_logprob").desc(), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(kn, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_kn_logprob").cast("decimal(24,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logprob"),
         )
     )
