@@ -288,8 +288,15 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
 
+    import time
+
     spark = get_spark("plan_audit")
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    # warm Catalyst/JVM on one throwaway plan so the first audited
+    # query doesn't absorb one-time init into its analysis time
+    _warm = all_queries()["q1_pricing_summary"](spark, sf_dir)
+    _warm._jdf.queryExecution().executedPlan()
+    spark.catalog.clearCache()
     violations: list[str] = [
         f"static: {v}" for v in collect_site_violations()
     ] + [f"static: {v}" for v in window_annotation_violations()]
@@ -307,15 +314,31 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
         "shuffles/joins at runtime (SMJ→BHJ conversion, coalesced",
         "partitions), never add them.",
         "",
-        "| query | shuffles | joins | pushed/scans | gate |",
-        "|---|---|---|---|---|",
+        "| query | shuffles | joins | pushed/scans | plan_s | gate |",
+        "|---|---|---|---|---|---|",
     ]
     for name, fn in sorted(all_queries().items()):
         if name.startswith(SKIP_PREFIXES):
             continue
+        # plan_s = analyze + optimize wall time of the RETURNED frame
+        # (fn() itself is excluded — funnel builders run eager persist
+        # jobs inside it, which is data time, not plan time).
+        # Driver-side plan cost is a real scale dimension the wall
+        # bench hides behind data time: an inlined-literal expression
+        # tree can cost SECONDS of Catalyst analysis at any data size
+        # (the PQ-ADC r6 lesson, BENCH_NOTES). Budget: 3 s (normal
+        # queries analyze in 10-300 ms; the PQ-literal regression
+        # measured ~5 s).
         df = fn(spark, sf_dir)
+        t0 = time.time()
         exec_plan = df._jdf.queryExecution().executedPlan()
+        plan_s = time.time() - t0
         viol = gate_violations(exec_plan)
+        if plan_s > 3.0:
+            viol.append(
+                f"plan analysis {plan_s:.1f}s exceeds the 3s budget "
+                "(inlined-literal tree? see BENCH_NOTES r6)"
+            )
         viol += sorted(set(hof_recompute_violations(exec_plan)))
         for v in viol:
             violations.append(f"{name}: {v}")
@@ -331,7 +354,8 @@ def audit(sf_dir: str, gate_only: bool = False) -> tuple[str, list[str]]:
         pushed = sum(1 for s in scans if s.strip())
         gate = "FAIL: " + "; ".join(viol) if viol else "ok"
         lines.append(
-            f"| {name} | {n_ex} | {joins} | {pushed}/{len(scans)} | {gate} |"
+            f"| {name} | {n_ex} | {joins} | {pushed}/{len(scans)} "
+            f"| {plan_s:.2f} | {gate} |"
         )
         spark.catalog.clearCache()
     lines.append("")
