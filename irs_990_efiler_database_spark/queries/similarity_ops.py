@@ -1095,3 +1095,97 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_sub=4, n_codes=8)
+
+
+@register(
+    "sim_pq_recall_eval",
+    oracle=f"""
+    WITH {_SQL_PQ},
+    el AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(
+               (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               AS DECIMAL(30,15))) AS d2
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id,
+      unnest(generate_series(1, len(q.embedding))) t(i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY round(CAST(d2 AS DOUBLE), 6), neighbor_id)
+                 AS rank
+        FROM el
+      ) WHERE rank <= 3
+    ),
+    pqtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc, neighbor_id) AS rank
+        FROM adc
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_3
+    FROM exact e
+    LEFT JOIN pqtop p USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ-ADC compressed-domain search against the
+    EXACT squared-L2 top-3 (the metric PQ approximates — evaluating it
+    against cosine would conflate quantization loss with metric
+    mismatch). Completes the ANN eval harness: sim_recall_at_k covers
+    sign-LSH, this covers PQ; together they are the labeled-sample
+    recall audit every ANN deployment runs before trusting an index.
+    One membership join between the two (tiny) top-k frames; the
+    oracle composes the PQ derivation with an independent exact-L2
+    ranking."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _d2_decimal, pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    qn = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(qn))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _d2_decimal(F.col("qv"), F.col("cv")).cast("double"), 6
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    pq = pq_adc_topk(e, q, k=3).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    j = exact.join(
+        pq,
+        (exact.query_id == pq.query_id)
+        & (exact.neighbor_id == pq.pq_neighbor),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "pq_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("pq_neighbor").cast("long").alias("n_hit"),
+        (
+            F.count("pq_neighbor").cast("double") / F.count(F.lit(1))
+        ).alias("recall_at_3"),
+    )
