@@ -225,11 +225,8 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fdedup_minhash_pairs",
-    oracle=f"""
-    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-    cand AS (
+_SQL_MH_PAIRS = f"""
+  cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM cbands a
       JOIN cbands b
@@ -244,15 +241,26 @@ def fdedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(list_sum(list_transform(generate_series(1, {_K}),
               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
             AS DOUBLE) / {_K}.0 >= 0.25
+    ),
+    mhpairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) AS jaccard
+      FROM est c
+      JOIN hashed x ON x.doc_id = c.id_a
+      JOIN hashed y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) >= 0.5
     )
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-             / len(list_distinct(x.hs || y.hs)) AS jaccard
-    FROM est c
-    JOIN hashed x ON x.doc_id = c.id_a
-    JOIN hashed y ON y.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-             / len(list_distinct(x.hs || y.hs)) >= 0.5
+"""
+
+
+@register(
+    "fdedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    {_SQL_MH_PAIRS}
+    SELECT id_a, id_b, jaccard FROM mhpairs
     """,
 )
 def fdedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,4 +1564,80 @@ def fdedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
             / F.length("t")
         ).alias("dup_frac"),
+    )
+
+
+# ------------------------------------------------- cross-split leakage
+
+_SQL_SPLIT_OF = """
+    CASE WHEN CAST(concat('0x', substring(md5(CAST({c} AS VARCHAR)), 1, 8))
+              AS BIGINT) %% 100 < 90 THEN 'train'
+         WHEN CAST(concat('0x', substring(md5(CAST({c} AS VARCHAR)), 1, 8))
+              AS BIGINT) %% 100 < 95 THEN 'validation'
+         ELSE 'test' END
+""".replace("%%", "%")
+
+
+@register(
+    "fdedup_cross_split_leakage",
+    oracle=f"""
+    WITH {_SQL_BASE}, {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+    {_SQL_MH_PAIRS},
+    labeled AS (
+      SELECT LEAST({_SQL_SPLIT_OF.format(c="id_a")},
+                   {_SQL_SPLIT_OF.format(c="id_b")}) AS split_lo,
+             GREATEST({_SQL_SPLIT_OF.format(c="id_a")},
+                      {_SQL_SPLIT_OF.format(c="id_b")}) AS split_hi
+      FROM mhpairs
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS INT)
+             AS is_leak
+    FROM labeled
+    GROUP BY 1, 2
+    """,
+)
+def fdedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: count near-duplicate pairs (MinHash-LSH,
+    Jaccard >= 0.5) that STRADDLE the deterministic train/validation/test
+    hash split — the check that catches what per-split dedup cannot: a
+    document deduplicated within train can still have a near-copy in
+    test, silently inflating eval scores (the contamination mechanism
+    Lee et al. 2021 and the GPT-3 appendix both document). Run this
+    BEFORE freezing a split; any is_leak=1 row is a pair to collapse or
+    re-split.
+
+    Scale shape: the pair set is the already-bucketed LSH join (never
+    all-pairs); split labels are pure md5 expressions on the pair ids —
+    no join against a split table — and the output aggregates to at
+    most 6 split-pair rows."""
+    pairs = fdedup_minhash_pairs(spark, sf_dir)
+
+    def split_of(c: F.Column) -> F.Column:
+        b = (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        )
+        return (
+            F.when(b < 90, F.lit("train"))
+            .when(b < 95, F.lit("validation"))
+            .otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
+        )
     )

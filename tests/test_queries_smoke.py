@@ -205,3 +205,21 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert seeds and rest
     assert all(p >= 0 for p in seeds + rest)
     assert sum(seeds) / len(seeds) > 10 * (sum(rest) / len(rest))
+
+
+def test_cross_split_leakage_finds_planted_copies(spark):
+    """The planted near-copies (doc_id d and d+1e6) hash to independent
+    splits, so with 25 planted pairs at 90/5/5 some must straddle the
+    split: the audit must report at least one is_leak=1 row, and total
+    pair mass must cover the planted pairs."""
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        fdedup_cross_split_leakage,
+    )
+
+    rows = fdedup_cross_split_leakage(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["n_pairs"] for r in rows) >= 25
+    for r in rows:
+        assert r["is_leak"] == (1 if r["split_lo"] != r["split_hi"] else 0)
+    assert any(r["is_leak"] == 1 for r in rows), "no cross-split pair found"
