@@ -1738,3 +1738,86 @@ def doc_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+@register(
+    "stat_oneway_anova_f",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n_g, SUM(y) AS s_g, SUM(y * y) AS ss_g,
+             (SUM(y) * SUM(y)) // COUNT(*) AS s2n_g
+      FROM u GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS DOUBLE) AS s,
+             CAST(SUM(ss_g) AS DOUBLE) AS ss,
+             CAST(SUM(s2n_g) AS DOUBLE) AS sb,
+             CAST((SUM(s_g) * SUM(s_g)) // SUM(n_g) AS DOUBLE) AS s2n
+      FROM g
+    )
+    SELECT k, n,
+           round((sb - s2n) / (k - 1), 4) AS ms_between,
+           round((ss - sb) / (n - k), 4) AS ms_within,
+           round(((sb - s2n) / (k - 1)) / ((ss - sb) / (n - k)), 6)
+             AS f_stat
+    FROM t
+    """,
+)
+def stat_oneway_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (price by return flag) from exact
+    integer moments: per-group (n, sum y, sum y^2, floor((sum y)^2/n)) in one
+    map-side-combined aggregation over integerized dollars, then
+    SSB/SSW assembled driver-free in a k-row reduction — the classic
+    does-the-group-mean-differ test at any corpus size, same moment
+    shape as stat_ridge_closed_form.
+
+    Every cross-engine-sensitive quantity is an INTEGER: the
+    between-group term uses floor(s^2/n) integer division (<= k units of
+    floor error on ~1e15-scale terms — statistically nil, bit-exact on
+    both engines; a double or double->decimal form of s^2/n differs in
+    the last ulp between engines). Doubles appear only in the final
+    single-row fixed-order assembly. Dollar (not cent) units keep
+    s_g^2/n_g inside int64 through sf-1000-scale corpora."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        li.select(F.col("l_returnflag").alias("grp"), y.alias("y"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.col("y").cast(dec)).alias("s_g"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("ss_g"),
+        )
+        .withColumn("s2n_g", F.expr("(s_g * s_g) div n_g"))
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("sd"),
+        F.sum("ss_g").cast("double").alias("ss"),
+        F.sum("s2n_g").cast("double").alias("sb"),
+    ).select(
+        "k",
+        "n",
+        F.col("sd").cast("double").alias("s"),
+        "ss",
+        "sb",
+        F.expr("CAST((sd * sd) div n AS DOUBLE)").alias("s2n"),
+    )
+    msb = (F.col("sb") - F.col("s2n")) / (F.col("k") - 1)
+    msw = (F.col("ss") - F.col("sb")) / (F.col("n") - F.col("k"))
+    return t.select(
+        "k",
+        "n",
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )

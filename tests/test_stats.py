@@ -445,3 +445,37 @@ def test_ridge_closed_form_matches_numpy_solve(spark):
     assert got["n"] == len(rows)
     for g, e in zip((got["b0"], got["b1_qty"], got["b2_disc_pct"]), beta):
         assert abs(g - e) < 1e-4, (g, e)
+
+
+def test_anova_f_matches_scipy_style_computation(spark):
+    """The integer-moment ANOVA must agree with a straightforward
+    float computation of the same F statistic on the raw rows (the
+    floor-division trick costs at most k units on ~1e12-scale sums)."""
+    from collections import defaultdict
+
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_oneway_anova_f,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    import math
+
+    by_g = defaultdict(list)
+    for r in rows:
+        # HALF_UP to match Spark/DuckDB round() (Python round() is
+        # banker's and disagrees on x.50 prices)
+        by_g[r[0]].append(math.floor(r[1] + 0.5))
+    n = sum(len(v) for v in by_g.values())
+    k = len(by_g)
+    s = sum(sum(v) for v in by_g.values())
+    ss = sum(x * x for v in by_g.values() for x in v)
+    sb = sum(sum(v) ** 2 / len(v) for v in by_g.values())
+    msb = (sb - s * s / n) / (k - 1)
+    msw = (ss - sb) / (n - k)
+    got = stat_oneway_anova_f(spark, SF_DIR).collect()[0]
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["ms_between"] - msb) / abs(msb) < 1e-6
+    assert abs(got["ms_within"] - msw) / abs(msw) < 1e-6
+    assert abs(got["f_stat"] - msb / msw) < 1e-4
