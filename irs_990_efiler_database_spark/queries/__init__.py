@@ -32,6 +32,12 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate name would SILENTLY shadow the earlier query in
+        # every downstream surface (driver gate, sweep, bench) — make
+        # it a load-time error instead (a real near-miss: a second
+        # events_markov_transitions overwrote the first for a commit)
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle

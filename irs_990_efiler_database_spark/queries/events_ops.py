@@ -2701,63 +2701,3 @@ def events_sankey_step_transitions(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
-
-
-@register(
-    "events_markov_transitions",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ),
-    trans AS (
-      SELECT prev_type AS from_type, event_type AS to_type,
-             COUNT(*) AS n_trans
-      FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY 1, 2
-    ),
-    tot AS (
-      SELECT from_type, SUM(n_trans) AS row_total FROM trans GROUP BY 1
-    )
-    SELECT t.from_type, t.to_type,
-           CAST(t.n_trans AS BIGINT) AS n_trans,
-           CAST(t.n_trans AS DOUBLE) / x.row_total AS p
-    FROM trans t JOIN tot x USING (from_type)
-    """,
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences: P(next event type | current) — the behavioral model
-    behind next-action prediction, anomaly scoring (improbable
-    transitions), and synthetic-session generation. Transition counts
-    come from one lag window per user ordered by (ts, event_id) —
-    event_id breaks timestamp ties so both engines see identical
-    sequences — followed by a type-pair aggregation; the row
-    normalizer is a second aggregation over the ≤|types|² matrix, so
-    everything after the user-partitioned window is vocabulary-sized.
-    Probabilities are single exact integer divisions (n/total), no
-    accumulation order anywhere."""
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    trans = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy(
-            F.col("prev_type").alias("from_type"),
-            F.col("event_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_trans"))
-    )
-    tot = trans.groupBy("from_type").agg(F.sum("n_trans").alias("row_total"))
-    return trans.join(tot, "from_type").select(
-        "from_type",
-        "to_type",
-        F.col("n_trans").cast("long").alias("n_trans"),
-        (F.col("n_trans").cast("double") / F.col("row_total")).alias("p"),
-    )
