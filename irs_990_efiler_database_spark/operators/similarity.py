@@ -784,6 +784,140 @@ def _pq_fast_codes_udf(cb_subs):
     return enc
 
 
+def _pq_codebook_frames(spark, cb_vecs, n_sub: int, dsub: int):
+    """Codebook in both consumable forms: a tiny (n_sub × n_codes)-row
+    broadcast FRAME for the decimal-exact joins (plan O(1) in codebook
+    size — an inlined literal tree costs seconds of Catalyst analysis,
+    BENCH_NOTES r6) and the plain nested lists the numpy fast-encode
+    UDF closes over. ``cb_vecs``: full-dimension vectors indexed by
+    code."""
+    cb_df = spark.createDataFrame(
+        [
+            (m, j, [float(x) for x in cb_vecs[j][m * dsub : (m + 1) * dsub]])
+            for m in range(n_sub)
+            for j in range(len(cb_vecs))
+        ],
+        "m int, code int, cw array<double>",
+    )
+    cb_subs = [
+        [cb_vecs[j][m * dsub : (m + 1) * dsub] for j in range(len(cb_vecs))]
+        for m in range(n_sub)
+    ]
+    return cb_df, cb_subs
+
+
+def _pq_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    vec_col: str,
+    cb_df: DataFrame,
+    cb_subs,
+    n_sub: int,
+    dsub: int,
+) -> DataFrame:
+    """Two-stage exact PQ encoding (the ivf_assign contract): the
+    Arrow-batched numpy argmin encodes every (row, subspace); only
+    subspaces whose top-2 distance gap sits inside the 6-dp rounding
+    band of the exact path (< 3e-6) are re-assigned by the
+    decimal-exact argmin — a small explode + broadcast codebook join
+    over the flagged rows only. Returns ``key_cols`` + a ``codes``
+    int array."""
+    fast = df.select(
+        *key_cols,
+        F.col(vec_col).alias("_pqv"),
+        _pq_fast_codes_udf(cb_subs)(F.col(vec_col)).alias("fc"),
+    )
+    flagged = (
+        fast.filter(F.exists("fc.gaps", lambda g: g < 3e-6))
+        .select(
+            *key_cols,
+            "_pqv",
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "fc",
+        )
+        .filter(F.element_at(F.col("fc.gaps"), F.col("m") + 1) < 3e-6)
+        .select(
+            *key_cols,
+            "m",
+            F.slice(F.col("_pqv"), F.col("m") * dsub + 1, dsub).alias("subv"),
+        )
+    )
+    exact = (
+        flagged.join(F.broadcast(cb_df), "m")
+        .select(
+            *key_cols,
+            "m",
+            F.struct(
+                F.round(
+                    _d2_decimal(F.col("subv"), F.col("cw")).cast("double"), 6
+                ).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("sc"),
+        )
+        .groupBy(*key_cols, "m")
+        .agg(F.min("sc")["code"].alias("xcode"))
+        .groupBy(*key_cols)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("m"), F.collect_list("xcode")
+            ).alias("xmap")
+        )
+    )
+    return fast.join(exact, key_cols, "left").select(
+        *key_cols,
+        F.array(
+            *[
+                F.coalesce(
+                    F.element_at(F.col("xmap"), F.lit(m)),
+                    F.col("fc.codes").getItem(m),
+                )
+                for m in range(n_sub)
+            ]
+        ).alias("codes"),
+    )
+
+
+def _pq_query_tables(
+    qdf: DataFrame,
+    key_cols: list[str],
+    vec_col: str,
+    cb_df: DataFrame,
+    dsub: int,
+) -> DataFrame:
+    """Per-query flat ADC distance table: entry m*n_codes + code + 1
+    holds the exact decimal d²(query sub-vector m, codeword code)."""
+    return (
+        qdf.crossJoin(F.broadcast(cb_df))
+        .select(
+            *key_cols,
+            "m",
+            "code",
+            _d2_decimal(
+                F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub),
+                F.col("cw"),
+            ).alias("d2"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code", "d2"))),
+                lambda s: s["d2"],
+            ).alias("dtab")
+        )
+    )
+
+
+def _pq_adc(n_sub: int, n_codes: int) -> Column:
+    """Σ_m dtab[m*n_codes + codes[m]] in exact decimal, rounded once."""
+    adc_dec = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.col("dtab"), F.col("codes").getItem(m) + (m * n_codes + 1)
+        )
+        adc_dec = term if adc_dec is None else adc_dec + term
+    return F.round(adc_dec.cast("double"), 6)
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -829,117 +963,163 @@ def pq_adc_topk(
     dim = len(cb[0][1])
     dsub = dim // n_sub
     spark = corpus.sparkSession
-
-    # tiny codebook FRAME (n_sub × n_codes rows): both the exact-encode
-    # fallback and the query distance tables join against it broadcast,
-    # keeping the expression tree O(1) in n_sub × n_codes × dsub
-    cb_df = spark.createDataFrame(
-        [
-            (m, j, [float(x) for x in cb[j][1][m * dsub : (m + 1) * dsub]])
-            for m in range(n_sub)
-            for j in range(n_codes)
-        ],
-        "m int, code int, cw array<double>",
+    cb_df, cb_subs = _pq_codebook_frames(
+        spark, [v for _, v, _ in cb], n_sub, dsub
     )
-
-    cb_subs = [
-        [cb[j][1][m * dsub : (m + 1) * dsub] for j in range(n_codes)]
-        for m in range(n_sub)
-    ]
-    fast = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        _pq_fast_codes_udf(cb_subs)(F.col(vec_col)).alias("fc"),
+    enc = _pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        ["neighbor_id"],
+        vec_col,
+        cb_df,
+        cb_subs,
+        n_sub,
+        dsub,
     )
-    # decimal-exact re-assignment for flagged (row, subspace) pairs:
-    # explode only the subspaces whose gap is ambiguous, join the
-    # broadcast codebook, argmin on (rounded d2, code) via struct-min
-    flagged = (
-        fast.filter(F.exists("fc.gaps", lambda g: g < 3e-6))
-        .select(
-            "neighbor_id",
-            "v",
-            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
-            "fc",
-        )
-        .filter(F.element_at(F.col("fc.gaps"), F.col("m") + 1) < 3e-6)
-        .select(
-            "neighbor_id",
-            "m",
-            F.slice(F.col("v"), F.col("m") * dsub + 1, dsub).alias("subv"),
-        )
-    )
-    exact = (
-        flagged.join(F.broadcast(cb_df), "m")
-        .select(
-            "neighbor_id",
-            "m",
-            F.struct(
-                F.round(
-                    _d2_decimal(F.col("subv"), F.col("cw")).cast("double"), 6
-                ).alias("d2"),
-                F.col("code").alias("code"),
-            ).alias("sc"),
-        )
-        .groupBy("neighbor_id", "m")
-        .agg(F.min("sc")["code"].alias("xcode"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("m"), F.collect_list("xcode")
-            ).alias("xmap")
-        )
-    )
-    enc = fast.join(exact, "neighbor_id", "left").select(
-        "neighbor_id",
-        F.array(
-            *[
-                F.coalesce(
-                    F.element_at(F.col("xmap"), F.lit(m)),
-                    F.col("fc.codes").getItem(m),
-                )
-                for m in range(n_sub)
-            ]
-        ).alias("codes"),
-    )
-
-    # per-query flat distance table: entry m*n_codes + code + 1 holds
-    # the exact decimal d²(query sub-vector m, codeword code)
-    q = (
+    q = _pq_query_tables(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-        .crossJoin(F.broadcast(cb_df))
+        ),
+        ["query_id"],
+        "qv",
+        cb_df,
+        dsub,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _pq_adc(n_sub, n_codes).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
-            "m",
-            "code",
-            _d2_decimal(
-                F.slice(F.col("qv"), F.col("m") * dsub + 1, dsub), F.col("cw")
-            ).alias("d2"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code", "d2"))),
-                lambda s: s["d2"],
-            ).alias("dtab")
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc",
         )
     )
 
-    adc_dec = None
-    for m in range(n_sub):
-        term = F.element_at(
-            F.col("dtab"), F.col("codes").getItem(m) + (m * n_codes + 1)
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed index (Jégou et al. 2011 §IV — the production
+    FAISS `IVFx,PQy` shape): coarse-quantize the corpus into IVF cells,
+    then product-quantize each vector's RESIDUAL (v − centroid) —
+    residuals concentrate near zero, so the same codebook budget buys
+    far lower quantization error than PQ on raw vectors — and answer
+    queries by probing ``nprobe`` cells with PER-CELL ADC tables built
+    from the query's residual against each probed centroid.
+
+    Determinism contract is the intersection of the two parents: cell
+    assignment is the IVF two-stage cosine argmax; PQ codebooks are
+    seeded from the residuals of the ``n_codes`` lowest-id
+    non-centroid vectors (a trained residual k-means table drops in
+    unchanged); encoding is the two-stage numpy/decimal argmin; ADC
+    sums exact decimals. Scale shape: one assignment projection + one
+    broadcast centroid join (residuals) + the encode passes over the
+    corpus; candidates are the nprobe/K fraction of CODES (4 bytes
+    each), never vectors; ADC per pair = 4 lookups into the
+    (query, cell) table."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    cent_rows = _collect_centroids(corpus, n_centroids, id_col, vec_col)
+    assign_fn = _pick_assign_fn(cent_rows, "auto")
+    assigned = assign_fn(corpus, cent_rows, id_col, vec_col)
+
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v, _ in sorted(cent_rows)],
+        "centroid_id long, cv array<double>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
+        F.col("id"),
+        "centroid_id",
+        F.zip_with(
+            "v", "cv", lambda x, y: x.cast("double") - y
+        ).alias("r"),
+    )
+    # residual codebook seeds: the n_codes lowest-id NON-centroid
+    # vectors' residuals (centroids' own residuals are zero — useless
+    # codewords). Bounded collect: n_codes rows by construction.
+    seed_rows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in resid.filter(
+            (F.col("id") >= n_centroids)
+            & (F.col("id") < n_centroids + n_codes)
         )
-        adc_dec = term if adc_dec is None else adc_dec + term
+        .select("id", "r")
+        .collect()
+    )
+    dim = len(seed_rows[0][1])
+    dsub = dim // n_sub
+    cb_df, cb_subs = _pq_codebook_frames(
+        spark, [v for _, v in seed_rows], n_sub, dsub
+    )
+
+    enc = _pq_encode(
+        resid.select(F.col("id").alias("neighbor_id"), "centroid_id", "r"),
+        ["neighbor_id", "centroid_id"],
+        "r",
+        cb_df,
+        cb_subs,
+        n_sub,
+        dsub,
+    )
+
+    # probe: per query the nprobe nearest centroids by rounded cosine
+    # (identical rule to ivf_topk), then the query RESIDUAL per probed
+    # cell feeds that cell's ADC table
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cent_cos = spark.createDataFrame(
+        [(int(cid), list(v), float(n)) for cid, v, n in sorted(cent_rows)],
+        "cid long, cv array<float>, cn double",
+    )
+    qscore = qbase.crossJoin(F.broadcast(cent_cos)).select(
+        "query_id",
+        "qv",
+        "cid",
+        F.round(
+            _dot_decimal(F.col("qv"), F.col("cv")).cast("double")
+            / (l2_norm(F.col("qv")) * F.col("cn")),
+            6,
+        ).alias("qcos"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "cid")
+    probes = (
+        qscore.withColumn("prn", F.row_number().over(wprobe))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("centroid_id"))
+    )
+    qres = probes.join(F.broadcast(cent_df), "centroid_id").select(
+        "query_id",
+        "centroid_id",
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") - y).alias("qr"),
+    )
+    qtabs = _pq_query_tables(
+        qres, ["query_id", "centroid_id"], "qr", cb_df, dsub
+    )
+
     scored = (
-        enc.crossJoin(F.broadcast(q))
+        enc.join(F.broadcast(qtabs), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(adc_dec.cast("double"), 6).alias("adc"),
+            "centroid_id",
+            _pq_adc(n_sub, n_codes).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "neighbor_id")
@@ -949,6 +1129,7 @@ def pq_adc_topk(
         .select(
             "query_id",
             "neighbor_id",
+            "centroid_id",
             F.col("rank").cast("long").alias("rank"),
             "adc",
         )

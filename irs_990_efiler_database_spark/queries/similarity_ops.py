@@ -1189,3 +1189,99 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("pq_neighbor").cast("double") / F.count(F.lit(1))
         ).alias("recall_at_3"),
     )
+
+
+_SQL_IVFPQ = f"""
+  {_SQL_IVF},
+  resid AS (
+    SELECT a.vec_id, a.centroid_id,
+           list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+             AS r
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN cent c ON c.cid = a.centroid_id
+  ),
+  cbseed AS (
+    SELECT vec_id - 8 AS code, r FROM resid
+    WHERE vec_id >= 8 AND vec_id < 16
+  ),
+  nsubd AS (
+    SELECT x.vec_id, x.centroid_id, s.m, cs.code,
+           SUM(CAST((x.r[s.m * 16 + i] - cs.r[s.m * 16 + i])
+                    * (x.r[s.m * 16 + i] - cs.r[s.m * 16 + i])
+                    AS DECIMAL(30,15))) AS d2d
+    FROM resid x
+    CROSS JOIN cbseed cs
+    CROSS JOIN generate_series(0, 3) s(m),
+    unnest(generate_series(1, 16)) t(i)
+    GROUP BY 1, 2, 3, 4
+  ),
+  ncodes AS (
+    SELECT vec_id, centroid_id, m, code FROM (
+      SELECT vec_id, centroid_id, m, code,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY round(CAST(d2d AS DOUBLE), 6), code) AS rn
+      FROM nsubd
+    ) WHERE rn = 1
+  ),
+  qres AS (
+    SELECT p.query_id, p.centroid_id,
+           list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+             AS qr
+    FROM probe p
+    JOIN embeddings e ON e.vec_id = p.query_id
+    JOIN cent c ON c.cid = p.centroid_id
+  ),
+  qtab AS (
+    SELECT q.query_id, q.centroid_id, s.m, cs.code,
+           SUM(CAST((q.qr[s.m * 16 + i] - cs.r[s.m * 16 + i])
+                    * (q.qr[s.m * 16 + i] - cs.r[s.m * 16 + i])
+                    AS DECIMAL(30,15))) AS d2d
+    FROM qres q
+    CROSS JOIN cbseed cs
+    CROSS JOIN generate_series(0, 3) s(m),
+    unnest(generate_series(1, 16)) t(i)
+    GROUP BY 1, 2, 3, 4
+  ),
+  ivfpq_adc AS (
+    SELECT d.query_id, n.vec_id AS neighbor_id, n.centroid_id,
+           round(CAST(SUM(d.d2d) AS DOUBLE), 6) AS adc
+    FROM ncodes n
+    JOIN qtab d ON d.centroid_id = n.centroid_id
+               AND d.m = n.m AND d.code = n.code
+    WHERE n.vec_id <> d.query_id
+    GROUP BY 1, 2, 3
+  )
+"""
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH {_SQL_IVFPQ}
+    SELECT query_id, neighbor_id, centroid_id, rank, adc FROM (
+      SELECT query_id, neighbor_id, centroid_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+      FROM ivfpq_adc
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-3 (the production FAISS index shape):
+    cosine-assigned IVF cells + product quantization of RESIDUALS
+    (v − centroid) with per-(query, probed-cell) ADC tables, nprobe=2.
+    Residual PQ is what makes billion-scale ANN shippable: cells bound
+    the candidate set, residual codebooks bound the quantization
+    error, and the scan payload per candidate is 4 code bytes. The
+    DuckDB oracle recomputes assignment, residuals, codes, and ADC
+    sums positionally — distances compare bit-for-bit."""
+    from ..operators.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=2
+    )
