@@ -692,3 +692,62 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_l1raw") <= 0.01)
         .drop("_l1raw")
     )
+
+
+@register(
+    "mm_payload_exact_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    ),
+    media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             md5(text) AS fp,
+             octet_length(encode(text)) AS nb
+      FROM base
+    )
+    SELECT fp,
+           MIN(media_id) AS keep_media_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST((COUNT(*) - 1) * MIN(nb) AS BIGINT) AS bytes_reclaimed
+    FROM media
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+)
+def mm_payload_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup — the FIRST stage of any multimodal
+    pipeline (the same file uploaded twice, mirrored, or re-crawled):
+    group by payload content hash, keep the lowest id, report the
+    storage reclaimed. One hash-group aggregation with map-side
+    combine; the shuffle carries 16-byte fingerprints, never payloads
+    — at 100 TB this is the cheapest dedup pass and removes the
+    plurality of raw-crawl bytes before any near-dup math runs.
+    Planted exact copies (doc_id < 25 re-ingested under new ids) give
+    the pass a verifiable truth set, mirroring the text-dedup
+    corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.unionByName(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.encode("text", "UTF-8")).alias("fp"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("nb"),
+    )
+    return (
+        media.groupBy("fp")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            ((F.count(F.lit(1)) - 1) * F.min("nb"))
+            .cast("long")
+            .alias("bytes_reclaimed"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
