@@ -622,3 +622,85 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= t)
     )
+
+
+def exact_substring_spans(
+    norm: DataFrame, w: int, id_col: str = "doc_id", text_col: str = "t"
+) -> DataFrame:
+    """Maximal duplicated-substring spans (the ExactSubstr core): for a
+    frame of (id, normalized text), find every maximal character span
+    whose W-char windows all appear verbatim in >= 2 distinct docs, and
+    report per-doc span count / duplicated chars / fraction.
+
+    Pipeline: windows built as ONE per-doc array then exploded — each
+    output row carries (pos, 16-byte md5), never a copy of the text
+    (the naive explode+substring form duplicates the full text per
+    window, W× the shuffle payload); duplicated-window detection in ONE
+    shuffle and ONE pass via dense_rank + running max on the hash
+    partitioning (a groupBy+semi-join computes the window table twice,
+    and persisting ~1 row/char is wrong at the 100-TB tier); span merge
+    is the gaps-and-islands running MAX(end) on a doc partitioning —
+    never a global sort."""
+    from pyspark.sql import Window
+
+    tcol = F.col(text_col)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.length(tcol) - (w - 1)),
+        lambda i: F.struct(
+            i.alias("p"), F.md5(tcol.substr(i, F.lit(w))).alias("h")
+        ),
+    )
+    win = (
+        norm.filter(F.length(text_col) >= w)
+        .select(id_col, F.explode(wins).alias("z"))
+        .select(id_col, F.col("z.p").alias("p"), F.col("z.h").alias("h"))
+    )
+    w_h = Window.partitionBy("h").orderBy(id_col)
+    w_hall = Window.partitionBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spans = (
+        win.withColumn("dr", F.dense_rank().over(w_h))
+        .withColumn("nd", F.max("dr").over(w_hall))
+        .filter(F.col("nd") >= 2)
+        .select(id_col, "p", (F.col("p") + (w - 1)).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.withColumn(
+        "is_new",
+        (
+            F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("isl", F.sum("is_new").over(w_run))
+    merged = islands.groupBy(id_col, "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    perdoc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return norm.join(perdoc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        # empty-text guard: a zero-length doc has zero duplicated
+        # fraction, not a divide-by-zero (ANSI mode throws otherwise —
+        # caught by the brute-force property test)
+        F.when(
+            F.length(text_col) > 0,
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+            / F.length(text_col),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

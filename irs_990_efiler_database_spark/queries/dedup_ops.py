@@ -1469,7 +1469,9 @@ _ESS_W = 30  # window width (chars); Lee et al. use 50 tokens at CC scale
            CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_dup_spans,
            CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
            CAST(len(n.t) AS BIGINT) AS n_chars,
-           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / len(n.t) AS dup_frac
+           CASE WHEN len(n.t) > 0
+                THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / len(n.t)
+                ELSE 0.0 END AS dup_frac
     FROM norm n LEFT JOIN perdoc p USING (doc_id)
     """,
 )
@@ -1493,78 +1495,11 @@ def fdedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a million docs costs one hash group, not a million-squared pair
     set. Stride can be raised above 1 to trade recall for cost at
     the 100-TB tier."""
-    from ..operators.dedup import _spread
+    from ..operators.dedup import _spread, exact_substring_spans
 
     corpus = _spread(_augmented(spark, sf_dir))
     norm = corpus.select("doc_id", _NORM(F.col("text")).alias("t"))
-    # windows built as ONE per-doc array then exploded: each output row
-    # carries only (p, 32-byte hash), never a copy of the document text
-    # (the naive explode(sequence) + substring form duplicates the full
-    # text per window — W× the shuffle payload). `t` is a materialized
-    # attribute referenced twice (length bound + lambda), so
-    # CollapseProject keeps the normalize projection and the lambda is
-    # gate-(d) clean.
-    tcol = F.col("t")
-    wins = F.transform(
-        F.sequence(F.lit(1), F.length(tcol) - (_ESS_W - 1)),
-        lambda i: F.struct(
-            i.alias("p"), F.md5(tcol.substr(i, F.lit(_ESS_W))).alias("h")
-        ),
-    )
-    win = (
-        norm.filter(F.length("t") >= _ESS_W)
-        .select("doc_id", F.explode(wins).alias("z"))
-        .select("doc_id", F.col("z.p").alias("p"), F.col("z.h").alias("h"))
-    )
-    # duplicated-window detection in ONE shuffle on the hash key and
-    # ONE pass over the window table: distinct-doc count per hash via
-    # dense_rank + running max on the same (h) partitioning — the
-    # groupBy + semi-join form scans/computes the window table twice
-    # (or persists ~1 row/char, wrong at the 100-TB tier).
-    w_h = Window.partitionBy("h").orderBy("doc_id")
-    w_hall = Window.partitionBy("h").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    spans = (
-        win.withColumn("dr", F.dense_rank().over(w_h))
-        .withColumn("nd", F.max("dr").over(w_hall))
-        .filter(F.col("nd") >= 2)
-        .select("doc_id", "p", (F.col("p") + (_ESS_W - 1)).alias("e"))
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = spans.withColumn(
-        "is_new",
-        (
-            F.col("p")
-            > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
-        ).cast("int"),
-    ).withColumn("isl", F.sum("is_new").over(w_run))
-    merged = islands.groupBy("doc_id", "isl").agg(
-        F.min("p").alias("s"), F.max("e").alias("e")
-    )
-    perdoc = merged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
-    )
-    return norm.join(perdoc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
-        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
-        F.length("t").cast("long").alias("n_chars"),
-        (
-            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-            / F.length("t")
-        ).alias("dup_frac"),
-    )
+    return exact_substring_spans(norm, _ESS_W)
 
 
 # ------------------------------------------------- cross-split leakage

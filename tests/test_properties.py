@@ -362,3 +362,68 @@ def test_ntile_of_rank_integer_exact_near_2_53(spark):
         ).collect()
     }
     assert got_small == {1: 1, 2: 2, 3: 3}
+
+
+_ess_doc = st.text(alphabet="abc", min_size=0, max_size=24)
+_ess_corpus = st.lists(_ess_doc, min_size=1, max_size=8)
+
+
+def _ess_reference(docs, w):
+    """Brute-force ExactSubstr: duplicated windows by literal substring
+    comparison across docs, merged into maximal per-doc spans."""
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for d, s in enumerate(docs):
+        for i in range(len(s) - w + 1):
+            owners[s[i : i + w]].add(d)
+    out = {}
+    for d, s in enumerate(docs):
+        spans = []
+        for i in range(len(s) - w + 1):
+            if len(owners[s[i : i + w]]) >= 2:
+                b, e = i, i + w - 1
+                if spans and b <= spans[-1][1] + 1 and b <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                elif spans and b <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                else:
+                    spans.append((b, e))
+        # merge overlapping (windows at i and i+1 overlap by w-1 chars)
+        merged = []
+        for b, e in spans:
+            if merged and b <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((b, e))
+        out[d] = (
+            len(merged),
+            sum(e - b + 1 for b, e in merged),
+            len(s),
+        )
+    return out
+
+
+@SETTINGS
+@given(_ess_corpus)
+def test_exact_substring_spans_match_bruteforce(spark, docs):
+    """The distributed window-hash + gaps-and-islands span merge must
+    reproduce a literal brute-force substring comparison on arbitrary
+    corpora — including empty docs, all-identical docs, and docs
+    shorter than the window."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    w = 4
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, t string"
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_chars"], r["n_chars"])
+        for r in exact_substring_spans(df, w).collect()
+    }
+    expect = _ess_reference(docs, w)
+    assert got == expect
