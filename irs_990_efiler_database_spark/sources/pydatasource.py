@@ -19,7 +19,12 @@ Registration:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .index import INDEX_ENTRY
 
@@ -68,3 +73,59 @@ class Irs990IndexDataSource(DataSource):
 
     def reader(self, schema) -> Irs990IndexReader:
         return Irs990IndexReader(self.options)
+
+    def streamReader(self, schema) -> "Irs990IndexStreamReader":
+        return Irs990IndexStreamReader(self.options)
+
+
+class Irs990IndexStreamReader(DataSourceStreamReader):
+    """Streaming variant of the index connector: the landing prefix is
+    watched and each micro-batch reads exactly the files that arrived
+    since the last committed offset — the connector-surface analog of
+    jobs.build_database_incremental's file-source watcher, for sources
+    the built-in file stream can't express (REST catalogs, paginated
+    APIs).
+
+    Offset = the count of files processed over the SORTED name order.
+    Index files are append-only by contract (a yearly file lands once),
+    so name-sorted prefixes are a valid total order: latestOffset()
+    lists the directory on the driver (names only), partitions(start,
+    end) hands each NEW file to one executor-side InputPartition, and
+    read() is byte-identical to the batch reader. Exactly-once comes
+    from Spark's offset log: a batch replays with the same [start, end)
+    file slice after a crash."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("irs990index requires a path (load(<glob>))")
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._files()[start["n"] : end["n"]]
+        return [_IndexFilePartition(p) for p in files]
+
+    def read(self, partition: _IndexFilePartition):
+        import json
+
+        with open(partition.path, encoding="utf-8") as fh:
+            wrapped = json.load(fh)
+        fields = [f.name for f in INDEX_ENTRY.fields]
+        for entries in wrapped.values():
+            for e in entries:
+                yield tuple(e.get(name) for name in fields)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint offset log; nothing to
+        # acknowledge source-side (files are immutable once landed)
+        return None

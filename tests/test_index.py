@@ -56,3 +56,58 @@ def test_custom_python_datasource_matches_native_reader(spark):
         native.collect(), key=key
     )
     assert via_ds.rdd.getNumPartitions() == 3  # one per yearly file
+
+
+def test_custom_python_datasource_streams_new_files_exactly_once(
+    spark, tmp_path
+):
+    """The streaming side of the connector: an availableNow run over
+    the landing dir ingests every file; a file that lands later is
+    picked up by the next run from the same checkpoint WITHOUT
+    re-reading the old ones (offset log = sorted-name file count)."""
+    import glob
+    import shutil
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+    )
+
+    src_files = sorted(glob.glob(_GLOB))
+    assert len(src_files) >= 3
+    land = tmp_path / "landing"
+    land.mkdir()
+    for f in src_files[:2]:
+        shutil.copy(f, land)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.dataSource.register(Irs990IndexDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("irs990index")
+            .load(str(land / "*.json"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    batch_2 = spark.read.format("irs990index").load(str(land / "*.json"))
+    assert n_first == batch_2.count()
+
+    shutil.copy(src_files[2], land)
+    run_once()
+    got = spark.read.parquet(out)
+    batch_3 = spark.read.format("irs990index").load(str(land / "*.json"))
+    # exactly-once: total rows equal the batch read of all 3 files —
+    # nothing duplicated, nothing missed
+    assert got.count() == batch_3.count()
+    key = lambda r: (r["ObjectId"], r["URL"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(
+        batch_3.collect(), key=key
+    )
