@@ -644,10 +644,22 @@ def exact_substring_spans(
     from pyspark.sql import Window
 
     tcol = F.col(text_col)
+    # h = 48-bit md5 prefix as BIGINT, not the 32-char hex string: the
+    # window table is ~1 row/char and shuffles on h, so key width IS
+    # the network bill (measured 59.7 -> 26 MB shuffled at sf0.1,
+    # tools/shuffle_budget.py). Both engines take the same prefix of
+    # the same md5, so duplicate decisions stay in lockstep even at
+    # the ~3e-3 corpus-wide collision odds; a 100-TB corpus (~1e14
+    # windows) would widen to the full 16-byte digest.
     wins = F.transform(
         F.sequence(F.lit(1), F.length(tcol) - (w - 1)),
         lambda i: F.struct(
-            i.alias("p"), F.md5(tcol.substr(i, F.lit(w))).alias("h")
+            i.alias("p"),
+            F.conv(
+                F.substring(F.md5(tcol.substr(i, F.lit(w))), 1, 12), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
         ),
     )
     win = (

@@ -1433,7 +1433,9 @@ _ESS_W = 30  # window width (chars); Lee et al. use 50 tokens at CC scale
     WITH {_SQL_BASE},
     win AS (
       SELECT doc_id, i AS p, i + {_ESS_W - 1} AS e,
-             md5(substring(t, i, {_ESS_W})) AS h
+             CAST(concat('0x',
+                  substring(md5(substring(t, i, {_ESS_W})), 1, 12))
+                  AS BIGINT) AS h
       FROM norm, unnest(generate_series(1, len(t) - {_ESS_W - 1})) AS g(i)
       WHERE len(t) >= {_ESS_W}
     ),
