@@ -1530,8 +1530,18 @@ def stat_signgd_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _SGN_B
     )
-    feat = words.groupBy("doc_id", "y", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("x")
+    from ..caching import tracked_persist
+
+    # ONE shuffle establishes the doc_id partitioning; every
+    # iteration's score aggregation AND gradient join then reuse it
+    # (the unpartitioned form re-shuffled the feature frame per
+    # iteration — measured 3.5 MB shuffled over 3 iterations at sf0.1
+    # vs ~1 MB after, tools/shuffle_budget.py). y rides along via
+    # max() — constant per doc, so the aggregate stays deterministic.
+    feat = tracked_persist(
+        words.groupBy("doc_id", "y", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .repartition("doc_id")
     )
     w = spark.range(_SGN_B).select(
         F.col("id").alias("bucket"), F.lit(0).cast("long").alias("w")
@@ -1539,8 +1549,11 @@ def stat_signgd_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_SGN_ITERS):
         z = (
             feat.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("y").alias("y"),
+                F.sum(F.col("w") * F.col("x")).alias("z"),
+            )
         )
         err = z.select(
             "doc_id",
@@ -1568,8 +1581,11 @@ def stat_signgd_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     zf = (
         feat.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("w") * F.col("x")).alias("z"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("y").alias("y"),
+            F.sum(F.col("w") * F.col("x")).alias("z"),
+        )
     )
     return zf.select(
         "doc_id",

@@ -791,17 +791,19 @@ def text_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 2),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g3
+             CAST(concat('0x', substring(md5(
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             ), 1, 12)) AS BIGINT) AS gh
       FROM w
     ),
     bp AS (
-      SELECT g3 FROM g GROUP BY g3 HAVING COUNT(*) >= 5
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 5
     ),
     tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
     b AS (
       SELECT g.doc_id, COUNT(*) AS n_boiler
-      FROM g JOIN bp USING (g3) GROUP BY g.doc_id
+      FROM g JOIN bp USING (gh) GROUP BY g.doc_id
     )
     SELECT tot.doc_id,
            tot.n_grams,
@@ -827,7 +829,18 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element recompute — the r5 'fixed' plan had silently
     regressed; plan_audit gate (d) now proves this plan clean."""
     d = load_table(spark, sf_dir, "documents")
-    g = _exploded_3grams(d).withColumnRenamed("g", "g3")
+    # gram key = 48-bit md5 prefix as BIGINT, not the gram string: the
+    # (doc, gram) aggregate and the boilerplate join shuffle on this
+    # key, so key width is the network bill (same rule as the minhash
+    # shingle hashes and the ExactSubstr window keys; the oracle takes
+    # the identical prefix so grouping stays in lockstep even under
+    # collisions).
+    g = _exploded_3grams(d).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("g3"),
+    )
     # one aggregation on (doc_id, g3) feeds all three branches.
     # ReusedExchange can NOT deduplicate them: per-branch column
     # pruning narrows each subtree differently, so the plans are not
