@@ -625,7 +625,11 @@ def prefix_filter_pairs(
 
 
 def exact_substring_spans(
-    norm: DataFrame, w: int, id_col: str = "doc_id", text_col: str = "t"
+    norm: DataFrame,
+    w: int,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+    stride: int = 1,
 ) -> DataFrame:
     """Maximal duplicated-substring spans (the ExactSubstr core): for a
     frame of (id, normalized text), find every maximal character span
@@ -651,8 +655,15 @@ def exact_substring_spans(
     # the same md5, so duplicate decisions stay in lockstep even at
     # the ~3e-3 corpus-wide collision odds; a 100-TB corpus (~1e14
     # windows) would widen to the full 16-byte digest.
+    # stride > 1 samples every stride-th window: the window table (and
+    # its shuffle, the cost driver at 43:1 vs input per
+    # tools/shuffle_budget.py) shrinks by 1/stride; any shared
+    # substring of length >= w + stride - 1 still produces a sampled
+    # duplicated window in both docs, so long boilerplate/copy spans
+    # keep full recall and only near-threshold (length ~w) spans fade
+    # — the Lee et al. suffix-array variant has no such knob.
     wins = F.transform(
-        F.sequence(F.lit(1), F.length(tcol) - (w - 1)),
+        F.sequence(F.lit(1), F.length(tcol) - (w - 1), F.lit(stride)),
         lambda i: F.struct(
             i.alias("p"),
             F.conv(

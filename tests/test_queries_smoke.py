@@ -223,3 +223,33 @@ def test_cross_split_leakage_finds_planted_copies(spark):
     for r in rows:
         assert r["is_leak"] == (1 if r["split_lo"] != r["split_hi"] else 0)
     assert any(r["is_leak"] == 1 for r in rows), "no cross-split pair found"
+
+
+def test_exact_substring_spans_stride_keeps_long_copy_recall(spark):
+    """With stride=3 the window table shrinks ~3x, but the planted
+    full-document copies (shared spans far above W+stride-1) must still
+    be flagged with near-total coverage."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        _ESS_W,
+        _NORM,
+        _augmented,
+    )
+    from irs_990_efiler_database_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    norm = _augmented(spark, "/root/testdata/sf0.001").select(
+        "doc_id", _NORM(F.col("text")).alias("t")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(norm, _ESS_W, stride=3).collect()
+    }
+    originals = [r for d, r in rows.items() if d < 25]
+    assert originals
+    for r in originals:
+        # sampled windows cover all but at most (stride-1 + W-1) tail chars
+        assert r["dup_chars"] >= r["n_chars"] - (3 - 1) - (_ESS_W - 1)
+        assert r["n_dup_spans"] >= 1
