@@ -16,6 +16,10 @@ reference user can run the whole pipeline without writing Python:
             (vars/xpaths) — the create_code_chunks analog, minus the
             code: the build consumes the same slice via --tables
   export    write a built table to csv/stata/spss
+  query     run any registered analytics query by name (the full
+            297-entry catalog: dedup, ANN, text, sketches, stats,
+            graph, streaming, TPC-H, 990 reports) against a table
+            directory; print or write the result
 
 Every subcommand accepts --master/--shuffle-partitions to size the
 session (defaults: local[all cores]).
@@ -163,6 +167,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from .queries import all_queries
+
+    qs = all_queries()
+    if args.name == "list":
+        for n in sorted(qs):
+            print(n)
+        return 0
+    if args.name not in qs:
+        close = [n for n in sorted(qs) if args.name in n]
+        hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
+        print(f"unknown query: {args.name}{hint}", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        from .sinks import write_csv, write_table
+
+        if args.format == "csv":
+            write_csv(df, args.out)
+        else:
+            write_table(df, args.out)
+        print(f"{args.name} -> {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="irs_990_efiler_database_spark")
     p.add_argument("--master", default=None, help="spark master URL")
@@ -210,6 +242,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--name", default=None)
     s.add_argument("--group-roots", default=None, help="comma list → MANY slice")
     s.set_defaults(fn=cmd_register)
+
+    s = sub.add_parser(
+        "query", help="run a registered analytics query (or 'list')"
+    )
+    s.add_argument("name", help="query name from the catalog, or 'list'")
+    s.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory holding the parquet tables the query reads",
+    )
+    s.add_argument("--out", default=None, help="write result here instead of showing")
+    s.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    s.add_argument("--limit", type=int, default=50, help="rows to show without --out")
+    s.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("export", help="export a built table")
     s.add_argument("table_path")

@@ -999,3 +999,28 @@ def test_cli_register_then_build_fresh_process(spark, tmp_path, capsys):
             )
     finally:
         fresh()
+
+
+def test_cli_query_subcommand_runs_and_writes(tmp_path):
+    """`python -m … query NAME --out` must execute any registered
+    catalog query and write its result; `query list` enumerates the
+    catalog; an unknown name fails with a suggestion, not a trace."""
+    from irs_990_efiler_database_spark.__main__ import main
+
+    out = str(tmp_path / "anova")
+    rc = main(
+        [
+            "query",
+            "stat_oneway_anova_f",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(out + "/*.parquet") or glob.glob(out + "/**/*.parquet")
+    rc2 = main(["query", "no_such_query_name"])
+    assert rc2 == 2
