@@ -1837,3 +1837,122 @@ def stat_oneway_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msw, 4).alias("ms_within"),
         F.round(msb / msw, 6).alias("f_stat"),
     )
+
+
+_DID_CUT = "2024-01-16"
+
+
+def _did_cell_sql(t: int, p: int, expr: str) -> str:
+    return (
+        f"SUM(CASE WHEN treat = {t} AND post = {p} THEN {expr} ELSE 0 END)"
+    )
+
+
+_DID_ORACLE = f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS INT) AS treat,
+             CASE WHEN ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT
+        {_did_cell_sql(1, 1, "1")} AS n11, {_did_cell_sql(1, 0, "1")} AS n10,
+        {_did_cell_sql(0, 1, "1")} AS n01, {_did_cell_sql(0, 0, "1")} AS n00,
+        {_did_cell_sql(1, 1, "y")} AS s11, {_did_cell_sql(1, 0, "y")} AS s10,
+        {_did_cell_sql(0, 1, "y")} AS s01, {_did_cell_sql(0, 0, "y")} AS s00,
+        {_did_cell_sql(1, 1, "y * y")} AS q11,
+        {_did_cell_sql(1, 0, "y * y")} AS q10,
+        {_did_cell_sql(0, 1, "y * y")} AS q01,
+        {_did_cell_sql(0, 0, "y * y")} AS q00
+      FROM u
+    )
+    SELECT CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n,
+      round(((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+             - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00))
+            / 100, 6) AS did_estimate,
+      round(sqrt(
+          ((CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * s11 / n11) / (n11 - 1)) / n11
+        + ((CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * s10 / n10) / (n10 - 1)) / n10
+        + ((CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * s01 / n01) / (n01 - 1)) / n01
+        + ((CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * s00 / n00) / (n00 - 1)) / n00
+      ) / 100, 6) AS se
+    FROM m
+"""
+
+
+@register("stat_diff_in_diff", oracle=_DID_ORACLE)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger design):
+    treatment = odd user ids, post period = events on/after
+    {cut}, outcome = event value in integer cents. The 2×2
+    cell moments (n, Σy, Σy²) come from ONE map-side-combined
+    conditional aggregation — no joins, no window — and the estimate
+    plus its unequal-variance standard error are assembled in a single
+    fixed-order double expression mirrored exactly by the oracle, so
+    the result is bit-reproducible under any partitioning. The
+    canonical pre/post × treat/control causal read a product team runs
+    on an event stream; the parallel-trends caveat lives with the
+    analyst, not the engine.""".replace("{cut}", _DID_CUT)
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        (F.col("ts") >= F.lit(_DID_CUT).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def cell(t, p, col):
+        return F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), col).otherwise(
+                F.lit(0)
+            )
+        )
+
+    dec = "decimal(38,0)"
+    m = u.agg(
+        *[
+            cell(t, p, F.lit(1).cast(dec)).alias(f"n{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+        *[
+            cell(t, p, F.col("y").cast(dec)).alias(f"s{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+        *[
+            cell(t, p, (F.col("y") * F.col("y")).cast(dec)).alias(f"q{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    def var_over_n(t, p):
+        n, sm, q = d(f"n{t}{p}"), d(f"s{t}{p}"), d(f"q{t}{p}")
+        return ((q - sm * sm / n) / (n - 1)) / n
+
+    did = (
+        (d("s11") / d("n11") - d("s10") / d("n10"))
+        - (d("s01") / d("n01") - d("s00") / d("n00"))
+    ) / 100
+    se = (
+        F.sqrt(
+            var_over_n(1, 1)
+            + var_over_n(1, 0)
+            + var_over_n(0, 1)
+            + var_over_n(0, 0)
+        )
+        / 100
+    )
+    return m.select(
+        (F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00"))
+        .cast("long")
+        .alias("n"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("se"),
+    )

@@ -479,3 +479,39 @@ def test_anova_f_matches_scipy_style_computation(spark):
     assert abs(got["ms_between"] - msb) / abs(msb) < 1e-6
     assert abs(got["ms_within"] - msw) / abs(msw) < 1e-6
     assert abs(got["f_stat"] - msb / msw) < 1e-4
+
+
+def test_diff_in_diff_matches_direct_computation(spark):
+    """DiD estimate and SE must agree with a direct float computation
+    of the same 2x2 design on the raw rows."""
+    import math
+    from collections import defaultdict
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        _DID_CUT,
+        stat_diff_in_diff,
+    )
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    cells = defaultdict(list)
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(_DID_CUT)
+    for r in rows:
+        t = r["user_id"] % 2
+        p = 1 if r["ts"] >= cut else 0
+        cells[(t, p)].append(math.floor(r["value"] * 100 + 0.5) / 100)
+    mean = {k: sum(v) / len(v) for k, v in cells.items()}
+    var = {
+        k: sum((x - mean[k]) ** 2 for x in v) / (len(v) - 1)
+        for k, v in cells.items()
+    }
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    se = math.sqrt(sum(var[k] / len(cells[k]) for k in cells))
+    got = stat_diff_in_diff(spark, SF_DIR).collect()[0]
+    assert got["n"] == len(rows)
+    assert abs(got["did_estimate"] - did) < 1e-4
+    assert abs(got["se"] - se) < 1e-4
