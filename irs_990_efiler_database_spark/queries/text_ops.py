@@ -2435,3 +2435,142 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("mean_logprob"),
         )
     )
+
+
+_RAKE_STOP = "('the','a','of','to','and','in','for','is')"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(lower(trim(text)),
+                                                    '\\s+'), 1) AS pos,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    runs AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, stop
+                                      ORDER BY pos) AS grp
+      FROM marked WHERE stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM runs GROUP BY doc_id, grp
+    ),
+    pwords AS (
+      SELECT doc_id, grp, plen, unnest(string_split(phrase, ' ')) AS w,
+             phrase
+      FROM phrases
+    ),
+    wstats AS (
+      SELECT w, COUNT(*) AS freq, SUM(plen) AS degree
+      FROM pwords GROUP BY w
+    ),
+    scored AS (
+      SELECT p.phrase,
+             SUM(CAST(round(CAST(s.degree AS DOUBLE) / s.freq, 9)
+                      AS DECIMAL(24,12))) AS sc
+      FROM pwords p JOIN wstats s USING (w)
+      GROUP BY p.doc_id, p.grp, p.phrase
+    ),
+    agg AS (
+      SELECT phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             round(CAST(MIN(sc) AS DOUBLE), 6) AS rake_score
+      FROM scored GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, rake_score FROM (
+      SELECT phrase, n_occurrences, rake_score,
+             ROW_NUMBER() OVER (ORDER BY rake_score DESC, phrase) AS rn
+      FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands on the
+    token position minus a per-(doc, stop-class) row_number); each
+    word's degree = Σ length of phrases containing it and freq = its
+    phrase-occurrence count; a phrase scores Σ degree(w)/freq(w) over
+    its words, and the corpus's top-20 phrases emerge. Per-word ratios
+    round to 9 dp and accumulate in DECIMAL so phrase scores are
+    order-free; identical phrase texts share one score by construction
+    (MIN is a no-op collapse mirrored by both engines).
+
+    Scale shape: tokenization explodes once; the islands window is
+    doc-partitioned; word statistics are a vocabulary-bounded
+    aggregation joined back by word key; the final top-20 is a
+    TakeOrdered over the |distinct phrases| frame. The stopword table
+    inlines here (8 words) and would broadcast at dictionary scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos0", "w"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    stops = [s.strip("'") for s in _RAKE_STOP.strip("()").split(",")]
+    marked = toks.withColumn(
+        "stop", F.col("w").isin(stops).cast("int")
+    )
+    w_run = Window.partitionBy("doc_id", "stop").orderBy("pos")
+    runs = marked.filter(F.col("stop") == 0).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_run)
+    )
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pwords = phrases.select(
+        "doc_id",
+        "grp",
+        "plen",
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wstats = pwords.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored = (
+        pwords.join(wstats, "w")
+        .select(
+            "doc_id",
+            "grp",
+            "phrase",
+            F.round(F.col("degree").cast("double") / F.col("freq"), 9)
+            .cast("decimal(24,12)")
+            .alias("term"),
+        )
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("term").alias("sc"))
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.min("sc").cast("double"), 6).alias("rake_score"),
+    )
+    w_top = Window.orderBy(  # bounded-window: input is the aggregated distinct-phrase frame; row_number + filter <= 20 compiles to TakeOrderedAndProject
+        F.col("rake_score").desc(), "phrase"
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 20)
+        .select("phrase", "n_occurrences", "rake_score")
+    )
