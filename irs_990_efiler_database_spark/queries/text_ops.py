@@ -2574,3 +2574,75 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("phrase", "n_occurrences", "rake_score")
     )
+
+
+@register(
+    "doc_dataset_card_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    fpc AS (SELECT fp, COUNT(*) AS c FROM d GROUP BY fp)
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d.n_tokens)
+                AS BIGINT) AS p50_tokens,
+           CAST(MIN(d.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(d.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS exact_dup_frac
+    FROM d JOIN fpc f USING (fp)
+    GROUP BY d.source, d.lang
+    """,
+)
+def doc_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table (Gebru et al., "Datasheets for
+    Datasets"): per (source, language) stratum — document and token
+    counts, exact token-length quartile/min/max, and the
+    exact-duplicate exposure (documents whose normalized fingerprint
+    occurs more than once ANYWHERE in the corpus, not just within the
+    stratum — cross-source duplication is precisely what a per-source
+    report would otherwise hide). Every corpus release publishes this
+    table; here it is one query over the raw documents.
+
+    Scale shape: one tokenize+fingerprint projection; the duplicate
+    exposure is a 16-byte-key count aggregate joined back by
+    fingerprint; percentiles are exact ordered-set aggregates per
+    stratum — one shuffle on the (source, lang) key, no global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tokens"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fp"),
+    )
+    fpc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    j = base.join(fpc, "fp")
+    j.createOrReplaceTempView("_card_base")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)
+                    AS BIGINT) AS p50_tokens,
+               CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact_dup_docs,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS exact_dup_frac
+        FROM _card_base
+        GROUP BY source, lang
+        """
+    )
