@@ -822,10 +822,16 @@ def _pq_encode(
     decimal-exact argmin — a small explode + broadcast codebook join
     over the flagged rows only. Returns ``key_cols`` + a ``codes``
     int array."""
-    fast = df.select(
-        *key_cols,
-        F.col(vec_col).alias("_pqv"),
-        _pq_fast_codes_udf(cb_subs)(F.col(vec_col)).alias("fc"),
+    # LAZY persist: the fast frame feeds BOTH the flagged-subspace
+    # funnel and the final code assembly — uncached, the Arrow encode
+    # UDF would run twice per row. No eager count: plan-only consumers
+    # (plan_audit) pay nothing; the first action materializes it.
+    fast = tracked_persist(
+        df.select(
+            *key_cols,
+            F.col(vec_col).alias("_pqv"),
+            _pq_fast_codes_udf(cb_subs)(F.col(vec_col)).alias("fc"),
+        )
     )
     flagged = (
         fast.filter(F.exists("fc.gaps", lambda g: g < 3e-6))
@@ -1042,12 +1048,17 @@ def ivfpq_topk(
         [(int(cid), [float(x) for x in v]) for cid, v, _ in sorted(cent_rows)],
         "centroid_id long, cv array<double>",
     )
-    resid = assigned.join(F.broadcast(cent_df), "centroid_id").select(
-        F.col("id"),
-        "centroid_id",
-        F.zip_with(
-            "v", "cv", lambda x, y: x.cast("double") - y
-        ).alias("r"),
+    # LAZY persist: residuals feed the codebook-seed collect AND the
+    # encode pass — uncached, the two-stage IVF assignment (an Arrow
+    # UDF projection) would run twice over the corpus.
+    resid = tracked_persist(
+        assigned.join(F.broadcast(cent_df), "centroid_id").select(
+            F.col("id"),
+            "centroid_id",
+            F.zip_with(
+                "v", "cv", lambda x, y: x.cast("double") - y
+            ).alias("r"),
+        )
     )
     # residual codebook seeds: the n_codes lowest-id NON-centroid
     # vectors' residuals (centroids' own residuals are zero — useless
