@@ -50,12 +50,16 @@ def test_multi_query_session_leaves_zero_cached_rdds(spark):
         "fdedup_semantic_pairs",  # r6: assignment + survivor frames
         "fdedup_embedding_cosine",  # r6: bucketed frame + survivors
         "doc_quality_deciles",  # r6: LM score frame
+        "sim_pq_adc_topk",  # r6: lazy-persisted fast-code frame
+        "sim_ann_ivfpq",  # r6: residual + fast-code frames
+        "stat_signgd_text_classifier",  # r6: doc-partitioned features
+        "fdedup_exact_substring_spans",  # r6: spread corpus
     ):
         qs[name](spark, SF).collect()
 
     assert _n_persistent(spark) > 0, "builders should have persisted"
     released = release_cached()
-    assert released >= 8
+    assert released >= 11
     assert _wait_zero_engine(spark), "engine left cached RDDs behind"
 
 
