@@ -2701,3 +2701,130 @@ def events_sankey_step_transitions(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    origin AS (SELECT user_id, MIN(ts_us) AS o FROM e GROUP BY 1),
+    horizon AS (SELECT MAX(ts_us) AS h FROM e),
+    ev AS (
+      SELECT o.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > o.o
+                      THEN e.ts_us END) AS p
+      FROM origin o JOIN e USING (user_id)
+      GROUP BY o.user_id
+    ),
+    subj AS (
+      SELECT o.user_id,
+             CASE WHEN v.p IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST((COALESCE(v.p, hz.h) - o.o) // 86400000000 AS BIGINT)
+               AS dur
+      FROM origin o JOIN ev v USING (user_id) CROSS JOIN horizon hz
+    ),
+    days AS (
+      SELECT dur AS t,
+             SUM(observed) AS d
+      FROM subj GROUP BY dur HAVING SUM(observed) > 0
+    ),
+    risk AS (
+      SELECT d1.t, d1.d,
+             (SELECT COUNT(*) FROM subj s WHERE s.dur >= d1.t) AS n
+      FROM days d1
+    ),
+    terms AS (
+      SELECT t, n, d,
+             CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n), 9)
+                  AS DECIMAL(24,12)) AS lt
+      FROM risk WHERE d < n
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(exp(CAST(SUM(lt) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS survival
+    FROM terms
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: origin =
+    each user's first event, event = first later purchase, right-
+    censored at the corpus horizon — THE estimator for conversion /
+    churn timing under censoring (naive mean time-to-convert is biased
+    the moment anyone hasn't converted yet).
+
+    S(t) = prod over event days u <= t of (1 - d_u / n_u). The risk
+    sets collapse to one row per distinct event DAY before any ordered
+    work, so the cumulative product — computed as exp of a running
+    decimal sum of 9-dp-rounded log terms, order-free by construction —
+    runs over a <= 31-row frame. Scale shape: two user-keyed
+    aggregations (origin, first purchase) on one partitioning, a
+    day-level aggregation, and a bounded days x days risk join; no
+    per-user ordered scan anywhere."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    origin = e.groupBy("user_id").agg(F.min("ts_us").alias("o"))
+    horizon = e.agg(F.max("ts_us").alias("h"))
+    ev = (
+        origin.join(e, "user_id")
+        .groupBy("user_id", "o")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("o")),
+                    F.col("ts_us"),
+                )
+            ).alias("p")
+        )
+    )
+    subj = ev.crossJoin(F.broadcast(horizon)).select(
+        F.col("p").isNotNull().cast("int").alias("observed"),
+        (
+            (F.coalesce(F.col("p"), F.col("h")) - F.col("o"))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("dur"),
+    )
+    days = (
+        subj.groupBy(F.col("dur").alias("t"))
+        .agg(F.sum("observed").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    # risk set per event day: bounded days × durations join (≤31 rows
+    # on the left), aggregated to counts
+    risk = (
+        days.join(subj, subj.dur >= days.t)
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    terms = risk.filter(F.col("d") < F.col("n")).select(
+        "t",
+        "n",
+        "d",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n")), 9
+        )
+        .cast("decimal(24,12)")
+        .alias("lt"),
+    )
+    w = Window.orderBy("t").rowsBetween(  # bounded-window: input is the aggregated per-event-day frame (≤ calendar days of the corpus)
+        Window.unboundedPreceding, 0
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.exp(F.sum("lt").over(w).cast("double")), 6).alias(
+            "survival"
+        ),
+    )

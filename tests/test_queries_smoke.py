@@ -253,3 +253,28 @@ def test_exact_substring_spans_stride_keeps_long_copy_recall(spark):
         # sampled windows cover all but at most (stride-1 + W-1) tail chars
         assert r["dup_chars"] >= r["n_chars"] - (3 - 1) - (_ESS_W - 1)
         assert r["n_dup_spans"] >= 1
+
+
+def test_kaplan_meier_curve_is_valid_survival_function(spark):
+    """KM invariants: survival strictly within (0,1], non-increasing in
+    t; risk sets non-increasing; and S(t_k) equals the direct product
+    of (1 - d_i/n_i) over the emitted rows to float tolerance."""
+    from irs_990_efiler_database_spark.queries.events_ops import (
+        events_kaplan_meier,
+    )
+
+    rows = sorted(
+        events_kaplan_meier(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    prod = 1.0
+    prev_s, prev_n = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert 0 < r["survival"] <= 1
+        assert r["survival"] <= prev_s + 1e-9
+        assert r["n_risk"] <= prev_n
+        assert 0 < r["n_events"] < r["n_risk"]
+        prod *= 1.0 - r["n_events"] / r["n_risk"]
+        assert abs(r["survival"] - prod) < 1e-4
+        prev_s, prev_n = r["survival"], r["n_risk"]
