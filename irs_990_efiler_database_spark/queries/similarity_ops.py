@@ -1285,3 +1285,76 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=2
     )
+
+
+@register(
+    "sim_embedding_mmd_drift",
+    oracle="""
+    WITH side AS (
+      SELECT vec_id, CAST(vec_id % 2 AS INT) AS grp, embedding
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT grp, i AS dim,
+             SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+               AS s,
+             COUNT(*) AS n
+      FROM side, unnest(generate_series(1, len(embedding))) t(i)
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT a.dim,
+             CAST(round(
+               (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               * (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n),
+               12) AS DECIMAL(24,14)) AS t2
+      FROM dims a JOIN dims b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           round(CAST(SUM(t2) AS DOUBLE), 9) AS mmd2,
+           round(sqrt(CAST(SUM(t2) AS DOUBLE)), 9) AS mmd
+    FROM terms
+    """,
+)
+def sim_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift via linear-kernel Maximum Mean
+    Discrepancy (Gretton et al. 2012): MMD² = ||mean(A) − mean(B)||²
+    between two corpus slices (even vs odd ids here; in production,
+    yesterday's snapshot vs today's) — the cheap first-line monitor for
+    'did the embedding model or the corpus shift', run before anything
+    expensive re-trains. Per-dimension means come from exact decimal
+    sums (one explode + group-by-dimension aggregation — dim×N rows of
+    8 bytes, map-side combined); each squared difference is one
+    fixed-order double op rounded to 12 dp, and the 64 per-dim terms
+    accumulate in DECIMAL — order-free under any partitioning. The
+    linear kernel makes the estimator exact and mergeable; an RBF MMD
+    would need the pair matrix this formulation exists to avoid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    side = e.select(
+        (F.col("vec_id") % 2).cast("int").alias("grp"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    )
+    dims = (
+        side.select("grp", (F.col("dim0") + 1).alias("dim"),
+                    F.col("x").cast("double").cast("decimal(30,15)").alias("xd"))
+        .groupBy("grp", "dim")
+        .agg(F.sum("xd").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a = dims.filter(F.col("grp") == 0).select(
+        "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = dims.filter(F.col("grp") == 1).select(
+        "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    terms = a.join(b, "dim").select(
+        F.round(diff * diff, 12).cast("decimal(24,14)").alias("t2")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.sum("t2").cast("double"), 9).alias("mmd2"),
+        F.round(F.sqrt(F.sum("t2").cast("double")), 9).alias("mmd"),
+    )
