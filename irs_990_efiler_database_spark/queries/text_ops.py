@@ -2646,3 +2646,162 @@ def doc_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source, lang
         """
     )
+
+
+_SB_ALPHA = 0.4
+
+_SB_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 50 AS is_train,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, is_train,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i+1])) AS w2,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i+2])) AS w3
+      FROM toks
+    ),
+    uni AS (
+      SELECT doc_id, is_train, unnest(t) AS w FROM toks
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tri WHERE is_train
+           GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i])) AS w1,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i+1])) AS w2
+             FROM toks WHERE is_train
+           ) GROUP BY 1, 2),
+    c1 AS (SELECT w, COUNT(*) AS c FROM uni WHERE is_train GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM uni WHERE is_train),
+    scored AS (
+      SELECT q.doc_id,
+             CAST(round(log(
+               CASE
+                 WHEN t3.c IS NOT NULL AND b12.c IS NOT NULL
+                   THEN CAST(t3.c AS DOUBLE) / b12.c
+                 WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                   THEN {_SB_ALPHA} * (CAST(b23.c AS DOUBLE) / u2.c)
+                 WHEN u3.c IS NOT NULL
+                   THEN {_SB_ALPHA} * {_SB_ALPHA}
+                        * (CAST(u3.c AS DOUBLE) / tv.n)
+                 ELSE {_SB_ALPHA} * {_SB_ALPHA} * (1.0 / tv.n)
+               END), 9) AS DECIMAL(24,12)) AS lp
+      FROM tri q
+      LEFT JOIN c3 t3 ON t3.w1 = q.w1 AND t3.w2 = q.w2 AND t3.w3 = q.w3
+      LEFT JOIN c2 b12 ON b12.w1 = q.w1 AND b12.w2 = q.w2
+      LEFT JOIN c2 b23 ON b23.w1 = q.w2 AND b23.w2 = q.w3
+      LEFT JOIN c1 u2 ON u2.w = q.w2
+      LEFT JOIN c1 u3 ON u3.w = q.w3
+      CROSS JOIN tot tv
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_sb_logprob
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+@register("text_stupid_backoff_score", oracle=_SB_ORACLE)
+def text_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the smoothing Google
+    built for corpora too big to Kneser-Ney): score = c3/c2 when the
+    trigram is KNOWN, else alpha * bigram ratio, else alpha^2 * unigram
+    ratio, alpha = 0.4, no normalization anywhere — which is exactly
+    what makes it embarrassingly distributable: every level is a pure
+    count ratio, no discount mass bookkeeping.
+
+    The LM trains on the 50% md5-split half of the corpus and scores
+    EVERY document, so held-out documents genuinely exercise the
+    backoff chain (a same-corpus LM would always hit the trigram
+    level). Scale shape: three count tables off one tokenization, five
+    vocabulary-bounded left joins keyed on words, per-term logs
+    rounded to 9 dp and decimal-accumulated."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+        < 50
+    )
+    docs = d.select("doc_id", is_train.alias("is_train"), t.alias("t"))
+
+    def grams(n: int, src: DataFrame) -> DataFrame:
+        cols = [
+            F.slice(
+                F.col("t"), i + 1, F.greatest(F.size("t") - (n - 1), F.lit(0))
+            ).alias(f"a{i}")
+            for i in range(n)
+        ]
+        z = src.select("doc_id", "is_train", F.explode(F.arrays_zip(*cols)).alias("z"))
+        return z.select(
+            "doc_id",
+            "is_train",
+            *[F.col(f"z.a{i}").alias(f"w{i + 1}") for i in range(n)],
+        )
+
+    tri = grams(3, docs)
+    train_tri = tri.filter("is_train")
+    c3 = train_tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    bi = grams(2, docs).filter("is_train")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = docs.filter("is_train").select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+
+    c2_12 = c2.select(
+        F.col("w1"), F.col("w2"), F.col("c").alias("c12")
+    )
+    c2_23 = c2.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c").alias("c23")
+    )
+    c1_2 = c1.select(F.col("w").alias("w2"), F.col("c").alias("cu2"))
+    c1_3 = c1.select(F.col("w").alias("w3"), F.col("c").alias("cu3"))
+    score = (
+        F.when(
+            F.col("c3").isNotNull() & F.col("c12").isNotNull(),
+            F.col("c3").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull() & F.col("cu2").isNotNull(),
+            F.lit(_SB_ALPHA) * (F.col("c23").cast("double") / F.col("cu2")),
+        )
+        .when(
+            F.col("cu3").isNotNull(),
+            F.lit(_SB_ALPHA)
+            * F.lit(_SB_ALPHA)
+            * (F.col("cu3").cast("double") / F.col("n")),
+        )
+        .otherwise(
+            F.lit(_SB_ALPHA) * F.lit(_SB_ALPHA) * (F.lit(1.0) / F.col("n"))
+        )
+    )
+    lp = F.round(F.log10(score), 9).cast("decimal(24,12)")
+    return (
+        tri.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2_12, ["w1", "w2"], "left")
+        .join(c2_23, ["w2", "w3"], "left")
+        .join(c1_2, "w2", "left")
+        .join(c1_3, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_sb_logprob"),
+        )
+    )
