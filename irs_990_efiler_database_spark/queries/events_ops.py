@@ -2828,3 +2828,102 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+_IVO_H = 3_600_000_000  # 1-hour candidate buckets (µs)
+
+
+@register(
+    "events_interval_overlap_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(round(value) AS BIGINT) * 60000000 AS e
+      FROM events
+    ),
+    a AS (SELECT * FROM iv WHERE event_id % 2 = 1),
+    b AS (SELECT * FROM iv WHERE event_id % 2 = 0)
+    SELECT a.user_id,
+           a.event_id AS a_event_id,
+           b.event_id AS b_event_id,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+             AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def events_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, find every overlapping
+    pair) — the temporal/genomic join one step harder than the
+    point-in-range join: each event becomes the interval
+    [ts, ts + value minutes], odd-event intervals join even-event
+    intervals of the same user wherever they overlap.
+
+    Scale shape: both sides explode into the 1-hour buckets their
+    interval covers, candidates come from a (user, bucket) EQUI-join,
+    and a pair spanning several shared buckets is emitted exactly once
+    — only in the bucket containing the overlap's START
+    (floor(greatest(s_a, s_b) / H)), the standard dedup rule that
+    avoids a distinct over the pair set. The oracle is the naive theta
+    join, so the bucketed plan is verified to lose and invent
+    nothing. Bucket width trades candidate fan-out (long intervals
+    explode into more buckets) against per-bucket pair density, same
+    knob as the LSH band count."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value")).cast("long") * 60_000_000
+        ).alias("e"),
+    )
+    bucketed = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _IVO_H).cast("long"),
+                (F.col("e") / _IVO_H).cast("long"),
+            )
+        ).alias("bk"),
+    )
+    a = bucketed.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "bk",
+    )
+    b = bucketed.filter(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "bk",
+    )
+    pairs = (
+        a.join(b, ["u", "bk"])
+        .filter(
+            (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (
+                (F.greatest("sa", "sb") / _IVO_H).cast("long")
+                == F.col("bk")
+            )
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "a_event_id",
+            "b_event_id",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).cast("long").alias("overlap_us"),
+        )
+    )
+    return pairs
