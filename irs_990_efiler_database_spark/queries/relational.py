@@ -1927,3 +1927,82 @@ def win_exact_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "cdc_scd2_history_build",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'I' AS op, o_totalprice AS price
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice + 100 AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey AS k, 2 AS seq, 'D' AS op,
+             CAST(NULL AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    seqd AS (
+      SELECT k, seq, op, price,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS next_seq
+      FROM log
+    )
+    SELECT k AS o_orderkey,
+           CAST(seq AS BIGINT) AS valid_from_seq,
+           CAST(next_seq AS BIGINT) AS valid_to_seq,
+           price,
+           CAST(CASE WHEN next_seq IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM seqd
+    WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history built FROM a CDC log — the warehouse
+    pattern downstream of cdc_apply_latest: instead of collapsing to
+    the latest state, every change version becomes a row with a
+    [valid_from_seq, valid_to_seq) validity interval (lead over the
+    per-key change sequence), deletes close the final interval without
+    emitting one, and the open row is flagged current. Same
+    deterministic synthesized I/U/D log as cdc_apply_latest, one
+    shuffle on the key; composes with scd2_as_of_snapshot for
+    point-in-time reads and upsert_partitions for the physical
+    write."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 100).alias("price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy("seq")
+    return (
+        log.withColumn("next_seq", F.lead("seq").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("seq").cast("long").alias("valid_from_seq"),
+            F.col("next_seq").cast("long").alias("valid_to_seq"),
+            "price",
+            F.col("next_seq").isNull().cast("int").alias("is_current"),
+        )
+    )
