@@ -627,3 +627,89 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("ppr"),
         _ppr_seed(F.col("node")).cast("int").alias("is_seed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 20
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f""", keep{i} AS (
+      SELECT src AS node FROM e{i - 1}
+      GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN keep{i} a ON a.node = e.src
+      JOIN keep{i} b ON b.node = e.dst
+    )"""
+        )
+    return f"""
+    WITH e0raw AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    e0 AS (
+      SELECT src, dst FROM e0raw
+      UNION ALL SELECT dst AS src, src AS dst FROM e0raw
+    ){"".join(steps)}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src
+    """
+
+
+@register("graph_kcore_membership", oracle=_kcore_oracle())
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k = 20, five synchronous rounds): repeatedly
+    drop nodes with degree < k and the edges touching them — the
+    standard dense-subgraph extractor (spam-farm detection, community
+    cores, graph sparsification before expensive algorithms). Five
+    rounds bound the work deterministically (the unroll is what lets a
+    second engine replay the computation exactly); at the benched SF
+    the first rounds genuinely peel low-degree nodes and the cascade
+    stabilizes within the bound.
+
+    Scale shape per round: one degree aggregation over surviving edges
+    + two semi-join-shaped membership joins — the same
+    one-shuffle-per-superstep discipline as PageRank; the edge set
+    only ever SHRINKS, so round cost is monotonically decreasing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        # eager persist per round: each round references the edge frame
+        # TWICE (degree agg + membership join), so an unpersisted chain
+        # recomputes round 0 2^rounds times (measured 26 s -> ~3 s at
+        # sf0.01) — the same per-round lineage truncation
+        # connected_components uses
+        edges = tracked_persist(edges)
+        edges.count()
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(
+                keep.select(F.col("node").alias("dst")), "dst"
+            )
+            .select("src", "dst")
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

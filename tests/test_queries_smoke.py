@@ -278,3 +278,34 @@ def test_kaplan_meier_curve_is_valid_survival_function(spark):
         prod *= 1.0 - r["n_events"] / r["n_risk"]
         assert abs(r["survival"] - prod) < 1e-4
         prev_s, prev_n = r["survival"], r["n_risk"]
+
+
+def test_kcore_matches_python_peeling(spark):
+    """The 5-round distributed peel must match a from-scratch Python
+    peeling of the same symmetric graph, node set AND degrees."""
+    from collections import Counter
+
+    from irs_990_efiler_database_spark.queries.graph_ops import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore_membership,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    e0 = {
+        (r[0] * 2, r[1] * 2 + 1)
+        for r in li.select("l_partkey", "l_suppkey").distinct().collect()
+    }
+    edges = e0 | {(b, a) for a, b in e0}
+    for _ in range(_KCORE_ROUNDS):
+        deg = Counter(a for a, _ in edges)
+        keep = {n for n, c in deg.items() if c >= _KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    expect = Counter(a for a, _ in edges)
+    got = {
+        r["node"]: r["core_degree"]
+        for r in graph_kcore_membership(spark, sf).collect()
+    }
+    assert got == dict(expect)
+    assert got, "k=20 should leave a non-empty core at sf0.01"
