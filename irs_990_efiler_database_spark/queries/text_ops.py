@@ -2805,3 +2805,90 @@ def text_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_sb_logprob"),
         )
     )
+
+
+_BORDA_STOPS = "('the','a','of','to','and','in','for','is')"
+
+
+@register(
+    "doc_quality_rank_fusion",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             w -> w IN {_BORDA_STOPS})) AS n_stop,
+             CAST(len(list_distinct(string_split_regex(lower(trim(text)),
+                                                       '\\s+'))) AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\\s+')) AS ttr
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, n_stop, ttr,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_stop DESC, doc_id) AS r_stop,
+             ROW_NUMBER() OVER (ORDER BY ttr DESC, doc_id) AS r_ttr
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(r_tokens AS BIGINT) AS r_tokens,
+           CAST(r_stop AS BIGINT) AS r_stop,
+           CAST(r_ttr AS BIGINT) AS r_ttr,
+           CAST(r_tokens + r_stop + r_ttr AS BIGINT) AS borda,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY r_tokens + r_stop + r_ttr, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM ranked
+    """,
+)
+def doc_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank fusion over three quality signals (token
+    count, stopword evidence, type-token ratio) — ensemble filtering:
+    no single heuristic decides, documents are ordered by the SUM of
+    their per-signal ranks (the rank-fusion rule RRF generalizes; the
+    same fusion a curation pipeline applies across quality
+    classifiers). All four global rankings run on the distributed
+    exact ranker (range shuffle + broadcast offsets — never a
+    single-partition window), with doc_id tiebreaks so both engines
+    rank identically; the fused frame is one three-way join on
+    doc_id."""
+    from ..operators.ntile import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    stops = [s.strip("'") for s in _BORDA_STOPS.strip("()").split(",")]
+    sig = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda w: w.isin(stops))).alias("n_stop"),
+        (
+            F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        ).alias("ttr"),
+    )
+    r1 = global_row_number(
+        sig, [F.col("n_tokens").desc(), F.col("doc_id")], "r_tokens"
+    ).select("doc_id", "r_tokens")
+    r2 = global_row_number(
+        sig, [F.col("n_stop").desc(), F.col("doc_id")], "r_stop"
+    ).select("doc_id", "r_stop")
+    r3 = global_row_number(
+        sig, [F.col("ttr").desc(), F.col("doc_id")], "r_ttr"
+    ).select("doc_id", "r_ttr")
+    fused = (
+        r1.join(r2, "doc_id")
+        .join(r3, "doc_id")
+        .withColumn(
+            "borda", F.col("r_tokens") + F.col("r_stop") + F.col("r_ttr")
+        )
+    )
+    out = global_row_number(
+        fused, [F.col("borda"), F.col("doc_id")], "fused_rank"
+    )
+    return out.select(
+        "doc_id",
+        F.col("r_tokens").cast("long").alias("r_tokens"),
+        F.col("r_stop").cast("long").alias("r_stop"),
+        F.col("r_ttr").cast("long").alias("r_ttr"),
+        F.col("borda").cast("long").alias("borda"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
