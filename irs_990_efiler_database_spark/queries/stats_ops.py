@@ -1956,3 +1956,77 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 6).alias("did_estimate"),
         F.round(se, 6).alias("se"),
     )
+
+
+@register(
+    "stat_negbin_moments_fit",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(k) AS s1,
+             SUM(k * k) AS s2
+      FROM c GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_k,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1), 6) AS var_k,
+           CAST(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                          / (n - 1) > CAST(s1 AS DOUBLE) / n
+                THEN 1 ELSE 0 END AS INT) AS overdispersed,
+           round(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (n - 1) > CAST(s1 AS DOUBLE) / n
+                 THEN (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                         / (n - 1) - CAST(s1 AS DOUBLE) / n)
+                 END, 6) AS r_hat,
+           round(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (n - 1) > CAST(s1 AS DOUBLE) / n
+                 THEN (CAST(s1 AS DOUBLE) / n)
+                      / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                         / (n - 1))
+                 END, 6) AS p_hat
+    FROM m
+    """,
+)
+def stat_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit by method of moments over per-user event
+    counts: r = m²/(v−m), p = m/v per event type — the standard model
+    for overdispersed count data (per-user activity almost never fits
+    a Poisson, whose variance equals its mean; the overdispersed flag
+    reports exactly that check). Two map-side-combined aggregations —
+    counts per (type, user), then exact integer moments per type —
+    and a 5-row fixed-order double projection mirrored by the oracle;
+    NULL parameters when the data is NOT overdispersed, where the NB
+    degenerates."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dec = "decimal(38,0)"
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast(dec)).alias("s1"),
+        F.sum((F.col("k") * F.col("k")).cast(dec)).alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * F.col("s1") / n) / (n - 1)
+    over = var > mean
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_users"),
+        F.round(mean, 6).alias("mean_k"),
+        F.round(var, 6).alias("var_k"),
+        over.cast("int").alias("overdispersed"),
+        F.round(F.when(over, mean * mean / (var - mean)), 6).alias("r_hat"),
+        F.round(F.when(over, mean / var), 6).alias("p_hat"),
+    )
