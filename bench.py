@@ -96,6 +96,12 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "text_kneser_ney_bigram_score",
     "stat_ridge_closed_form",
+    "sim_ann_ivfpq",
+    "events_kaplan_meier",
+    "text_stupid_backoff_score",
+    "doc_dataset_card_stats",
+    "doc_quality_rank_fusion",
+    "events_interval_overlap_join",
 ]
 
 
