@@ -2892,3 +2892,163 @@ def doc_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("borda").cast("long").alias("borda"),
         F.col("fused_rank").cast("long").alias("fused_rank"),
     )
+
+
+_BD_WORDS = 2080          # 2080 words x 63 usable bits = 131,040 bits
+_BD_HASHES = 3
+
+
+def _bd_hash_sql(i: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({i} AS VARCHAR) || '#' || g),"
+        f" 1, 12)) AS BIGINT) % {_BD_WORDS * 63}"
+    )
+
+
+@register(
+    "text_decontaminate_bloom",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 11)) AS u(i)
+    ),
+    e AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+    bits AS (
+      SELECT pos // 63 AS word, 1::BIGINT << (pos % 63) AS mask
+      FROM (
+        SELECT unnest([{", ".join(_bd_hash_sql(i) for i in range(_BD_HASHES))}]) AS pos
+        FROM e
+      )
+    ),
+    filt AS (SELECT word, bit_or(mask) AS bm FROM bits GROUP BY 1),
+    c AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50),
+    probes AS (
+      SELECT doc_id, g, pos // 63 AS word, 1::BIGINT << (pos % 63) AS mask
+      FROM (
+        SELECT doc_id, g,
+               unnest([{", ".join(_bd_hash_sql(i) for i in range(_BD_HASHES))}]) AS pos
+        FROM c
+      )
+    ),
+    hit AS (
+      SELECT p.doc_id, p.g,
+             CAST(bool_and(COALESCE(f.bm, 0) & p.mask <> 0) AS INT)
+               AS bloom_hit
+      FROM probes p LEFT JOIN filt f USING (word)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT h.doc_id, h.g, h.bloom_hit,
+             CAST(h.g IN (SELECT g FROM e) AS INT) AS true_hit
+      FROM hit h
+    )
+    SELECT doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_flagged,
+           CAST(SUM(true_hit) AS BIGINT) AS n_true_shared,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND true_hit = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM truth
+    GROUP BY doc_id
+    """,
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination (the Dolma mechanism): the eval
+    set's distinct 13-grams build a 131k-bit Bloom filter AS A FRAME
+    (one row per 63-bit word — the filter never concentrates on the
+    driver or a single row), and every corpus 13-gram probes it with
+    three md5-derived positions. The exact membership check runs
+    alongside, so the output carries the measured false-positive count
+    per document — the number that tells you whether the configured
+    bits/key budget is adequate BEFORE you trust the screen at 100 TB
+    (the exact join is the audit; in production only flagged docs pay
+    it). Scale shape: the filter frame broadcasts (~2 KB); corpus
+    grams stream map-side through the probe join; the per-gram
+    verdict is a 3-row bool_and."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    inst = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.when(
+                F.size("t") >= 13, F.sequence(F.lit(1), F.size("t") - 12)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("t"), F.col("i"), 13), " ").alias("g"),
+    )
+    grams = inst.distinct()
+    e = grams.filter(F.col("doc_id") < 50).select("g").distinct()
+
+    def positions(df):
+        pos = F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.lit(str(i)), F.col("g"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % (_BD_WORDS * 63)
+                    for i in range(_BD_HASHES)
+                ]
+            )
+        ).alias("pos")
+        return df.select("*", pos).select(
+            *df.columns,
+            (F.col("pos") / 63).cast("long").alias("word"),
+            # shiftleft's python wrapper only takes a literal shift —
+            # the SQL form accepts a column
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias(
+                "mask"
+            ),
+        )
+
+    filt = (
+        positions(e)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+    c = grams.filter(F.col("doc_id") >= 50)
+    hit = (
+        positions(c)
+        .join(F.broadcast(filt), "word", "left")
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min(
+                (
+                    F.coalesce(F.col("bm"), F.lit(0)).bitwiseAND(
+                        F.col("mask")
+                    )
+                    != 0
+                ).cast("int")
+            ).alias("bloom_hit")
+        )
+    )
+    truth = hit.join(
+        e.select(F.col("g"), F.lit(1).alias("true_hit")), "g", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("true_hit"), F.lit(0)).alias("true_hit"),
+    )
+    return truth.groupBy(F.col("doc_id").alias("corpus_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_flagged"),
+        F.sum("true_hit").cast("long").alias("n_true_shared"),
+        F.sum(
+            F.when((F.col("bloom_hit") == 1) & (F.col("true_hit") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )

@@ -309,3 +309,21 @@ def test_kcore_matches_python_peeling(spark):
     }
     assert got == dict(expect)
     assert got, "k=20 should leave a non-empty core at sf0.01"
+
+
+def test_bloom_decontaminate_never_misses_and_bounds_fp(spark):
+    """Bloom screening has NO false negatives by construction
+    (n_bloom_flagged >= n_true_shared per doc) and the corpus-wide
+    false-positive rate at 131k bits / 3 hashes must stay small."""
+    from irs_990_efiler_database_spark.queries.text_ops import (
+        text_decontaminate_bloom,
+    )
+
+    rows = text_decontaminate_bloom(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r["n_grams"] for r in rows)
+    fp = sum(r["n_false_pos"] for r in rows)
+    for r in rows:
+        assert r["n_bloom_flagged"] >= r["n_true_shared"]
+        assert r["n_false_pos"] == r["n_bloom_flagged"] - r["n_true_shared"]
+    assert fp / total < 0.05, f"FP rate {fp}/{total} exceeds 5%"
