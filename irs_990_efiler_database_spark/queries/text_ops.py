@@ -3052,3 +3052,72 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+@register(
+    "doc_length_kl_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             LEAST(len(string_split_regex(lower(trim(text)), '\\s+')) // 10,
+                   30) AS bin
+      FROM documents
+    ),
+    per AS (SELECT source, bin, COUNT(*) AS q FROM d GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(q) AS nq FROM per GROUP BY 1),
+    corp AS (SELECT bin, COUNT(*) AS p FROM d GROUP BY 1),
+    ctot AS (SELECT COUNT(*) AS np FROM d),
+    terms AS (
+      SELECT per.source,
+             CAST(round(
+               (CAST(per.q AS DOUBLE) / st.nq)
+               * ln((CAST(per.q AS DOUBLE) / st.nq)
+                    / (CAST(c.p AS DOUBLE) / ct.np)), 9)
+               AS DECIMAL(24,12)) AS t
+      FROM per
+      JOIN stot st USING (source)
+      JOIN corp c USING (bin)
+      CROSS JOIN ctot ct
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(SUM(t) AS DOUBLE), 6) AS kl_nats
+    FROM terms
+    GROUP BY source
+    """,
+)
+def doc_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift: KL(source || corpus) over
+    binned token counts (width-10 bins capped at 30) — the
+    one-number-per-source screen for 'does this source's document
+    shape diverge from the mix' that a curation pipeline tracks across
+    snapshots, complementing the value-distribution drift (KS/PSI) and
+    embedding drift (MMD) monitors. Bin histograms are two integer
+    aggregations; per-bin KL terms are fixed-order doubles rounded to
+    9 dp and decimal-accumulated, so each source's divergence is
+    order-free. Bins present in a source are present in the corpus by
+    containment, so no zero-denominator guard is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    binc = F.least(
+        (F.size(F.split(F.lower(F.trim("text")), r"\s+")) / 10).cast("long"),
+        F.lit(30),
+    )
+    base = d.select("source", binc.alias("bin"))
+    per = base.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("q"))
+    stot = per.groupBy("source").agg(F.sum("q").alias("nq"))
+    corp = base.groupBy("bin").agg(F.count(F.lit(1)).alias("p"))
+    ctot = base.agg(F.count(F.lit(1)).alias("np"))
+    qf = F.col("q").cast("double") / F.col("nq")
+    pf = F.col("p").cast("double") / F.col("np")
+    term = F.round(qf * F.log(qf / pf), 9).cast("decimal(24,12)")
+    return (
+        per.join(stot, "source")
+        .join(corp, "bin")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.round(F.sum("t").cast("double"), 6).alias("kl_nats"),
+        )
+    )
