@@ -3121,3 +3121,58 @@ def doc_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("t").cast("double"), 6).alias("kl_nats"),
         )
     )
+
+
+@register(
+    "doc_tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tok,
+             octet_length(encode(text)) AS n_bytes,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           round(CAST(SUM(n_tok) AS DOUBLE) / SUM(n_words), 6)
+             AS tokens_per_word,
+           round(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tok), 6)
+             AS bytes_per_token
+    FROM d
+    GROUP BY lang
+    """,
+)
+def doc_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility audit per language: tokens-per-word and
+    bytes-per-token under the GPT-2-style pretokenizer — the equity
+    metric a multilingual pipeline tracks (a language whose fertility
+    runs 2× pays twice the context budget and twice the training cost
+    for the same text; tokenizer papers report exactly this table).
+    One projection computing three integer lengths per document plus a
+    per-language aggregation of exact integer sums; the two ratios are
+    single fixed-order double divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias(
+            "n_tok"
+        ),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.sum("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_tok"), 6
+        ).alias("bytes_per_token"),
+    )
