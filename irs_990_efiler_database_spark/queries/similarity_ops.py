@@ -1358,3 +1358,190 @@ def sim_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("t2").cast("double"), 9).alias("mmd2"),
         F.round(F.sqrt(F.sum("t2").cast("double")), 9).alias("mmd"),
     )
+
+
+def _ivf_sweep_oracle() -> str:
+    per_np = []
+    sels = []
+    for np_ in (1, 2, 3):
+        per_np.append(f"""
+    probe{np_} AS (
+      SELECT vec_id AS query_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM ascore WHERE vec_id < 5
+      ) WHERE rn <= {np_}
+    ),
+    cand{np_} AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe{np_} p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+                   AND a.vec_id <> p.query_id
+    ),
+    rd{np_} AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(n.embedding[i] AS DOUBLE)
+                          AS DECIMAL(30,15))) AS DOUBLE)
+               / (sqrt(CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                                * CAST(q.embedding[i] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE))
+                  * sqrt(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                  * CAST(n.embedding[i] AS DOUBLE)
+                                  AS DECIMAL(30,15))) AS DOUBLE))), 6) AS cos
+      FROM cand{np_} d
+      JOIN embeddings q ON q.vec_id = d.query_id
+      JOIN embeddings n ON n.vec_id = d.neighbor_id,
+      unnest(generate_series(1, len(q.embedding))) AS t(i)
+      GROUP BY d.query_id, d.neighbor_id
+    ),
+    top{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rd{np_}
+      ) WHERE rank <= 3
+    ),
+    rec{np_} AS (
+      SELECT {np_} AS nprobe,
+             COUNT(*) AS n_exact,
+             COUNT(t.neighbor_id) AS n_hit,
+             (SELECT COUNT(*) FROM cand{np_}) AS n_candidates
+      FROM exact e
+      LEFT JOIN top{np_} t USING (query_id, neighbor_id)
+    )""")
+        sels.append(f"SELECT * FROM rec{np_}")
+    return (
+        "WITH "
+        + _SQL_IVF
+        + ","
+        + _SQL_DOTS.strip().lstrip("pairs AS").join([""])
+        + """
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                     ORDER BY s.cos DESC, s.neighbor_id) AS rank
+        FROM (
+          SELECT d.query_id, d.neighbor_id,
+                 round(CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                              * CAST(n.embedding[i] AS DOUBLE)
+                              AS DECIMAL(30,15))) AS DOUBLE)
+                   / (sqrt(CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                                    * CAST(q.embedding[i] AS DOUBLE)
+                                    AS DECIMAL(30,15))) AS DOUBLE))
+                      * sqrt(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                      * CAST(n.embedding[i] AS DOUBLE)
+                                      AS DECIMAL(30,15))) AS DOUBLE))), 6)
+                   AS cos
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+          ) d
+          JOIN embeddings q ON q.vec_id = d.query_id
+          JOIN embeddings n ON n.vec_id = d.neighbor_id,
+          unnest(generate_series(1, len(q.embedding))) AS t(i)
+          GROUP BY d.query_id, d.neighbor_id
+        ) s
+      ) WHERE rank <= 3
+    ),"""
+        + ",".join(per_np)
+        + f""",
+    uni AS ({" UNION ALL ".join(sels)})
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall_at_3,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM uni
+    """
+    )
+
+
+@register("sim_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning sweep: recall@3 against the exact cosine top-3 AND
+    candidate volume for nprobe = 1, 2, 3 — the three-row table an ANN
+    deployment reads to pick its recall/cost point (the
+    fdedup_lsh_param_sweep twin on the IVF side). Reuses the shared
+    assignment for all probe depths; each sweep point is the standard
+    ivf_topk plan plus one membership join against the exact top-3."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, k=3).select("query_id", "neighbor_id")
+    outs = []
+    for np_ in (1, 2, 3):
+        ann = ivf_topk(e, q, k=3, n_centroids=8, nprobe=np_).select(
+            "query_id", F.col("neighbor_id").alias("ann_neighbor")
+        )
+        outs.append(
+            exact.join(
+                ann,
+                (exact.query_id == ann.query_id)
+                & (exact.neighbor_id == ann.ann_neighbor),
+                "left",
+            )
+            .select(exact.query_id, "neighbor_id", "ann_neighbor")
+            .agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("ann_neighbor").cast("long").alias("n_hit"),
+            )
+        )
+    from functools import reduce
+
+    swept = reduce(lambda a, b: a.unionByName(b), outs)
+    # candidate counts per nprobe from one shared assignment frame
+    from ..operators.similarity import _collect_centroids, _pick_assign_fn
+
+    cent_rows = _collect_centroids(e, 8, "vec_id", "embedding")
+    assigned = _pick_assign_fn(cent_rows, "auto")(
+        e, cent_rows, "vec_id", "embedding"
+    ).select("id", "centroid_id")
+    cent_df = e.sparkSession.createDataFrame(
+        [(int(c), list(v)) for c, v, _ in sorted(cent_rows)], ["cid", "cv"]
+    )
+    from ..operators.similarity import cosine
+
+    qs = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "cid")
+    pr = qs.withColumn("prn", F.row_number().over(wp))
+    cands = []
+    for np_ in (1, 2, 3):
+        cands.append(
+            pr.filter(F.col("prn") <= np_)
+            .join(
+                assigned,
+                (assigned.centroid_id == pr.cid)
+                & (assigned.id != pr.query_id),
+            )
+            .agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            )
+        )
+    candf = reduce(lambda a, b: a.unionByName(b), cands)
+    return swept.join(candf, "nprobe").select(
+        "nprobe",
+        "n_exact",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias(
+            "recall_at_3"
+        ),
+        "n_candidates",
+    )
