@@ -1578,3 +1578,144 @@ def fdedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
         )
     )
+
+
+@register(
+    "match_fellegi_sunter",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 100.0) AS BIGINT) AS balb
+      FROM customer
+    ),
+    nfrq AS (SELECT nat, COUNT(*) AS cnt FROM c GROUP BY nat),
+    sfrq AS (SELECT seg, COUNT(*) AS cnt FROM c GROUP BY seg),
+    u AS (
+      SELECT (SELECT COUNT(*) FROM c) AS n,
+             (SELECT SUM(cnt * cnt) FROM nfrq) AS ssq_nat,
+             (SELECT SUM(cnt * cnt) FROM sfrq) AS ssq_seg
+    ),
+    ok AS (
+      SELECT balb FROM c GROUP BY balb HAVING COUNT(*) <= 1000
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS agree_nat,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg
+      FROM c a JOIN ok USING (balb) JOIN c b
+        ON a.balb = b.balb AND a.c_custkey < b.c_custkey
+    ),
+    pat AS (
+      SELECT agree_nat, agree_seg, COUNT(*) AS n_pairs
+      FROM pairs GROUP BY agree_nat, agree_seg
+    )
+    SELECT CAST(agree_nat AS INTEGER) AS agree_nat,
+           CAST(agree_seg AS INTEGER) AS agree_seg,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(ssq_nat AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS u_nat,
+           round(CAST(ssq_seg AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS u_seg,
+           round(
+             (CASE WHEN agree_nat = 1
+               THEN log2(0.95 / round(CAST(ssq_nat AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9))
+               ELSE log2(0.05 / (1.0 - round(CAST(ssq_nat AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)))
+              END)
+             + (CASE WHEN agree_seg = 1
+               THEN log2(0.95 / round(CAST(ssq_seg AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9))
+               ELSE log2(0.05 / (1.0 - round(CAST(ssq_seg AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)))
+              END), 6) AS pattern_weight
+    FROM pat, u
+    """,
+)
+def match_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter (1969) probabilistic record-linkage weights: the
+    agreement-pattern table for balance-bucket-blocked customer pairs,
+    scored with log2(m/u) per agreeing field and log2((1−m)/(1−u)) per
+    disagreeing field. The u-probabilities (chance agreement between
+    NON-matches) come from the data exactly — u_f = Σ_v cnt_v² / N²,
+    the collision probability of the field's empirical distribution —
+    while m is the standard declared prior (0.95); the pattern weight
+    is the evidence (in bits) a pair's agreement vector contributes
+    toward match status. This is the scoring layer the blocked /
+    multipass linkage queries feed in a production linkage pipeline
+    (reference context: the 990 ecosystem's org-name matching).
+
+    Determinism: u-probabilities are one double division of exact
+    integer sums ROUNDED to 9 places before entering log2, and the
+    weight expression has one fixed operation order, so the doubles
+    hash identically on both engines. Scale shape: two vocab-bounded
+    frequency aggregations + a 1-row u-frame broadcast; candidate
+    pairs are block-bounded (``cap_hot_buckets`` on the balance
+    bucket, same cap in the oracle) and collapse immediately to a
+    ≤4-row pattern aggregate — the pair frame never materializes
+    wider than (agree, agree)."""
+    from ..operators.dedup import cap_hot_buckets
+
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100.0).cast("long").alias("balb"),
+    )
+    n1 = c.agg(F.count(F.lit(1)).alias("n"))
+    ssq_nat = (
+        c.groupBy("nat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ssq_nat"))
+    )
+    ssq_seg = (
+        c.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ssq_seg"))
+    )
+    u = n1.crossJoin(ssq_nat).crossJoin(ssq_seg)
+
+    capped = cap_hot_buckets(c, ["balb"], 1000)
+    a = capped.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("nat").alias("nat_a"),
+        F.col("seg").alias("seg_a"),
+        "balb",
+    )
+    b = capped.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("nat").alias("nat_b"),
+        F.col("seg").alias("seg_b"),
+        "balb",
+    )
+    pat = (
+        a.join(b, "balb")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.when(F.col("nat_a") == F.col("nat_b"), 1)
+            .otherwise(0)
+            .alias("agree_nat"),
+            F.when(F.col("seg_a") == F.col("seg_b"), 1)
+            .otherwise(0)
+            .alias("agree_seg"),
+        )
+        .groupBy("agree_nat", "agree_seg")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    nd = F.col("n").cast("double")
+    u_nat = F.round(F.col("ssq_nat").cast("double") / (nd * nd), 9)
+    u_seg = F.round(F.col("ssq_seg").cast("double") / (nd * nd), 9)
+    w_nat = F.when(F.col("agree_nat") == 1, F.log2(0.95 / u_nat)).otherwise(
+        F.log2(0.05 / (1.0 - u_nat))
+    )
+    w_seg = F.when(F.col("agree_seg") == 1, F.log2(0.95 / u_seg)).otherwise(
+        F.log2(0.05 / (1.0 - u_seg))
+    )
+    return pat.crossJoin(F.broadcast(u)).select(
+        F.col("agree_nat").cast("int").alias("agree_nat"),
+        F.col("agree_seg").cast("int").alias("agree_seg"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        u_nat.alias("u_nat"),
+        u_seg.alias("u_seg"),
+        F.round(w_nat + w_seg, 6).alias("pattern_weight"),
+    )

@@ -1545,3 +1545,97 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_candidates",
     )
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv,
+             c.vec_id AS neighbor_id, c.embedding AS cv,
+             c.label AS neg_label
+      FROM embeddings q
+      JOIN embeddings c
+        ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+       AND c.label <> q.label
+    ),
+    dots AS (
+      SELECT query_id, neighbor_id, neg_label,
+             SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot,
+             SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS qq,
+             SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS cc
+      FROM pairs, unnest(generate_series(1, len(qv))) AS t(i)
+      GROUP BY query_id, neighbor_id, neg_label
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, neg_label,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+               AS cos
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, neg_label, rank, cos
+    FROM (
+      SELECT query_id, neighbor_id, neg_label, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor vector, the top-5 most-cosine-similar vectors whose
+    LABEL DIFFERS — the near-miss negatives that make a contrastive
+    batch informative (random negatives are trivially separable; the
+    training-data pipelines behind retrieval models mine these against
+    the full corpus per epoch).
+
+    Scale shape: identical to the brute-force cosine baseline — the
+    anchor set broadcasts, the corpus is scored per partition with
+    zero shuffle, and the label-mismatch filter runs BEFORE ranking so
+    same-label rows never reach the window; the top-5 per anchor is a
+    bounded rank over the broadcast-join output. The IVF/LSH bucketed
+    paths drop in unchanged when the corpus outgrows brute force (the
+    mining loop is the same query with ``ivf_topk`` as the scorer)."""
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            # rounded BEFORE ranking (same rationale as cosine_topk):
+            # the decimal dot is exact; only the final double division
+            # can drift ~1e-13 across engines
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cos")
+    )

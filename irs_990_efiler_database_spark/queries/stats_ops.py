@@ -2030,3 +2030,110 @@ def stat_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(over, mean * mean / (var - mean)), 6).alias("r_hat"),
         F.round(F.when(over, mean / var), 6).alias("p_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability bins + expected calibration error
+# ---------------------------------------------------------------------------
+
+_ECE_STOPWORDS = ("the", "a", "of", "to", "and", "in", "for", "is")
+
+
+@register(
+    "stat_calibration_ece",
+    oracle=f"""
+    WITH t AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    s AS (
+      SELECT y, len(tk) AS n,
+             len(list_filter(tk,
+               x -> x IN {str(tuple(_ECE_STOPWORDS))})) AS sw
+      FROM t
+    ),
+    p AS (
+      SELECT y,
+             least(greatest(1000 + (25000 * sw) // n, 0), 9999) AS pu
+      FROM s
+    ),
+    bins AS (
+      SELECT pu // 1000 AS bin, COUNT(*) AS n_docs,
+             SUM(pu) AS sum_p, SUM(y) AS sum_y
+      FROM p GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_docs) AS nn,
+             SUM(abs(10000 * sum_y - sum_p)) AS gg
+      FROM bins
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_p AS DOUBLE) / (10000.0 * n_docs) AS conf,
+           CAST(sum_y AS DOUBLE) / n_docs AS acc,
+           CAST(abs(10000 * sum_y - sum_p) AS DOUBLE)
+             / (10000.0 * n_docs) AS gap,
+           CAST(gg AS DOUBLE) / (10000.0 * nn) AS ece
+    FROM bins, tot
+    """,
+)
+def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit: 10-bin reliability table +
+    Expected Calibration Error for a deterministic stopword-ratio
+    language scorer (p(en) in 1e-4 units, hard-clamped linear link —
+    the same integer-exact scoring discipline as the signSGD
+    classifier). A quality / language / toxicity filter that gates
+    training data MUST be calibrated — a filter that says 0.9 and is
+    right 60% of the time silently skews the kept corpus — and ECE is
+    the standard one-number audit (Guo et al. 2017).
+
+    Every per-bin quantity is an exact integer aggregate (confidence
+    sums in 1e-4 units, label sums, |10000·Σy − Σp| per bin), so the
+    table is bit-identical on any partitioning; the only doubles are
+    one final division per output column. ECE folds the per-bin
+    integer gaps through ONE division — order-free by construction.
+    Scale shape: one map-side-combined 10-group aggregation over the
+    corpus + a broadcast 1-row total; no shuffle wider than 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.split(F.lower(F.trim("text")), r"\s+").alias("tk"),
+    )
+    # two-projection build: tk materializes as an attribute before the
+    # filter lambda touches it (gate-(d): literals + lambda var only)
+    s = toks.select(
+        "y",
+        F.size("tk").alias("n"),
+        F.size(
+            F.filter(F.col("tk"), lambda x: x.isin(*_ECE_STOPWORDS))
+        ).alias("sw"),
+    )
+    pu = F.least(
+        F.greatest(
+            F.lit(1000) + F.expr("(25000 * sw) div n").cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(9999).cast("long"),
+    )
+    p = s.select("y", pu.alias("pu"))
+    bins = p.groupBy(F.expr("pu div 1000").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pu").alias("sum_p"),
+        F.sum("y").alias("sum_y"),
+    )
+    gap_int = F.abs(10000 * F.col("sum_y") - F.col("sum_p"))
+    tot = bins.agg(
+        F.sum("n_docs").alias("nn"), F.sum(gap_int).alias("gg")
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("sum_p").cast("double") / (F.lit(10000.0) * F.col("n_docs")))
+        .alias("conf"),
+        (F.col("sum_y").cast("double") / F.col("n_docs")).alias("acc"),
+        (gap_int.cast("double") / (F.lit(10000.0) * F.col("n_docs")))
+        .alias("gap"),
+        (F.col("gg").cast("double") / (F.lit(10000.0) * F.col("nn")))
+        .alias("ece"),
+    )
