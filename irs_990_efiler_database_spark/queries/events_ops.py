@@ -2927,3 +2927,83 @@ def events_interval_overlap_join(
         )
     )
     return pairs
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS gap
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             SUM(CAST(gap AS HUGEINT)) AS s,
+             SUM(CAST(gap AS HUGEINT) * gap) AS ss
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(s AS DOUBLE) / n_gaps AS mean_gap_us,
+           (n_gaps * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS cv2,
+           CAST(CASE WHEN n_gaps >= 20 AND
+                  (n_gaps * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    < 0.05 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+    FROM m
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation detection by inter-arrival regularity: per
+    user, the squared coefficient of variation of the gaps between
+    consecutive events — genuine humans are bursty (cv² ≈ 1 for a
+    Poisson process, higher with sessions), schedulers and scrapers
+    are metronomic (cv² → 0). A training-data pipeline runs this
+    before trusting user-generated text: content from near-periodic
+    accounts is machine-emitted. Flag = ≥ 20 gaps AND cv² < 0.05.
+
+    Determinism: gap moments accumulate as DECIMAL/HUGEINT integers
+    (µs gaps squared overflow a 64-bit long at production event
+    volumes); cv² is one fixed-order double expression of those exact
+    integers, and the flag compares the SAME doubles on both engines.
+    Scale shape: one lag window PARTITIONED BY user (bounded per
+    user), then a map-side-combined per-user aggregation — no global
+    sort, no unbounded state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(19,0)")
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(gd).alias("s"),
+        F.sum(gd * gd).alias("ss"),
+    )
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    num = F.col("n_gaps") * ssd - sd * sd
+    return m.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        (sd / F.col("n_gaps")).alias("mean_gap_us"),
+        (num / (sd * sd)).alias("cv2"),
+        F.when(
+            (F.col("n_gaps") >= 20) & (num < 0.05 * sd * sd), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_bot"),
+    )
