@@ -2137,134 +2137,3 @@ def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gg").cast("double") / (F.lit(10000.0) * F.col("nn")))
         .alias("ece"),
     )
-
-
-# ---------------------------------------------------------------------------
-# One-pass deterministic Poisson bootstrap
-# ---------------------------------------------------------------------------
-
-_BOOT_B = 32
-# Poisson(1) CDF thresholds in u32 units (floor(cdf(k) * 2^32)): a
-# uniform 32-bit hash value maps to a replicate weight w ∈ {0..4} with
-# P(w=k) = e^-1/k! (tail mass folded into w=4). E[w]=1, Var[w]≈1 — the
-# Poisson bootstrap (Chamandy et al. 2012), the only bootstrap that
-# needs NO resampling shuffle: each row draws its own per-replicate
-# weight from a hash, so one corpus pass serves every replicate.
-_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783)
-
-
-def _boot_case_sql(u: str) -> str:
-    t = _BOOT_T
-    return (
-        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
-        f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 ELSE 4 END"
-    )
-
-
-@register(
-    "stat_bootstrap_ci",
-    oracle=f"""
-    WITH o AS (
-      SELECT o_orderkey AS k,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
-      FROM orders
-    ),
-    r AS (SELECT b FROM unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)),
-    ws AS (
-      SELECT b, pc,
-             {_boot_case_sql(
-                 "CAST(concat('0x', substring(md5(concat("
-                 "CAST(k AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8)) "
-                 "AS BIGINT)"
-             )} AS w
-      FROM o, r
-    ),
-    reps AS (
-      SELECT b, SUM(CAST(w AS HUGEINT) * pc) AS s, SUM(w) AS wsum
-      FROM ws GROUP BY b
-    ),
-    means AS (
-      SELECT CAST(b AS INTEGER) AS b, CAST(wsum AS BIGINT) AS n_eff,
-             CAST(s AS DOUBLE) / (100.0 * wsum) AS boot_mean
-      FROM reps
-    ),
-    ranked AS (
-      SELECT b, boot_mean,
-             ROW_NUMBER() OVER (ORDER BY boot_mean, b) AS ra,
-             ROW_NUMBER() OVER (ORDER BY boot_mean DESC, b DESC) AS rd
-      FROM means
-    ),
-    ci AS (
-      SELECT MAX(CASE WHEN ra = 2 THEN boot_mean END) AS ci_lo,
-             MAX(CASE WHEN rd = 2 THEN boot_mean END) AS ci_hi
-      FROM ranked
-    )
-    SELECT b, n_eff, boot_mean, ci_lo, ci_hi FROM means, ci
-    """,
-)
-def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bootstrap confidence interval for the mean order price via the
-    ONE-PASS deterministic Poisson bootstrap: every row draws a
-    Poisson(1)-distributed weight per replicate from md5(key:b), so
-    all {_BOOT_B} replicates accumulate in a single scan with
-    map-side-combined conditional sums — no resampling shuffle, no row
-    inflation, and the replicate means are bit-reproducible on any
-    partitioning (the property classical sample()-based bootstraps
-    lose the moment the cluster re-partitions). CI = the 2nd-smallest
-    / 2nd-largest of the {_BOOT_B} replicate means (a ~94% interval).
-
-    Scale shape: one corpus pass computing 2·B integer aggregates
-    (weighted cent sums in DECIMAL(38), weight totals), a 1-row
-    all-replicate frame unpivoted to B rows, and a B-row bounded
-    ranking — the corpus is never shuffled at all."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("string").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
-    )
-    t = _BOOT_T
-    aggs = []
-    for b in range(_BOOT_B):
-        u = F.conv(
-            F.substring(F.md5(F.concat(F.col("k"), F.lit(f":{b}"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        w = (
-            F.when(u < t[0], 0)
-            .when(u < t[1], 1)
-            .when(u < t[2], 2)
-            .when(u < t[3], 3)
-            .otherwise(4)
-        )
-        aggs.append(
-            F.sum((w * F.col("pc")).cast("decimal(38,0)")).alias(f"s{b}")
-        )
-        aggs.append(F.sum(w).cast("long").alias(f"w{b}"))
-    one = o.agg(*aggs)
-    stack_args = ", ".join(f"{b}, s{b}, w{b}" for b in range(_BOOT_B))
-    means = one.select(
-        F.expr(f"stack({_BOOT_B}, {stack_args}) AS (b, s, wsum)")
-    ).select(
-        F.col("b").cast("int").alias("b"),
-        F.col("wsum").cast("long").alias("n_eff"),
-        (F.col("s").cast("double") / (F.lit(100.0) * F.col("wsum"))).alias(
-            "boot_mean"
-        ),
-    )
-    # bounded-window: exactly _BOOT_B (=32) replicate rows reach this rank
-    wa = Window.orderBy("boot_mean", "b")
-    # bounded-window: exactly _BOOT_B (=32) replicate rows reach this rank
-    wd = Window.orderBy(F.col("boot_mean").desc(), F.col("b").desc())
-    ranked = means.select(
-        "b",
-        "boot_mean",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wd).alias("rd"),
-    )
-    ci = ranked.agg(
-        F.max(F.when(F.col("ra") == 2, F.col("boot_mean"))).alias("ci_lo"),
-        F.max(F.when(F.col("rd") == 2, F.col("boot_mean"))).alias("ci_hi"),
-    )
-    return means.crossJoin(F.broadcast(ci)).select(
-        "b", "n_eff", "boot_mean", "ci_lo", "ci_hi"
-    )
