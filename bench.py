@@ -102,6 +102,10 @@ HEADLINE = [
     "doc_dataset_card_stats",
     "doc_quality_rank_fusion",
     "events_interval_overlap_join",
+    "sim_hard_negative_mining",
+    "stat_calibration_ece",
+    "match_fellegi_sunter",
+    "events_bot_regularity",
 ]
 
 
