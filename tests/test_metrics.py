@@ -57,3 +57,38 @@ def test_observe_quality_metrics_ride_the_write(spark, tmp_path):
     assert got["n_rows"] == 4
     assert got["null_id"] == 0
     assert got["null_name"] == 2
+
+
+def test_bot_regularity_flags_metronomic_user(spark, tmp_path):
+    """A synthetic exactly-periodic user must be flagged (cv² = 0) and
+    a bursty user must not; cv² is non-negative by construction."""
+    import datetime as dt
+
+    from irs_990_efiler_database_spark.queries.events_ops import (
+        events_bot_regularity,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(30):  # bot: exact 60 s metronome
+        rows.append((eid, base + dt.timedelta(seconds=60 * i), 1, "click", 0.0, "{}"))
+        eid += 1
+    gaps = [1, 50, 3, 400, 7, 900, 2, 120, 30, 1000] * 3  # human: bursty
+    t = base
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        rows.append((eid, t, 2, "click", 0.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # events_bot_regularity loads <sf_dir>/events.parquet
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    res = {
+        r.user_id: r
+        for r in events_bot_regularity(spark, str(tmp_path)).collect()
+    }
+    assert res[1].is_bot == 1 and abs(res[1].cv2) < 1e-12
+    assert res[2].is_bot == 0 and res[2].cv2 > 0.05
+    assert all(r.cv2 >= -1e-12 for r in res.values())

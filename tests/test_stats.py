@@ -515,3 +515,46 @@ def test_diff_in_diff_matches_direct_computation(spark):
     assert got["n"] == len(rows)
     assert abs(got["did_estimate"] - did) < 1e-4
     assert abs(got["se"] - se) < 1e-4
+
+
+def test_calibration_ece_is_gap_mixture(spark):
+    """ECE must equal the n-weighted mean of the per-bin |acc − conf|
+    gaps, every bin must be internally consistent (conf within the
+    bin's 1e-3 probability span, acc ∈ [0,1]), and bin counts must
+    cover the corpus exactly once."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_calibration_ece,
+    )
+
+    rows = stat_calibration_ece(spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    assert n_total == n_docs
+    mixture = sum(r.n_docs * r.gap for r in rows) / n_total
+    assert abs(mixture - rows[0].ece) < 1e-12
+    for r in rows:
+        assert 0.0 <= r.acc <= 1.0
+        assert r.bin * 0.1 <= r.conf < (r.bin + 1) * 0.1 + 1e-12
+        assert abs(abs(r.acc - r.conf) - r.gap) < 1e-12
+
+
+def test_fellegi_sunter_full_agreement_outweighs_all(spark):
+    """The all-agree pattern must carry the strictly largest weight
+    and the all-disagree pattern the strictly smallest (log2(m/u) >
+    log2((1-m)/(1-u)) whenever m > u, which data-exact u-probabilities
+    guarantee here); u-probabilities are valid probabilities."""
+    from irs_990_efiler_database_spark.queries.dedup_ops import (
+        match_fellegi_sunter,
+    )
+
+    rows = match_fellegi_sunter(spark, SF_DIR).collect()
+    assert rows
+    by_pat = {(r.agree_nat, r.agree_seg): r.pattern_weight for r in rows}
+    assert 0.0 < rows[0].u_nat < 1.0 and 0.0 < rows[0].u_seg < 1.0
+    if (1, 1) in by_pat:
+        assert by_pat[(1, 1)] == max(by_pat.values())
+    if (0, 0) in by_pat:
+        assert by_pat[(0, 0)] == min(by_pat.values())
