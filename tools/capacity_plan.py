@@ -1,0 +1,184 @@
+"""100-TB capacity plan from MEASURED quantities — the extrapolation a
+platform team writes before committing a workload to a cluster, with
+every input measured on this repo's own feedback loops rather than
+asserted:
+
+- per-family shuffle ratio (shuffled bytes / input bytes) from the
+  executed plan's SQLMetrics at sf0.1 (same machinery as
+  tools/shuffle_budget.py);
+- per-family wall-time slope between sf0.01 and sf0.1 (same
+  interleaved best-of-2 protocol as tools/bench_slope.py), converted
+  to a cost exponent ln(time_ratio)/ln(data_ratio);
+- a declared commodity cluster model (constants below).
+
+For each family at TARGET input bytes it reports the three candidate
+bottlenecks and which one binds:
+
+  scan_min    = target / (nodes * scan_bw)            — I/O floor
+  shuffle_min = 2 * ratio * target / (nodes * nic_bw) — network cost
+                (×2: shuffle bytes cross the network on write AND read)
+  cpu_min     = measured core-seconds at sf0.1, scaled by
+                (target/input)^max(exponent, 1) over the cluster's
+                cores — the slope is FLOORED AT LINEAR for the
+                extrapolation: a 10× window can read sub-linear purely
+                from fixed overhead amortization, and a capacity plan
+                must not bank on that continuing for 6 more decades of
+                scale.
+
+Usage: python tools/capacity_plan.py [--quick]
+(--quick runs each timing once instead of best-of-2)
+Prints a markdown table (paste into BENCH_NOTES.md) + one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+# --- declared cluster model (the ONLY non-measured inputs) ---------------
+NODES = 250  # commodity nodes
+CORES_PER_NODE = 32  # 8,000 cores total
+SCAN_BW = 2.0e9  # bytes/s effective parquet scan per node (S3/HDFS)
+NIC_BW = 3.125e9  # bytes/s per node (25 GbE)
+TARGET = 100e12  # 100 TB of the family's own input tables
+
+LOCAL_CORES = 32  # the measurement host (local[32])
+
+# family label -> (query, input tables)
+FAMILIES = {
+    "minhash-LSH pairs": ("fdedup_minhash_pairs", ["documents"]),
+    "exact-substring spans": (
+        "fdedup_exact_substring_spans",
+        ["documents"],
+    ),
+    "boilerplate ngrams": ("text_boilerplate_ngrams", ["documents"]),
+    "signSGD classifier": ("stat_signgd_text_classifier", ["documents"]),
+    "IVF-PQ ANN": ("sim_ann_ivfpq", ["embeddings"]),
+    "triangle count": ("graph_triangle_count", ["events"]),
+    "RFM segmentation": ("events_rfm_segmentation", ["events"]),
+    "TPC-H Q1 aggregation": ("q1_pricing_summary", ["lineitem"]),
+}
+
+
+def _input_bytes(sf_dir: str, tables: list[str]) -> int:
+    total = 0
+    for t in tables:
+        p = Path(sf_dir) / f"{t}.parquet"
+        total += (
+            sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+            if p.is_dir()
+            else p.stat().st_size
+        )
+    return total
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return dt
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv[1:]
+    reps = 1 if quick else 2
+    from irs_990_efiler_database_spark.caching import release_cached
+    from irs_990_efiler_database_spark.plans.metrics import (
+        summarize_execution,
+    )
+    from irs_990_efiler_database_spark.queries import all_queries
+    from irs_990_efiler_database_spark.session import get_spark
+
+    spark = get_spark("capacity_plan")
+    qs = all_queries()
+    rows = []
+    out = {}
+    for label, (qname, tables) in FAMILIES.items():
+        fn = qs[qname]
+        _time_query(spark, fn, SF_SMALL)  # warm codegen/JIT once
+        ta = tb = float("inf")
+        for _ in range(reps):
+            ta = min(ta, _time_query(spark, fn, SF_SMALL))
+            tb = min(tb, _time_query(spark, fn, SF_BIG))
+        inp_small = _input_bytes(SF_SMALL, tables)
+        inp_big = _input_bytes(SF_BIG, tables)
+        data_ratio = inp_big / inp_small
+        exponent = math.log(tb / ta) / math.log(data_ratio)
+
+        # shuffle ratio from the executed sf0.1 plan (collect so the
+        # SQLMetrics live on THIS frame; results are aggregates)
+        df = fn(spark, SF_BIG)
+        df.collect()
+        m = summarize_execution(df)
+        release_cached()
+        spark.catalog.clearCache()
+        ratio = m.shuffle_bytes_written / inp_big
+
+        scale = TARGET / inp_big
+        scan_min = TARGET / (NODES * SCAN_BW) / 60
+        shuffle_min = 2 * ratio * TARGET / (NODES * NIC_BW) / 60
+        core_sec_big = tb * LOCAL_CORES
+        cpu_min = (
+            core_sec_big
+            * scale ** max(exponent, 1.0)
+            / (NODES * CORES_PER_NODE)
+            / 60
+        )
+        bound = max(
+            ("scan", scan_min), ("shuffle", shuffle_min), ("cpu", cpu_min),
+            key=lambda kv: kv[1],
+        )
+        rows.append(
+            f"| {label} | {ratio:.3f} | {exponent:.2f} "
+            f"| {scan_min:.0f} | {shuffle_min:.0f} | {cpu_min:.0f} "
+            f"| {bound[0]}-bound ~{bound[1]:.0f} min |"
+        )
+        out[qname] = {
+            "shuffle_ratio": round(ratio, 4),
+            "exponent": round(exponent, 3),
+            "scan_min": round(scan_min, 1),
+            "shuffle_min": round(shuffle_min, 1),
+            "cpu_min": round(cpu_min, 1),
+            "bound": bound[0],
+        }
+
+    print(
+        f"Cluster model: {NODES} nodes x {CORES_PER_NODE} cores, "
+        f"{SCAN_BW/1e9:.0f} GB/s scan + {NIC_BW*8/1e9:.0f} Gb/s NIC per "
+        f"node; target = 100 TB of each family's own input."
+    )
+    print()
+    print(
+        "| family | shuffle ratio | slope exp | scan min | shuffle min "
+        "| cpu min | binding |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(r)
+    print()
+    print(
+        json.dumps(
+            {
+                "metric": "capacity_plan_100tb",
+                "nodes": NODES,
+                "cores": NODES * CORES_PER_NODE,
+                "families": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
