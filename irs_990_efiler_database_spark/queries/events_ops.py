@@ -3007,3 +3007,46 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_bot"),
     )
+
+
+@register(
+    "events_variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS BIGINT)) AS BIGINT) AS k_distinct,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through Spark 4's VARIANT type: the JSON
+    payload parses ONCE into the binary variant encoding
+    (``parse_json``) and fields are extracted with typed
+    ``variant_get`` paths — the schema-flexible sibling of
+    ``events_json_props_rollup``'s fixed-schema ``from_json``. At
+    100 TB this is the difference that matters: variant shreds into a
+    columnar binary form at write time (no re-tokenizing the JSON text
+    per query, no schema declared up front), extraction is a codegen'd
+    path lookup, and NEW payload keys arrive without a migration.
+    Plan shape: parse + extract fuse into the scan projection; one
+    (type, partials) aggregation shuffle; the distinct-count is the
+    only expansion and is keyed by (type, k) — bounded by the true
+    cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("k").cast("long").alias("k_distinct"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+        )
+    )
