@@ -2137,3 +2137,151 @@ def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gg").cast("double") / (F.lit(10000.0) * F.col("nn")))
         .alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple-testing control: Benjamini-Hochberg step-up FDR
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf approximation constants (|err| < 1.5e-7)
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_BH_ALPHA = 0.05
+
+
+def _erfc_sql(x: str) -> str:
+    """erfc(x) for x >= 0 as a fixed-order Horner polynomial — the SAME
+    arithmetic Spark runs, so the p-values agree bit-for-bit (neither
+    engine ships erfc; both ship IEEE exp/sqrt)."""
+    a1, a2, a3, a4, a5 = _AS_A
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = f"({t} * ({a1} + {t} * ({a2} + {t} * ({a3} + {t} * ({a4} + {t} * {a5})))))"
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+@register(
+    "stat_bh_fdr",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_nationkey AS nat,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hot
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT nat, COUNT(*) AS n, SUM(hot) AS h FROM j GROUP BY nat),
+    tot AS (SELECT SUM(n) AS nn, SUM(h) AS hh, COUNT(*) AS m FROM g),
+    zc AS (
+      SELECT nat, n, h, m,
+             (CAST(h AS DOUBLE) / n - CAST(hh AS DOUBLE) / nn)
+               / sqrt((CAST(hh AS DOUBLE) / nn)
+                      * (1.0 - CAST(hh AS DOUBLE) / nn) / n) AS z
+      FROM g, tot
+    ),
+    pv AS (
+      SELECT nat, n, h, m, z,
+             round({_erfc_sql("(abs(z) / sqrt(2.0))")}, 9) AS p
+      FROM zc
+    ),
+    r AS (
+      SELECT nat, n, h, m, z, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, nat) AS BIGINT) AS p_rank
+      FROM pv
+    ),
+    mk AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= p_rank * {_BH_ALPHA} / m
+                                THEN p_rank END), 0) AS kmax
+      FROM r
+    )
+    SELECT nat AS nation_key,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(h AS BIGINT) AS n_hot,
+           z, p, p_rank,
+           CAST(CASE WHEN p_rank <= kmax THEN 1 ELSE 0 END AS INTEGER)
+             AS rejected
+    FROM r, mk
+    """,
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a FAMILY of
+    hypothesis tests — the multiple-testing layer every per-group
+    drift/imbalance screen needs: 25 per-nation two-sided proportion
+    z-tests (urgent+high order share vs the global share) produce 25
+    p-values, and testing each at alpha alone would expect ~1.25 false
+    alarms per sweep; BH rejects the largest prefix of the sorted
+    p-values with p_(k) <= k/m * alpha, bounding the false-discovery
+    RATE at alpha (Benjamini & Hochberg 1995).
+
+    Determinism: z comes from exact integer counts through IEEE
+    division/sqrt (bit-identical on both engines); the normal tail
+    probability is the Abramowitz-Stegun 7.1.26 polynomial in
+    IDENTICAL Horner order on both engines (neither ships erfc),
+    rounded once to 9 places. Scale shape: one groups aggregation, a
+    broadcast 1-row total, and ranking over the m-row test family —
+    the corpus is touched once; the window is bounded by m, not by
+    data volume."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("hot"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    g = (
+        o.join(c, "o_custkey")
+        .groupBy("nat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hot").alias("h"))
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("h").alias("hh"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ph = F.col("hh").cast("double") / F.col("nn")
+    z = (F.col("h").cast("double") / F.col("n") - ph) / F.sqrt(
+        ph * (F.lit(1.0) - ph) / F.col("n")
+    )
+    zc = g.crossJoin(F.broadcast(tot)).select(
+        "nat", "n", "h", "m", z.alias("z")
+    )
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    a1, a2, a3, a4, a5 = _AS_A
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = t * (
+        F.lit(a1)
+        + t * (F.lit(a2) + t * (F.lit(a3) + t * (F.lit(a4) + t * F.lit(a5))))
+    )
+    pv = zc.select(
+        "nat", "n", "h", "m", "z",
+        F.round(poly * F.exp(-x * x), 9).alias("p"),
+    )
+    # bounded-window: one row per hypothesis test (m = nation count)
+    wr = Window.orderBy("p", "nat")
+    r = pv.select(
+        "nat", "n", "h", "m", "z", "p",
+        F.row_number().over(wr).cast("long").alias("p_rank"),
+    )
+    mk = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= F.col("p_rank") * F.lit(_BH_ALPHA) / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return r.crossJoin(F.broadcast(mk)).select(
+        F.col("nat").alias("nation_key"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("h").cast("long").alias("n_hot"),
+        "z", "p", "p_rank",
+        F.when(F.col("p_rank") <= F.col("kmax"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )
