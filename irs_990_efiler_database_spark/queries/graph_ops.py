@@ -713,3 +713,114 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (bounded synchronous rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f""", v{i} AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS cnt
+      FROM e JOIN lab{i - 1} l ON l.node = e.v
+      GROUP BY e.u, l.label
+    ),
+    lab{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, c.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    ),
+    e AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    lab0 AS (SELECT DISTINCT u AS node, u AS label FROM e)
+    {"".join(rounds)}
+    SELECT node, CAST(label AS BIGINT) AS community
+    FROM lab{_LPA_ROUNDS}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the part co-purchase graph: every node starts as
+    its own community and repeatedly adopts the label with the highest
+    NEIGHBOR VOTE (co-purchase multiplicity = edge weight, so the vote
+    is naturally weighted). Unlike connected components — which merges
+    everything reachable — LPA finds DENSE regions, the structure a
+    dedup/curation pass wants (families of templated near-identical
+    docs, co-citation clusters). Three synchronous rounds, unrolled so
+    a second engine can replay the computation exactly; ties break to
+    the smallest label (the determinism knob asynchronous LPA lacks).
+
+    Scale shape per round: one (node, label) vote aggregation (map-side
+    combined) + one argmax reduction — the same one-shuffle-per-
+    superstep discipline as PageRank/k-core; per-round lineage
+    truncation via eager persist (unpersisted chains re-derive round 0
+    exponentially, measured on k-core)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    pairs = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    edges = tracked_persist(
+        pairs.unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    edges.count()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.l").alias("label"))
+        )
+        # per-round lineage truncation (same rationale as k-core: the
+        # label frame is consumed by next round's join AND argmax)
+        labels = tracked_persist(labels)
+        labels.count()
+    return labels.select("node", F.col("label").cast("long").alias("community"))
