@@ -741,10 +741,13 @@ def _lpa_oracle() -> str:
     )"""
         )
     return f"""
-    WITH pairs AS (
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING COUNT(*) <= 100
+    ),
+    pairs AS (
       SELECT a.l_partkey AS u, c.l_partkey AS v
-      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+      FROM li a JOIN ok USING (l_orderkey) JOIN li c
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
     ),
     e AS (
@@ -775,11 +778,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     superstep discipline as PageRank/k-core; per-round lineage
     truncation via eager persist (unpersisted chains re-derive round 0
     exponentially, measured on k-core)."""
+    from ..operators.dedup import cap_hot_buckets
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    # hot-container cap (same discipline as every candidate generator):
+    # pair emission is quadratic in container size, and TPC-H's 7-line
+    # bound is a property of THIS schema, not of co-occurrence graphs
+    li = cap_hot_buckets(li, ["l_orderkey"], 100)
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
     )
