@@ -106,6 +106,9 @@ HEADLINE = [
     "stat_calibration_ece",
     "match_fellegi_sunter",
     "events_bot_regularity",
+    "events_variant_props_stats",
+    "stat_bh_fdr",
+    "graph_label_propagation",
 ]
 
 
