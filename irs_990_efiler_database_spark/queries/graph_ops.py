@@ -828,8 +828,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.col("best.l").alias("label"))
         )
-        # per-round lineage truncation (same rationale as k-core: the
-        # label frame is consumed by next round's join AND argmax)
+        # per-round eager persist — NOT for lineage fan-out this time
+        # (each label frame has exactly one consumer, the next round's
+        # vote join; the chain is linear) but for runtime statistics:
+        # a materialized 1-row-per-node label frame has a KNOWN small
+        # size, so every vote join broadcasts it instead of
+        # sort-merge-shuffling the edge frame per round. Measured at
+        # sf0.1: 7.7 s with per-round persist vs 10-11 s as one
+        # unpersisted linear plan.
         labels = tracked_persist(labels)
         labels.count()
     return labels.select("node", F.col("label").cast("long").alias("community"))
