@@ -3176,3 +3176,89 @@ def doc_tokenizer_fertility_by_lang(
             F.sum("n_bytes").cast("double") / F.sum("n_tok"), 6
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "doc_quality_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS pooled_val,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    idx AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN ns = 1 THEN (n + 1) // 2
+                  ELSE (r - 1) * (n - 1) // (ns - 1) + 1
+             END AS i
+      FROM src, tot
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(pooled_val AS BIGINT) AS norm_chars
+    FROM idx JOIN pooled ON pooled.rn = idx.i
+    """,
+)
+def doc_quality_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quantile normalization of a per-document signal ACROSS
+    sources — the alignment step before mixing corpora by a quality
+    or length score: source A's 90th percentile maps to the POOLED
+    90th-percentile value, so a threshold or temperature computed on
+    the pooled distribution means the same thing for every source
+    (a score of "200 chars" from a tweet corpus and a book corpus are
+    not comparable; their quantiles are). Classic rank-based quantile
+    normalization (Bolstad et al. 2003), exact: within-source rank r
+    of n_s maps to pooled order statistic at index
+    (r−1)(N−1) div (n_s−1) + 1 — all integer arithmetic, no
+    interpolation drift.
+
+    Scale shape: the within-source ranks come from windows PARTITIONED
+    BY source (distributed); the pooled order statistics come from the
+    distributed exact ranker (``global_row_number``: one range shuffle
+    + broadcast offsets — never a single-partition window); the lookup
+    is an equi-join on the mapped index."""
+    from ..operators.ntile import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("ns"),
+    )
+    pooled = global_row_number(
+        d.select("n_chars", "doc_id"), ["n_chars", "doc_id"], "rn"
+    ).select(F.col("n_chars").alias("pooled_val"), F.col("rn").alias("rn"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idx = src.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("ns") == 1,
+            F.expr("(n + 1) div 2"),
+        )
+        .otherwise(F.expr("(r - 1) * (n - 1) div (ns - 1) + 1"))
+        .alias("i"),
+    )
+    return idx.join(pooled, idx.i == pooled.rn).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("pooled_val").cast("long").alias("norm_chars"),
+    )
