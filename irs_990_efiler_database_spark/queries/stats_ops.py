@@ -2285,3 +2285,85 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rejected"),
     )
+
+
+@register(
+    "stat_median_ci_distribution_free",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    t AS (
+      SELECT COUNT(*) AS n,
+             CAST(floor((COUNT(*) - 1.959963985 * sqrt(CAST(COUNT(*)
+                  AS DOUBLE))) / 2.0) AS BIGINT) AS lo_rank,
+             CAST(ceil(1.0 + (COUNT(*) + 1.959963985 * sqrt(CAST(COUNT(*)
+                  AS DOUBLE))) / 2.0) AS BIGINT) AS hi_rank,
+             CAST((COUNT(*) + 1) // 2 AS BIGINT) AS med_lo,
+             CAST((COUNT(*) + 2) // 2 AS BIGINT) AS med_hi
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (MAX(CASE WHEN rn = med_lo THEN v END)
+            + MAX(CASE WHEN rn = med_hi THEN v END)) / 2.0 AS median,
+           MAX(CASE WHEN rn = lo_rank THEN v END) AS ci_lo,
+           MAX(CASE WHEN rn = hi_rank THEN v END) AS ci_hi
+    FROM r, t
+    GROUP BY n
+    """,
+)
+def stat_median_ci_distribution_free(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN order
+    price via binomial order statistics: the number of observations
+    below the true median is Binomial(N, ½), so the values at ranks
+    (N ∓ z·√N)/2 bracket the median with 95% coverage for ANY
+    distribution — no normality assumption, no resampling (the
+    rank-based companion to the Poisson bootstrap, which targets the
+    MEAN). The point estimate is the exact sample median
+    (mid-average of the two central order statistics).
+
+    Determinism: ranks come from the distributed exact ranker over a
+    total order with a unique tiebreak; the CI ranks are floor/ceil of
+    one IEEE sqrt expression evaluated identically on both engines;
+    the only arithmetic on data values is one mid-average. Scale
+    shape: one range shuffle (the ranker), then a 4-rank filtered
+    aggregation — no single-partition window, nothing driver-side."""
+    from ..operators.ntile import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    r = global_row_number(o, ["v", "o_orderkey"], "rn").select("v", "rn")
+    z = F.lit(1.959963985)
+    nn = F.count(F.lit(1))
+    t = r.agg(
+        nn.cast("long").alias("n"),
+        F.floor((nn - z * F.sqrt(nn.cast("double"))) / 2.0)
+        .cast("long")
+        .alias("lo_rank"),
+        F.ceil(F.lit(1.0) + (nn + z * F.sqrt(nn.cast("double"))) / 2.0)
+        .cast("long")
+        .alias("hi_rank"),
+        F.expr("(count(1) + 1) div 2").alias("med_lo"),
+        F.expr("(count(1) + 2) div 2").alias("med_hi"),
+    )
+    j = r.crossJoin(F.broadcast(t))
+    return j.groupBy("n").agg(
+        (
+            (
+                F.max(F.when(F.col("rn") == F.col("med_lo"), F.col("v")))
+                + F.max(F.when(F.col("rn") == F.col("med_hi"), F.col("v")))
+            )
+            / F.lit(2.0)
+        ).alias("median"),
+        F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("v"))).alias(
+            "ci_lo"
+        ),
+        F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("v"))).alias(
+            "ci_hi"
+        ),
+    ).select("n", "median", "ci_lo", "ci_hi")
