@@ -109,6 +109,8 @@ HEADLINE = [
     "events_variant_props_stats",
     "stat_bh_fdr",
     "graph_label_propagation",
+    "doc_quality_quantile_normalize",
+    "stat_median_ci_distribution_free",
 ]
 
 
