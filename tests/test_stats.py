@@ -558,3 +558,49 @@ def test_fellegi_sunter_full_agreement_outweighs_all(spark):
         assert by_pat[(1, 1)] == max(by_pat.values())
     if (0, 0) in by_pat:
         assert by_pat[(0, 0)] == min(by_pat.values())
+
+
+def test_quantile_normalize_preserves_order_and_pool(spark):
+    """Within every source, normalization must preserve the original
+    order (it is a monotone rank map); every normalized value must be
+    an actual pooled order statistic; extremes map to extremes (the
+    source min maps to the pooled min, the source max to the pooled
+    max — Bolstad's defining anchor property)."""
+    from irs_990_efiler_database_spark.queries.text_ops import (
+        doc_quality_quantile_normalize,
+    )
+
+    rows = doc_quality_quantile_normalize(spark, SF_DIR).collect()
+    assert rows
+    pooled = sorted(r.n_chars for r in rows)
+    assert set(r.norm_chars for r in rows) <= set(pooled)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        norms = [r.norm_chars for r in rs]
+        assert norms == sorted(norms), f"order broken in {src}"
+        assert norms[0] == pooled[0]
+        assert norms[-1] == pooled[-1]
+
+
+def test_median_ci_brackets_median(spark):
+    """The order-statistic CI must bracket the exact sample median,
+    and both endpoints must be actual data values."""
+    from irs_990_efiler_database_spark.queries.stats_ops import (
+        stat_median_ci_distribution_free,
+    )
+
+    r = stat_median_ci_distribution_free(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.ci_lo <= row.median <= row.ci_hi
+    vals = sorted(
+        x.o_totalprice
+        for x in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    )
+    assert row.ci_lo in vals and row.ci_hi in vals
+    n = len(vals)
+    exact = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
+    assert abs(row.median - exact) < 1e-9
