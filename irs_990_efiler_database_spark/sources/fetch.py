@@ -38,22 +38,35 @@ def fetch_returns(
     partitions: int | None = None,
     retries: int = 2,
     timeout_sec: float = 30.0,
+    ca_file: str | None = None,
 ) -> DataFrame:
     """Fetch every URL into a (url, xml, error) frame; exactly one of
     xml/error is set per row. Fetching happens on executors
     (mapInPandas), so throughput scales with the cluster, bounded by
     ``partitions`` concurrent streams — the reference's single-process
-    loop at 2-4 docs/s becomes cluster-wide parallel I/O."""
+    loop at 2-4 docs/s becomes cluster-wide parallel I/O.
+
+    ``ca_file`` trusts an additional CA bundle for https URLs (private
+    object stores / proxies with an internal CA). Certificate
+    verification is always ON — there is deliberately no
+    "insecure" switch; an untrusted cert dead-letters like any other
+    per-URL failure. The path must be readable on every EXECUTOR (ship
+    it with ``spark.files`` on a real cluster)."""
     if isinstance(urls, list):
         urls = spark.createDataFrame([(u,) for u in urls], "url string")
     if partitions:
         urls = urls.repartition(partitions)
 
     def fetch(batches: Iterator) -> Iterator:
+        import ssl
         import time as _time
         import urllib.request
 
         import pandas as pd
+
+        ctx = (
+            ssl.create_default_context(cafile=ca_file) if ca_file else None
+        )
 
         for pdf in batches:
             out = []
@@ -62,7 +75,7 @@ def fetch_returns(
                 for attempt in range(retries + 1):
                     try:
                         with urllib.request.urlopen(
-                            url, timeout=timeout_sec
+                            url, timeout=timeout_sec, context=ctx
                         ) as resp:
                             body = resp.read().decode("utf-8")
                         err = None
@@ -84,6 +97,7 @@ def fetch_to_bundle(
     partitions: int | None = None,
     retries: int = 2,
     dead_letter_path: str | None = None,
+    ca_file: str | None = None,
 ) -> tuple[int, DataFrame]:
     """Fetch → write the scale-source bundle; returns (n_fetched,
     failures frame). Compose with ``build_database(bundle_path=…)``
@@ -99,7 +113,9 @@ def fetch_to_bundle(
 
     if dead_letter_path is None:
         dead_letter_path = bundle_path.rstrip("/") + "_dead_letter"
-    fetched = fetch_returns(spark, urls, partitions, retries).persist()
+    fetched = fetch_returns(
+        spark, urls, partitions, retries, ca_file=ca_file
+    ).persist()
     try:
         ok = fetched.filter(F.col("error").isNull()).select("url", "xml")
         ok.write.mode("overwrite").parquet(bundle_path)

@@ -1024,3 +1024,110 @@ def test_cli_query_subcommand_runs_and_writes(tmp_path):
     assert glob.glob(out + "/*.parquet") or glob.glob(out + "/**/*.parquet")
     rc2 = main(["query", "no_such_query_name"])
     assert rc2 == 2
+
+
+def test_fetch_to_bundle_https_tls_object_store(spark, tmp_path):
+    """Real-TLS integration proof: a local HTTPS object store (stdlib
+    http.server wrapped in ssl, self-signed cert for 127.0.0.1)
+    serves the fixture corpus. Fetching WITH the CA bundle succeeds
+    end-to-end over the https scheme the reference's production loop
+    uses; fetching WITHOUT it dead-letters every URL with a
+    certificate-verification error — proving verification is ON by
+    default and there is no insecure fallback."""
+    import datetime
+    import http.server
+    import socketserver
+    import ssl
+    import threading
+    from pathlib import Path
+
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    from irs_990_efiler_database_spark.sources.fetch import fetch_to_bundle
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(hours=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = tmp_path / "server.pem"
+    cert_pem.write_bytes(
+        cert.public_bytes(serialization.Encoding.PEM)
+        + key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    ca_pem = tmp_path / "ca.pem"
+    ca_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+
+    fixtures = sorted(Path("tests/fixtures").glob("*.xml"))[:4]
+    assert len(fixtures) == 4
+    docs = {f"/objects/{f.name}": f.read_text() for f in fixtures}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            body = docs.get(self.path)
+            if body is None:
+                self.send_error(404, "no such object")
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(str(cert_pem))
+    srv.socket = sctx.wrap_socket(srv.socket, server_side=True)
+    base = f"https://127.0.0.1:{srv.server_address[1]}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        urls = [base + p for p in sorted(docs)]
+        # WITH the CA bundle: everything fetches over real TLS
+        n, failures = fetch_to_bundle(
+            spark, urls, str(tmp_path / "bundle"), partitions=2,
+            ca_file=str(ca_pem),
+        )
+        assert n == len(fixtures)
+        assert failures.count() == 0
+        got = spark.read.parquet(str(tmp_path / "bundle")).count()
+        assert got == len(fixtures)
+        # WITHOUT it: default verification must REJECT the self-signed
+        # cert — every URL dead-letters, nothing silently trusts it
+        n2, failures2 = fetch_to_bundle(
+            spark, urls[:2], str(tmp_path / "bundle2"), partitions=1,
+            retries=0,
+        )
+        assert n2 == 0
+        reasons = [r["reason"] for r in failures2.collect()]
+        assert len(reasons) == 2
+        assert all("CERTIFICATE_VERIFY_FAILED" in r or "certificate" in r.lower() for r in reasons)
+    finally:
+        srv.shutdown()
+        srv.server_close()
