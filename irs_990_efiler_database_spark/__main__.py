@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -180,6 +181,15 @@ def cmd_query(args) -> int:
         hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
         print(f"unknown query: {args.name}{hint}", file=sys.stderr)
         return 2
+    if not args.sf_dir:
+        print(
+            "query: --sf-dir is required (or set $SPARK_GRAFT_SF_DIR)",
+            file=sys.stderr,
+        )
+        return 2
+    if not os.path.isdir(args.sf_dir):
+        print(f"query: --sf-dir does not exist: {args.sf_dir}", file=sys.stderr)
+        return 2
     spark = _session(args)
     df = qs[args.name](spark, args.sf_dir)
     if args.out:
@@ -249,8 +259,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("name", help="query name from the catalog, or 'list'")
     s.add_argument(
         "--sf-dir",
-        default="/root/testdata/sf0.01",
-        help="directory holding the parquet tables the query reads",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+        help="directory holding the parquet tables the query reads "
+        "(default: $SPARK_GRAFT_SF_DIR)",
     )
     s.add_argument("--out", default=None, help="write result here instead of showing")
     s.add_argument("--format", choices=("parquet", "csv"), default="parquet")

@@ -1417,7 +1417,6 @@ def _ivf_sweep_oracle() -> str:
         "WITH "
         + _SQL_IVF
         + ","
-        + _SQL_DOTS.strip().lstrip("pairs AS").join([""])
         + """
     exact AS (
       SELECT query_id, neighbor_id FROM (

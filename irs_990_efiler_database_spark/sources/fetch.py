@@ -47,9 +47,10 @@ def fetch_returns(
     loop at 2-4 docs/s becomes cluster-wide parallel I/O.
 
     ``ca_file`` trusts an additional CA bundle for https URLs (private
-    object stores / proxies with an internal CA). Certificate
-    verification is always ON — there is deliberately no
-    "insecure" switch; an untrusted cert dead-letters like any other
+    object stores / proxies with an internal CA) ON TOP of the system
+    root store — public-CA URLs keep verifying when a custom bundle is
+    set. Certificate verification is always ON — there is deliberately
+    no "insecure" switch; an untrusted cert dead-letters like any other
     per-URL failure. The path must be readable on every EXECUTOR (ship
     it with ``spark.files`` on a real cluster)."""
     if isinstance(urls, list):
@@ -64,9 +65,12 @@ def fetch_returns(
 
         import pandas as pd
 
-        ctx = (
-            ssl.create_default_context(cafile=ca_file) if ca_file else None
-        )
+        ctx = None
+        if ca_file:
+            # additive trust: system roots stay loaded so one custom
+            # bundle doesn't break every public-CA URL in the batch
+            ctx = ssl.create_default_context()
+            ctx.load_verify_locations(cafile=ca_file)
 
         for pdf in batches:
             out = []

@@ -86,19 +86,35 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
     the built-in file stream can't express (REST catalogs, paginated
     APIs).
 
-    Offset = the count of files processed over the SORTED name order.
-    Index files are append-only by contract (a yearly file lands once),
-    so name-sorted prefixes are a valid total order: latestOffset()
-    lists the directory on the driver (names only), partitions(start,
-    end) hands each NEW file to one executor-side InputPartition, and
-    read() is byte-identical to the batch reader. Exactly-once comes
-    from Spark's offset log: a batch replays with the same [start, end)
-    file slice after a crash."""
+    Offset = a lexicographic HIGH-WATER MARK (the largest filename
+    included so far), not a positional count: partitions(start, end)
+    selects names strictly in ``(start.hwm, end.hwm]``, so a file that
+    lands between latestOffset() and partitions() can never shift the
+    selection (a count-into-a-re-evaluated-sorted-list slice could
+    silently skip one already-present file and re-read another). Every
+    name belongs to exactly one non-overlapping interval → exactly-once
+    via Spark's offset log, with replay re-selecting the identical set
+    (files are immutable once landed).
+
+    The remaining assumption is MONOTONIC ARRIVAL: names must land in
+    ascending sort order (yearly index files do). A backfilled file
+    sorting at or below the committed mark would fall in an
+    already-committed interval and be lost — so latestOffset() tracks
+    every name listed this run and raises a hard error when a
+    never-seen name appears at or below the high-water mark, instead of
+    dropping it silently. (Across a driver restart the in-run ledger is
+    gone; a file backfilled while the stream was down is not
+    detectable — re-land it under a name above the mark.)"""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("irs990index requires a path (load(<glob>))")
+        self._hwm_listed = ""  # largest name this run has offered
+        self._names_listed: set[str] = set()
+        # snapshot of the listing behind the most recent latestOffset(),
+        # so partitions() never re-globs a moving directory mid-batch
+        self._snapshot: tuple[str, list[str]] | None = None
 
     def _files(self) -> list[str]:
         import glob as _glob
@@ -106,13 +122,42 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
         return sorted(_glob.glob(self.path))
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"hwm": ""}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._files())}
+        files = self._files()
+        late = [
+            f
+            for f in files
+            if f <= self._hwm_listed and f not in self._names_listed
+        ]
+        if late:
+            raise RuntimeError(
+                "irs990index stream: out-of-order arrival — "
+                f"{late} sort at or below the high-water mark "
+                f"{self._hwm_listed!r} and would be silently skipped. "
+                "Names must arrive in ascending sort order; re-land the "
+                "file under a name above the mark."
+            )
+        self._names_listed.update(files)
+        if files:
+            self._hwm_listed = max(self._hwm_listed, files[-1])
+        self._snapshot = (self._hwm_listed, files)
+        return {"hwm": self._hwm_listed}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        files = self._files()[start["n"] : end["n"]]
+        s, e = start.get("hwm", ""), end.get("hwm", "")
+        if self._snapshot is not None and self._snapshot[0] == e:
+            # same-run path: the exact list latestOffset() saw — a file
+            # landing in the latestOffset→partitions window cannot
+            # change this batch's selection
+            listing = self._snapshot[1]
+        else:
+            # replay after restart: files are immutable and (by the
+            # validated contract) monotonic, so a fresh listing
+            # filtered to the committed name range reproduces the batch
+            listing = self._files()
+        files = [f for f in listing if s < f <= e]
         return [_IndexFilePartition(p) for p in files]
 
     def read(self, partition: _IndexFilePartition):

@@ -111,3 +111,73 @@ def test_custom_python_datasource_streams_new_files_exactly_once(
     assert sorted(got.collect(), key=key) == sorted(
         batch_3.collect(), key=key
     )
+
+
+def test_stream_offset_is_name_hwm_not_positional_count(tmp_path):
+    """Offsets are lexicographic high-water marks: a file landing
+    between latestOffset() and partitions() must not shift which files
+    a committed [start, end] range selects (the positional-slice bug:
+    a backfill that sorts earlier shifted the slice, silently skipping
+    one file and re-reading another)."""
+    import glob
+    import shutil
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexStreamReader,
+    )
+
+    src = sorted(glob.glob(_GLOB))
+    land = tmp_path / "landing"
+    land.mkdir()
+    # land the two LAST-sorting files first
+    for f in src[1:3]:
+        shutil.copy(f, land)
+    r = Irs990IndexStreamReader({"path": str(land / "*.json")})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    # race window: a file sorting FIRST lands after latestOffset()
+    shutil.copy(src[0], land)
+    picked = sorted(p.path for p in r.partitions(start, end))
+    # the committed range must still select exactly the two files that
+    # existed at latestOffset() time — a positional slice would have
+    # returned [src0, src1], skipping src2 forever
+    import os
+
+    assert [os.path.basename(p) for p in picked] == [
+        os.path.basename(f) for f in src[1:3]
+    ]
+    # and the next listing detects the out-of-order arrival loudly
+    # (src[0] sorts below the committed mark → would never be selected)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        r.latestOffset()
+
+
+def test_stream_monotonic_arrivals_advance_hwm(tmp_path):
+    """Happy path: ascending-name arrivals produce disjoint (start,
+    end] intervals that cover every file exactly once."""
+    import glob
+    import shutil
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexStreamReader,
+    )
+
+    src = sorted(glob.glob(_GLOB))
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(src[0], land)
+    r = Irs990IndexStreamReader({"path": str(land / "*.json")})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()
+    b1 = {p.path for p in r.partitions(o0, o1)}
+    shutil.copy(src[1], land)
+    o2 = r.latestOffset()
+    b2 = {p.path for p in r.partitions(o1, o2)}
+    assert len(b1) == 1 and len(b2) == 1 and not (b1 & b2)
+    # idle tick: no new files → empty batch, offset unchanged
+    o3 = r.latestOffset()
+    assert o3 == o2 and r.partitions(o2, o3) == []
