@@ -355,6 +355,57 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_stream_running_totals_tws",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_cum,
+           CAST(SUM(v_us) OVER w AS BIGINT) AS v_cum_micros
+    FROM seq
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_stream_running_totals_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark 4 arbitrary-state API (``transformWithStateInPandas``,
+    SURVEY §2.12) run through the real streaming engine: per-user
+    running event count + integer-micros value sum held in a typed
+    ValueState, drained with availableNow. The cumulative sum is the
+    VEHICLE — the operator under test is the transformWithState
+    surface itself (typed state handles, the proto state protocol,
+    RocksDB-native layout), which the win_* batch family can't touch;
+    the oracle recomputes the identical cumulative sequence with a SQL
+    window frame, putting TWS's exact output under the hash gate.
+    Works without the protobuf wheel via compat/protoshim (the mini
+    proto3 runtime is itself verified here against the JVM's real
+    protobuf on every state-protocol message)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, running_totals, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_tws_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = running_totals(stream_events(spark, str(tmp / "in")))
+    return run_available_now(
+        stream,
+        "events_stream_tws_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+    )
+
+
+@register(
     "events_hypertable_rollup",
     oracle="""
     SELECT

@@ -557,7 +557,17 @@ def running_totals(events: DataFrame) -> DataFrame:
     as long as batches arrive in event-time order per user (guaranteed
     by the file-source harness; asserted cross-batch in
     tests/test_streaming.py). Integer micros keep the fold exact and
-    order-free ACROSS users."""
+    order-free ACROSS users.
+
+    The TWS state protocol needs a google.protobuf runtime in the
+    spawned Python workers; ``compat.ensure_protobuf`` installs the
+    repo's mini-runtime shim when the real wheel is absent (it
+    propagates via sc.environment's PYTHONPATH, which pyspark
+    snapshots into the operator's envVars at declaration time — so it
+    must run BEFORE transformWithStateInPandas below)."""
+    from .compat import ensure_protobuf
+
+    ensure_protobuf(events.sparkSession)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -587,7 +597,7 @@ def running_totals(events: DataFrame) -> DataFrame:
             out = []
             for pdf in rows:
                 pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-                ncum = pdf["_one"].cumsum() + n
+                ncum = pdf["ones"].cumsum() + n
                 vcum = pdf["v_us"].cumsum() + v
                 out.append(
                     pd.DataFrame(
@@ -612,7 +622,7 @@ def running_totals(events: DataFrame) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
-        F.lit(1).cast("long").alias("_one"),
+        F.lit(1).cast("long").alias("ones"),
     )
     return prepped.groupBy("user_id").transformWithStateInPandas(
         RunningTotal(), out_schema, "append", "none"

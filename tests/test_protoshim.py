@@ -1,0 +1,127 @@
+"""compat/protoshim mini proto3 runtime: wire-format unit tests.
+
+The strongest check is end-to-end (test_streaming.py's
+transformWithState test exchanges every message with the JVM's REAL
+protobuf — a mis-serialized byte kills the state-protocol handshake);
+these pin the tricky encodings in isolation so a regression names the
+exact rule broken."""
+
+from __future__ import annotations
+
+import pytest
+
+from irs_990_efiler_database_spark.compat.protoshim.google.protobuf.internal import (
+    _mini_runtime as mr,
+)
+
+
+def test_varint_roundtrip_boundaries():
+    for v in (0, 1, 127, 128, 300, 2**32 - 1, 2**63 - 1):
+        enc = mr.encode_varint(v)
+        dec, pos = mr.decode_varint(enc, 0)
+        assert dec == v and pos == len(enc)
+
+
+def test_negative_int_is_ten_byte_varint_and_signed_decode():
+    # proto spec: negative int32/int64 encode as 64-bit two's
+    # complement -> always 10 bytes on the wire
+    enc = mr.encode_varint(-5)
+    assert len(enc) == 10
+    raw, _ = mr.decode_varint(enc, 0)
+    assert mr._to_signed64(raw) == -5
+
+
+def _state_message():
+    from irs_990_efiler_database_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_proto3_defaults_absent_on_wire():
+    sm = _state_message()
+    # all-default scalar message serializes to zero bytes
+    assert sm.StateResponse().SerializeToString() == b""
+    # ...but an explicitly-set empty MESSAGE field (oneof arm) travels
+    req = sm.ValueStateCall(stateName="s", get=sm.Get())
+    wire = req.SerializeToString()
+    assert b"\x1a\x00" in wire  # field 3 (get), LEN, 0 bytes
+
+
+def test_golden_wire_bytes_match_real_protobuf_layout():
+    sm = _state_message()
+    # golden bytes hand-derived from the proto spec (field 1, LEN,
+    # "totals"); any real-protobuf implementation emits exactly this
+    cmd = sm.StateCallCommand(stateName="totals")
+    assert cmd.SerializeToString() == b"\x0a\x06totals"
+    # enum varint: SetHandleState(state=INITIALIZED=2) -> field 1
+    assert sm.SetHandleState(state=sm.INITIALIZED).SerializeToString() == b"\x08\x02"
+
+
+def test_nested_auto_vivification_marks_presence():
+    sm = _state_message()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "x"
+    cmd.ttl.durationMs = 1000  # the client's exact mutation pattern
+    wire = cmd.SerializeToString()
+    back = sm.StateCallCommand()
+    back.ParseFromString(wire)
+    assert back.ttl.durationMs == 1000 and back.HasField("ttl")
+
+
+def test_repeated_message_and_bytes_roundtrip():
+    sm = _state_message()
+    resp = sm.StateResponseWithTimer(
+        statusCode=0,
+        timer=[
+            sm.TimerInfo(key=b"k1", timestampMs=5),
+            sm.TimerInfo(timestampMs=-7),
+        ],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(resp.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back.timer] == [
+        (b"k1", 5),
+        (b"", -7),
+    ]
+    assert back.requireNextFetch is True
+    lst = sm.StateResponseWithListGet(value=[b"a", b"", b"c"])
+    back2 = sm.StateResponseWithListGet()
+    back2.ParseFromString(lst.SerializeToString())
+    # empty bytes in a REPEATED field must survive (only singular
+    # defaults are absent on the wire)
+    assert list(back2.value) == [b"a", b"", b"c"]
+
+
+def test_unknown_fields_skipped_not_fatal():
+    sm = _state_message()
+    # field 99 varint + field 98 LEN prepended to a valid message
+    extra = b"\x98\x06\x2a" + b"\x92\x06\x03abc" + b"\x0a\x06totals"
+    cmd = sm.StateCallCommand()
+    cmd.ParseFromString(extra)
+    assert cmd.stateName == "totals"
+
+
+def test_unknown_kwarg_and_wrong_type_fail_loudly():
+    sm = _state_message()
+    with pytest.raises(ValueError):
+        sm.StateCallCommand(nope=1)
+    with pytest.raises(TypeError):
+        sm.StateCallCommand(stateName=b"bytes-not-str")
+
+
+def test_shim_never_shadows_real_protobuf(monkeypatch):
+    import sys
+
+    from irs_990_efiler_database_spark import compat
+
+    # simulate a real protobuf being importable
+    class _Fake:
+        __version__ = "6.33.0"
+
+    monkeypatch.setitem(sys.modules, "google.protobuf", _Fake())
+    monkeypatch.setitem(sys.modules, "google", type(sys)("google"))
+    assert compat.ensure_protobuf() == "real"

@@ -247,22 +247,13 @@ def test_fanout_exactly_once_across_two_sinks(spark, tmp_path, events_dir):
         assert got == want
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState driver worker requires protobuf",
-)
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 arbitrary-state API parity: the transformWithState
-    running-total stream must equal the batch cumulative window."""
+    running-total stream must equal the batch cumulative window.
+    Runs everywhere: when the protobuf wheel is absent, running_totals
+    installs compat/protoshim's mini-runtime (exercised end-to-end here
+    against the JVM's real protobuf — any wire mismatch fails the
+    state-protocol handshake)."""
     import shutil
 
     from pyspark.sql import Window
