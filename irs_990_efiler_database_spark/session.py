@@ -78,6 +78,7 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    _apply_s3a_env_config(spark)
     spark.sparkContext.setLogLevel("WARN")
     # FileStreamSink logs a WARN + full FileNotFoundException stack
     # trace whenever a batch read uses a glob path (it probes for a
@@ -93,3 +94,83 @@ def get_spark(
     except Exception:  # pragma: no cover - log4j API drift is cosmetic
         pass
     return spark
+
+
+def s3a_config(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool | None = None,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """The production ``s3a://`` Hadoop configuration for reading the
+    reference's public bucket (or any S3-compatible store such as
+    MinIO). Returned as plain conf pairs so callers can apply them via
+    ``get_spark(extra_conf=…)`` at session build or
+    ``spark.conf.set``/hadoopConfiguration at runtime.
+
+    What each setting buys at 3M-object scale (the reference's corpus,
+    ``BUILD_SCRIPTS/README.md:256``):
+
+    - ``fs.s3a.connection.maximum`` 96: the fetch fan-out is bounded
+      by the HTTP pool, not executor count — the default (96 in recent
+      Hadoop, historically 15) throttles wide scans.
+    - ``fs.s3a.committer.name = magic``: S3 has no atomic rename; the
+      magic committer writes task output to its final key under a
+      marker prefix and commits via multipart-complete, removing the
+      O(data) copy the file-output committer pays on S3.
+    - ``fs.s3a.directory.marker.retention = keep``: skips the delete
+      storm legacy marker cleanup issues under heavy write loads.
+    - anonymous credentials for the public IRS bucket (no secrets on
+      the cluster); key-pair or instance-profile creds otherwise.
+    - ``path_style`` for MinIO/on-prem stores that don't serve
+      virtual-host buckets.
+
+    NOT exercised in this sandbox: s3a needs the hadoop-aws +
+    aws-sdk-bundle jars, which this offline container lacks (no
+    network, no pip/maven) — the transport behavior (HTTPS fetch,
+    retry, 403/timeout dead-lettering, custom CA) is integration-tested
+    against a live local HTTP/TLS object store instead
+    (tests/test_jobs.py, tests/test_index.py); this function pins the
+    config contract so a real deployment is a jar-drop away.
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if path_style or (path_style is None and endpoint):
+        # custom endpoints (MinIO, on-prem) are path-style by default
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    elif access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
+def _apply_s3a_env_config(spark: SparkSession) -> None:
+    """Opt-in env wiring: SPARK_GRAFT_S3_ENDPOINT (+ optional
+    SPARK_GRAFT_S3_ACCESS_KEY / SPARK_GRAFT_S3_SECRET_KEY /
+    SPARK_GRAFT_S3_ANON=1) applies the s3a contract to the live
+    session's Hadoop configuration — runtime-settable because fs.*
+    keys are read per-filesystem-instance, not at session build."""
+    endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    if not endpoint:
+        return
+    conf = s3a_config(
+        endpoint=endpoint,
+        access_key=os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY"),
+        secret_key=os.environ.get("SPARK_GRAFT_S3_SECRET_KEY"),
+        anonymous=os.environ.get("SPARK_GRAFT_S3_ANON") == "1",
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k.removeprefix("spark.hadoop."), v)

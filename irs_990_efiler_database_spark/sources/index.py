@@ -65,6 +65,44 @@ def build_index(spark: SparkSession, path_glob: str) -> DataFrame:
     return with_tax_year(read_index_files(spark, path_glob).dropDuplicates())
 
 
+def build_index_from_urls(
+    spark: SparkSession,
+    urls: list[str],
+    retries: int = 2,
+    ca_file: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """buildIndex over an OBJECT STORE: the reference fetches each
+    yearly index straight from S3 over HTTPS
+    (build_efile_database_functions.R:54-68); this is that path with
+    the fetch on executors — each index URL downloads in its own task
+    via the engine's retrying fetcher (any urllib scheme: https, a
+    presigned s3 URL, file://), then flows through the IDENTICAL
+    wrapped-JSON parse and TaxYear derivation as the file-glob reader.
+
+    Returns (index, failures): a failed year becomes dead-letter rows
+    (url, error), never an abort — the reference's try()/FAIL_LIST
+    bookkeeping (:5047-5101) as data. Callers that require all years
+    assert ``failures.isEmpty()``."""
+    from ..caching import tracked_persist
+    from .fetch import fetch_returns
+
+    # persist: the ok/failed splits below would otherwise re-download
+    # every index file once per consumer action
+    fetched = tracked_persist(
+        fetch_returns(
+            spark, urls, partitions=len(urls), retries=retries, ca_file=ca_file
+        )
+    )
+    parsed = (
+        fetched.filter(F.col("error").isNull())
+        .select(F.explode(F.from_json("xml", _MAP_SCHEMA)).alias("k", "filings"))
+        .select(F.explode("filings").alias("f"))
+        .select("f.*")
+    )
+    failures = fetched.filter(F.col("error").isNotNull()).select("url", "error")
+    return with_tax_year(parsed.dropDuplicates()), failures
+
+
 def filter_index(
     index: DataFrame,
     years: list[int] | None = None,

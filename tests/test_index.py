@@ -181,3 +181,96 @@ def test_stream_monotonic_arrivals_advance_hwm(tmp_path):
     # idle tick: no new files → empty batch, offset unchanged
     o3 = r.latestOffset()
     assert o3 == o2 and r.partitions(o2, o3) == []
+
+
+def test_build_index_from_object_store_with_faults(spark, tmp_path):
+    """The reference's production index path is fetch-from-object-store
+    (build_efile_database_functions.R:54-68); this drives
+    build_index_from_urls against a LIVE local HTTP object store:
+    two healthy yearly index files, one that always 403s. The healthy
+    years must parse into exactly the rows the file-glob reader
+    produces for those files, the 403 year must land in the failures
+    frame (not abort), and nothing is fetched on the driver."""
+    import glob
+    import http.server
+    import socketserver
+    import threading
+    from pathlib import Path
+
+    from irs_990_efiler_database_spark.caching import release_cached
+    from irs_990_efiler_database_spark.sources.index import (
+        build_index,
+        build_index_from_urls,
+    )
+
+    src = sorted(glob.glob(_GLOB))
+    assert len(src) >= 3
+    docs = {f"/index/{Path(f).name}": Path(f).read_text() for f in src[:2]}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path.endswith("index_denied.json"):
+                self.send_error(403, "access denied")
+                return
+            body = docs.get(self.path)
+            if body is None:
+                self.send_error(404, "no such object")
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler) as srv:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        urls = [f"http://127.0.0.1:{port}{p}" for p in sorted(docs)] + [
+            f"http://127.0.0.1:{port}/index/index_denied.json"
+        ]
+        try:
+            idx, failures = build_index_from_urls(spark, urls, retries=1)
+            fails = failures.collect()
+            assert len(fails) == 1
+            assert "denied" in fails[0]["url"] and "403" in fails[0]["error"]
+            # healthy years == the file-glob reader over the same files
+            want = build_index(spark, src[:2])
+            key = lambda r: r["ObjectId"]  # noqa: E731
+            assert sorted(idx.collect(), key=key) == sorted(
+                want.collect(), key=key
+            )
+        finally:
+            release_cached()
+            srv.shutdown()
+
+
+def test_s3a_config_contract(spark, monkeypatch):
+    """s3a_config pins the production object-store contract (magic
+    committer, pooled connections, anonymous-or-keyed creds,
+    path-style for custom endpoints); the env wiring applies it to the
+    live session's Hadoop configuration — verifiable without the
+    hadoop-aws jars because fs.* keys are plain configuration."""
+    from irs_990_efiler_database_spark.session import (
+        _apply_s3a_env_config,
+        s3a_config,
+    )
+
+    conf = s3a_config(endpoint="http://127.0.0.1:9000", anonymous=True)
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "AnonymousAWSCredentialsProvider"
+    )
+    keyed = s3a_config(access_key="ak", secret_key="sk")
+    assert keyed["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert "spark.hadoop.fs.s3a.endpoint" not in keyed
+
+    monkeypatch.setenv("SPARK_GRAFT_S3_ENDPOINT", "http://127.0.0.1:9000")
+    monkeypatch.setenv("SPARK_GRAFT_S3_ANON", "1")
+    _apply_s3a_env_config(spark)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://127.0.0.1:9000"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
