@@ -96,12 +96,39 @@ class ExprCompiler:
         return f"array_compact({sql})"
 
     def _presence_sql(self, xpath: str) -> str:
-        sql, depth, _kind = self._walk_sql(xpath)
+        # presence is a NODE test (the reference's length()>0 over the
+        # match set), not a text test: an attribute-only element like
+        # <Organization501cInd organization501cTypeTxt="3"/> IS present
+        # even though its _VALUE is null — so walk to the node and stop
+        # before the final _VALUE descent. Attribute xpaths keep the
+        # full walk (presence = the attribute carries a value).
+        parts = _strip(xpath)
+        if parts and parts[-1].startswith("@"):
+            sql, depth, _kind = self._walk_sql(xpath)
+        else:
+            sql, depth = self._walk_node_sql(xpath)
         if depth > 0:
             for _ in range(depth - 1):
                 sql = f"flatten({sql})"
             return f"(size(array_compact({sql})) > 0)"
         return f"({sql} IS NOT NULL)"
+
+    def _walk_node_sql(self, xpath: str) -> tuple[str, int]:
+        """Like ``_walk_sql`` but stops at the element node itself —
+        never descending into ``_VALUE`` — so callers can test node
+        existence independent of element text."""
+        parts = _strip(xpath)
+        node = self.b.root
+        sql = _q(self.doc)
+        depth = 0
+        for seg in parts:
+            node = node.children.get(seg)
+            if node is None:
+                raise KeyError(f"xpath not in schema: {xpath}")
+            sql = f"{sql}.{_q(seg)}"
+            if node.repeated:
+                depth += 1
+        return sql, depth
 
     # ---------------------------------------------------------- access
 

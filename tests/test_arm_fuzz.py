@@ -1,0 +1,86 @@
+"""Concordance-arm fuzz: EVERY coalesce arm of the 237 CORE variables
+exercised against the independent ElementTree golden (VERDICT r6 #4).
+
+The handcrafted fixtures sample ~17 documents of a space the master
+concordance declares to be 100+ XSD vintages wide; these tests sweep
+all 500+ (variable, xpath-arm) points — one synthetic one-arm document
+each — and require the Spark path (from_xml superset struct + compiled
+Catalyst coalesce chains, extract/compiler.py) to agree with the
+row-at-a-time golden re-implementation on every column of every doc.
+A mismatch pins (url → variable, arm) exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.gen_xml_corpus import gen_arm_docs
+
+
+@pytest.fixture(scope="module")
+def arm_corpus(spark, tmp_path_factory):
+    """One-arm docs written as real files so the production
+    read_return_xml_files path (wholetext scan + URL→ObjectId) is the
+    one under test, exactly as a build would run it."""
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    docs = gen_arm_docs()
+    root = tmp_path_factory.mktemp("armfuzz")
+    by_url = {}
+    for url, xml in docs:
+        name = url.rsplit("/", 1)[-1]
+        p = root / name
+        p.write_text(xml)
+        by_url[p.resolve().as_uri()] = xml
+    df = read_return_xml_files(spark, str(root / "*.xml")).cache()
+    assert df.count() == len(docs)
+    yield df, by_url
+    df.unpersist()
+
+
+def test_arm_corpus_covers_every_core_arm():
+    """The generator's coverage claim, asserted: every xpath arm (and
+    ez arm, and schedule flag) of every CORE variable appears in
+    exactly one generated doc."""
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+
+    spec = load_core_spec()
+    want = sum(
+        len(v.get("xpaths", []))
+        + len(v.get("ez_xpaths", []))
+        + (1 if v.get("kind") == "schedule_flag" else 0)
+        for v in spec["vars"].values()
+    )
+    docs = gen_arm_docs()
+    assert len(docs) == want >= 540
+    assert len({u for u, _ in docs}) == len(docs)  # unique ObjectIds
+
+
+def test_every_core_coalesce_arm_matches_golden(arm_corpus):
+    """build_core over the full arm corpus == golden_core_row per doc,
+    all 237 columns. This is the property VERDICT r6 #4 asks for: no
+    coalesce arm exists that the fixtures never light up and the
+    engine silently mis-handles."""
+    from irs_990_efiler_database_spark.extract.core_builder import build_core
+    from irs_990_efiler_database_spark.extract.golden import golden_core_row
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+
+    df, by_url = arm_corpus
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    spark_rows = {
+        r["URL"]: r.asDict() for r in build_core(df, columns=cols).collect()
+    }
+    assert len(spark_rows) == len(by_url)
+    mismatches = []
+    for url, xml in by_url.items():
+        golden = golden_core_row(url, xml)
+        got = spark_rows[url]
+        diffs = {c: (got[c], golden[c]) for c in cols if got[c] != golden[c]}
+        if diffs:
+            mismatches.append((url.rsplit("/", 1)[-1], diffs))
+    assert not mismatches, (
+        f"{len(mismatches)} docs diverge from golden; first 5: "
+        f"{mismatches[:5]}"
+    )

@@ -276,3 +276,25 @@ def test_2015_vintage_exercises_third_coalesce_arms(returns):
     assert r["TERMINATED"] is not None, "2nd-arm EZ FinalReturnInd"
     # the first arms of those chains are structurally absent from the doc
     assert r["EXEMPT501C3"] is None, "this filer is 501(c), not (c)(3)"
+
+
+def test_presence_is_node_test_not_text_test(spark, tmp_path):
+    """Pinned from the round-7 arm fuzz (its first catch): an
+    attribute-only checkbox element — no text, schema gives it a
+    _VALUE field — must still count as PRESENT for recode_present
+    variables, because the reference's test is length(match-set)>0
+    over nodes. Before the fix, _presence_sql tested `_VALUE IS NOT
+    NULL` and EXEMPT501C read as absent exactly when the 501c type
+    arrived as an attribute."""
+    doc = (
+        '<Return returnVersion="2014v5.0"><ReturnHeader/>'
+        "<ReturnData><IRS990>"
+        '<Organization501cInd organization501cTypeTxt="3"/>'
+        "</IRS990></ReturnData></Return>"
+    )
+    p = tmp_path / "9900999001_public.xml"
+    p.write_text(doc)
+    df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
+    row = build_core(df, columns=["EXEMPT501C", "EXEMPT501CNUM"]).collect()[0]
+    assert row["EXEMPT501C"] == "501c"
+    assert row["EXEMPT501CNUM"] == "3"

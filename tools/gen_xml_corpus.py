@@ -33,6 +33,90 @@ def gen_bundle(spark, out_path: str, n_docs: int, partitions: int = 32) -> None:
     df.repartition(partitions).write.mode("overwrite").parquet(out_path)
 
 
+def gen_arm_docs() -> list[tuple[str, str]]:
+    """Concordance-arm fuzz corpus: ONE tiny document per xpath arm of
+    every CORE variable — 500+ docs that together exercise EVERY
+    coalesce arm (each XSD vintage) of the 237 CORE columns, plus each
+    schedule-presence flag and each conditional-sum EZ arm. The
+    handcrafted fixtures sample ~17 points of that space; the
+    reference's entire reason for existing is surviving 100+ vintages
+    (MASTER_CONCORDANCE_V0.csv, 6-way unions at
+    build_efile_database_functions.R:4380-4387), so arm coverage must
+    be exhaustive, not sampled.
+
+    One-arm-per-doc keeps generation conflict-free (no xpath is ever
+    an ancestor of another populated xpath in the same doc) and makes
+    a mismatch attributable to exactly one (variable, arm). Values are
+    unique digit strings per arm so cross-arm wiring bugs (reading arm
+    k's element into arm j's column) change visible output.
+
+    Returns (url, xml) rows; url carries a unique ObjectId per doc.
+    """
+    import sys as _sys
+    import xml.etree.ElementTree as ET
+
+    _sys.path.insert(0, str(REPO))
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+
+    spec = load_core_spec()
+    docs: list[tuple[str, str]] = []
+    serial = 0
+
+    def emit(build) -> None:
+        nonlocal serial
+        obj = f"9900{serial:06d}"
+        serial += 1
+        root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+        ET.SubElement(root, "ReturnHeader")
+        data = ET.SubElement(root, "ReturnData")
+        build(root, data)
+        docs.append(
+            (
+                f"file:///armfuzz/{obj}_public.xml",
+                ET.tostring(root, encoding="unicode"),
+            )
+        )
+
+    def insert(root, data, xpath: str, value: str) -> None:
+        parts = [p for p in xpath.split("/") if p]
+        if parts and parts[0] == "Return":
+            parts = parts[1:]
+        attr = None
+        if parts and parts[-1].startswith("@"):
+            attr = parts.pop()[1:]
+        node = root  # paths are /Return/ReturnHeader/... or /Return/ReturnData/...
+        for part in parts:
+            found = node.find(part)
+            node = found if found is not None else ET.SubElement(node, part)
+        if attr:
+            node.set(attr, value)
+        else:
+            node.text = value
+
+    arm_no = 0
+    for name, var in sorted(spec["vars"].items()):
+        for xp in list(var.get("xpaths", [])) + list(var.get("ez_xpaths", [])):
+            arm_no += 1
+            value = str(100 + arm_no)
+
+            def build(root, data, xp=xp, value=value):
+                # form-type marker so zero rules/schedule guards see a
+                # typed doc even when the arm lives outside IRS990*
+                if "/IRS990EZ/" not in xp and "/IRS990/" not in xp:
+                    ET.SubElement(data, "IRS990")
+                insert(root, data, xp, value)
+
+            emit(build)
+        if var.get("kind") == "schedule_flag":
+
+            def build_flag(root, data, sched=var["schedule"]):
+                ET.SubElement(data, "IRS990")
+                ET.SubElement(data, sched)
+
+            emit(build_flag)
+    return docs
+
+
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
