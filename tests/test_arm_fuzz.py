@@ -84,3 +84,52 @@ def test_every_core_coalesce_arm_matches_golden(arm_corpus):
         f"{len(mismatches)} docs diverge from golden; first 5: "
         f"{mismatches[:5]}"
     )
+
+
+def test_every_rdb_arm_and_group_root_matches_golden(spark, tmp_path):
+    """RDB tables (E3/E4 keyed explode): every ONE-arm and every
+    (group root, leaf) MANY-arm — with TWO instances per group so the
+    explode's row multiplication is under test — must produce exactly
+    the golden extractor's rows. Covers all group-root vintages
+    (e.g. OfcrDirTrusteesOrKeyEmployee vs Form990PartVIISectionAGrp vs
+    Form990PartVIISectionA), not just the ones the fixtures use."""
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_rdb_arm_docs
+
+    corpora = gen_rdb_arm_docs()
+    assert sum(len(d) for d in corpora.values()) >= 200
+    mismatches = []
+    for table, docs in corpora.items():
+        tdir = tmp_path / table
+        tdir.mkdir()
+        by_url = {}
+        for url, xml in docs:
+            p = tdir / url.rsplit("/", 1)[-1]
+            p.write_text(xml)
+            by_url[p.resolve().as_uri()] = xml
+        df = read_return_xml_files(spark, str(tdir / "*.xml"))
+        got = {}
+        for r in build_rdb_table(df, table).collect():
+            got.setdefault(r["URL"], []).append(r.asDict())
+        for url, xml in by_url.items():
+            cols, want = golden_rdb_rows(url, xml, table)
+            want_set = sorted(
+                tuple(w.get(c) for c in cols) for w in want
+            )
+            got_set = sorted(
+                tuple(g.get(c) for c in cols) for g in got.get(url, [])
+            )
+            if want_set != got_set:
+                mismatches.append(
+                    (table, url.rsplit("/", 1)[-1], got_set, want_set)
+                )
+    assert not mismatches, (
+        f"{len(mismatches)} (table, doc) diverge; first 3: "
+        f"{mismatches[:3]}"
+    )

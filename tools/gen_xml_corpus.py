@@ -117,6 +117,99 @@ def gen_arm_docs() -> list[tuple[str, str]]:
     return docs
 
 
+def gen_rdb_arm_docs() -> dict[str, list[tuple[str, str]]]:
+    """Arm-fuzz corpus for the RDB tables (the reference parity set:
+    Part VII + Schedule J + Schedule-O-report): one doc per ONE-arm,
+    and one doc per (group root, relative leaf) MANY-arm carrying TWO
+    group instances with distinct values — so the keyed explode itself
+    (E3/E4: one output row per instance, values kept in instance
+    order) is under test for every group-root vintage, not just the
+    arms the fixtures happen to populate.
+
+    Returns table -> [(url, xml)] so the diff harness builds each
+    table over exactly its own corpus."""
+    import sys as _sys
+    import xml.etree.ElementTree as ET
+
+    _sys.path.insert(0, str(REPO))
+    from irs_990_efiler_database_spark.plans.concordance import (
+        concrete_groups,
+        table_names,
+        table_rows,
+    )
+
+    serial = 0
+
+    def new_root():
+        root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+        ET.SubElement(root, "ReturnHeader")
+        ET.SubElement(root, "ReturnData")
+        return root
+
+    def finish(root, out):
+        nonlocal serial
+        obj = f"9901{serial:06d}"
+        serial += 1
+        out.append(
+            (
+                f"file:///armfuzz/{obj}_public.xml",
+                ET.tostring(root, encoding="unicode"),
+            )
+        )
+
+    def ensure(node, parts):
+        for part in parts:
+            found = node.find(part)
+            node = found if found is not None else ET.SubElement(node, part)
+        return node
+
+    def set_leaf(node, rel: str, value: str) -> None:
+        parts = [p for p in rel.split("/") if p]
+        attr = None
+        if parts and parts[-1].startswith("@"):
+            attr = parts.pop()[1:]
+        node = ensure(node, parts)
+        if attr:
+            node.set(attr, value)
+        else:
+            node.text = value
+
+    out: dict[str, list[tuple[str, str]]] = {}
+    for t in table_names():
+        docs: list[tuple[str, str]] = []
+        rows = table_rows(t)
+        ones = [r for r in rows if r["cardinality"] == "ONE"]
+        manys = [r for r in rows if r["cardinality"] == "MANY"]
+        for i, r in enumerate(ones):
+            root = new_root()
+            parts = [p for p in r["xpath"].split("/") if p][1:]  # drop Return
+            set_leaf(root, "/".join(parts), str(500 + i))
+            finish(root, docs)
+        if manys:
+            for gi, (gp, leaves) in enumerate(
+                sorted(concrete_groups(manys).items())
+            ):
+                gparts = [p for p in gp.split("/") if p][1:]
+                for li, rel in enumerate(sorted(leaves)):
+                    root = new_root()
+                    parent = ensure(root, gparts[:-1])
+                    # rel == "" is the checkbox-as-group vintage
+                    # (InfoInScheduleOPartVII): a single non-repeated
+                    # element per XSD — duplicating it would be invalid
+                    # XML with engine-dependent first/last semantics
+                    n_inst = 2 if rel else 1
+                    for inst in range(n_inst):  # 2 instances → 2 rows
+                        g = ET.SubElement(parent, gparts[-1])
+                        value = str(1000 * (gi + 1) + 10 * li + inst)
+                        if rel:
+                            set_leaf(g, rel, value)
+                        else:
+                            g.text = value
+                    finish(root, docs)
+        out[t] = docs
+    return out
+
+
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
