@@ -1,0 +1,84 @@
+"""Shuffle-ratio regression gate (VERDICT r6 #5): the per-family
+shuffle-byte ratios measured by tools/shuffle_budget.py are committed
+bounds (tools/shuffle_bounds.json); a family degrading >1.5x fails the
+closing gate. The deliberate de-optimization test proves the gate
+actually trips on a real executed plan, not just on fabricated
+numbers."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from tools.shuffle_budget import check_bounds, measure
+
+BOUNDS = json.loads(
+    (Path(__file__).resolve().parent.parent / "tools" / "shuffle_bounds.json").read_text()
+)
+
+
+def test_check_bounds_passes_at_bound_and_fails_beyond():
+    measured = {
+        "q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 0.0},
+        "fdedup_minhash_pairs": {"ratio": 3.28 * 1.49, "spill_mb": 0.0},
+    }
+    assert check_bounds(measured, BOUNDS) == []
+    measured["fdedup_minhash_pairs"]["ratio"] = 3.28 * 1.51
+    problems = check_bounds(measured, BOUNDS)
+    assert len(problems) == 1 and "fdedup_minhash_pairs" in problems[0]
+
+
+def test_unbounded_family_and_spill_fail():
+    assert check_bounds(
+        {"brand_new_family": {"ratio": 0.1, "spill_mb": 0.0}}, BOUNDS
+    ) == ["brand_new_family: no committed bound (add one)"]
+    problems = check_bounds(
+        {"q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 5.0}}, BOUNDS
+    )
+    assert problems and "spill" in problems[0]
+
+
+def test_deliberate_deoptimization_trips_the_gate(spark):
+    """Real-plan demo: q1 is a pure map-side-combine aggregation
+    (committed ratio 0.0001 — shuffle carries only partial aggregates).
+    The de-optimized variant repartitions lineitem by a high-cardinality
+    key BEFORE aggregating, forcing the full input across the wire —
+    the exact class of regression (lost partial aggregation / key
+    widening) the gate exists to catch. Measured via the same
+    SQLMetrics path as the closing gate."""
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+
+    def q1_deopt(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        li = load_table(spark, sf_dir, "lineitem").repartition(
+            32, "l_orderkey"
+        )
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+        )
+
+    audit = {"q1_pricing_summary": ["lineitem"]}
+    good = measure(spark, sf, audit)
+    # q1's shuffle is a constant few KB of partial aggregates, so its
+    # RATIO shrinks with SF — derive this test's bound from the good
+    # run at the SAME SF (the committed bounds are sf0.1; the closing
+    # gate runs there)
+    local_bounds = {
+        "factor": 1.5,
+        "bounds": {"q1_pricing_summary": good["q1_pricing_summary"]["ratio"]},
+    }
+    assert check_bounds(good, local_bounds) == []
+
+    bad = measure(spark, sf, audit, queries={"q1_pricing_summary": q1_deopt})
+    problems = check_bounds(bad, local_bounds)
+    assert problems and "q1_pricing_summary" in problems[0], (
+        f"de-optimized plan did not trip the gate: {bad}"
+    )
+    # and it is gross enough to trip the COMMITTED sf0.1 bound too
+    assert check_bounds(bad, BOUNDS)

@@ -10,8 +10,19 @@ commodity network; one that shuffles 100% needs the network budget of
 a sort. Queries here are chosen because their docstrings make exactly
 those claims — this tool is the measurement that backs them.
 
-Usage: python tools/shuffle_budget.py [sf_dir]
-Prints a markdown table + one JSON line.
+Usage:
+    python tools/shuffle_budget.py [sf_dir]          # measure + print
+    python tools/shuffle_budget.py [sf_dir] --gate   # regression gate
+
+``--gate`` compares each family's measured ratio against the COMMITTED
+bound in tools/shuffle_bounds.json and exits 1 when any family exceeds
+bound x factor (1.5) — the measurement that caught round 6's
+ExactSubstr hex-string-key 2.3x regression, promoted from a table a
+human reads to a tripwire a regression trips. Ratios are
+scale-stable by design (both numerator and denominator grow with the
+data), but bounds are recorded at sf0.1 — run the gate at the same SF.
+New spill where the bound run had none also fails: spill at the test
+SF means memory pressure at any real SF.
 """
 
 from __future__ import annotations
@@ -52,18 +63,17 @@ def _input_bytes(sf_dir: str, tables: list[str]) -> int:
     return total
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+def measure(spark, sf_dir: str, audit: dict | None = None, queries=None) -> dict:
+    """Run each audited family and return per-query measured stats.
+    ``queries`` overrides the registry (the gate's de-optimization
+    test injects a deliberately worse variant through it)."""
     from irs_990_efiler_database_spark.caching import release_cached
     from irs_990_efiler_database_spark.plans.metrics import summarize_execution
     from irs_990_efiler_database_spark.queries import all_queries
-    from irs_990_efiler_database_spark.session import get_spark
 
-    spark = get_spark("shuffle_budget")
-    qs = all_queries()
-    rows = []
+    qs = queries if queries is not None else all_queries()
     out = {}
-    for name, tables in AUDIT.items():
+    for name, tables in (audit or AUDIT).items():
         df = qs[name](spark, sf_dir)
         # collect() (not a noop write) so the metrics live on THIS
         # DataFrame's executed plan — a write wraps a fresh execution
@@ -73,25 +83,69 @@ def main() -> None:
         m = summarize_execution(df)
         inp = _input_bytes(sf_dir, tables)
         ratio = m.shuffle_bytes_written / inp if inp else float("nan")
-        rows.append(
-            f"| {name} | {inp/1e6:.1f} | {m.shuffle_bytes_written/1e6:.2f} "
-            f"| {ratio:.3f} | {m.shuffle_records_written} "
-            f"| {m.spill_bytes/1e6:.1f} |"
-        )
         out[name] = {
             "input_mb": round(inp / 1e6, 2),
             "shuffle_mb": round(m.shuffle_bytes_written / 1e6, 3),
             "ratio": round(ratio, 4),
+            "shuffle_rows": m.shuffle_records_written,
             "spill_mb": round(m.spill_bytes / 1e6, 2),
         }
         release_cached()
         spark.catalog.clearCache()
+    return out
+
+
+def check_bounds(measured: dict, bounds_doc: dict) -> list[str]:
+    """Compare measured ratios against committed bounds; returns the
+    list of violations (empty = gate passes). A family measured but
+    not bounded is also a violation — new heavy families must commit
+    a bound when they join the audit."""
+    factor = bounds_doc.get("factor", 1.5)
+    bounds = bounds_doc["bounds"]
+    problems = []
+    for name, stats in measured.items():
+        bound = bounds.get(name)
+        if bound is None:
+            problems.append(f"{name}: no committed bound (add one)")
+            continue
+        if stats["ratio"] > bound * factor:
+            problems.append(
+                f"{name}: ratio {stats['ratio']:.4f} > bound {bound} x "
+                f"{factor} = {bound * factor:.4f}"
+            )
+        if stats["spill_mb"] > 0:
+            problems.append(
+                f"{name}: {stats['spill_mb']} MB spill (bound run had none)"
+            )
+    return problems
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gate = "--gate" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    from irs_990_efiler_database_spark.session import get_spark
+
+    spark = get_spark("shuffle_budget")
+    out = measure(spark, sf_dir)
     print("| query | input MB | shuffled MB | ratio | shuffle rows | spill MB |")
     print("|---|---|---|---|---|---|")
-    for r in rows:
-        print(r)
+    for name, s in out.items():
+        print(
+            f"| {name} | {s['input_mb']:.1f} | {s['shuffle_mb']:.2f} "
+            f"| {s['ratio']:.3f} | {s['shuffle_rows']} | {s['spill_mb']:.1f} |"
+        )
     print()
     print(json.dumps({"metric": "shuffle_budget", "sf_dir": sf_dir, "queries": out}))
+    if gate:
+        bounds_doc = json.loads((REPO / "tools" / "shuffle_bounds.json").read_text())
+        problems = check_bounds(out, bounds_doc)
+        if problems:
+            print("SHUFFLE GATE FAILED:", file=sys.stderr)
+            for p in problems:
+                print(f"  {p}", file=sys.stderr)
+            raise SystemExit(1)
+        print(f"shuffle gate: {len(out)} families within committed bounds")
 
 
 if __name__ == "__main__":
