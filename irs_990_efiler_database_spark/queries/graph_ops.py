@@ -836,6 +836,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort-merge-shuffling the edge frame per round. Measured at
         # sf0.1: 7.7 s with per-round persist vs 10-11 s as one
         # unpersisted linear plan.
+        #
+        # BROADCAST CROSSOVER (the perf rationale above inverts at
+        # extreme node counts): a 1-row-per-node frame outgrows any
+        # broadcast threshold around ~100M nodes (16 bytes/row vs the
+        # session's 64 MB autoBroadcast limit), where AQE falls back
+        # to a sort-merge join — still CORRECT, costing one extra
+        # edge shuffle per round (the labels side is tiny relative to
+        # edges, so SMJ shuffle bytes ≈ edge bytes × rounds). Beyond
+        # the crossover, keep the persist (statistics still help join
+        # planning) and expect slope ∝ rounds × edges — measured
+        # 10× edges → 1.80× time at sub-crossover scale.
         labels = tracked_persist(labels)
         labels.count()
     return labels.select("node", F.col("label").cast("long").alias("community"))

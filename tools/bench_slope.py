@@ -58,6 +58,14 @@ FAMILIES = {
         "stat_signgd_text_classifier", ["documents"],
     ),
     "PQ-ADC topk": ("sim_pq_adc_topk", ["embeddings"]),
+    # round 7 (VERDICT r6 #6): the widest graph plans — LPA 28
+    # shuffles, k-core 22, PageRank 14. Expected signature: time ratio
+    # well under the edge ratio (fixed per-round engine overhead
+    # dominates at these SFs; the data-dependent term is one
+    # edge-keyed shuffle per superstep)
+    "LPA communities": ("graph_label_propagation", ["events"]),
+    "k-core peeling": ("graph_kcore_membership", ["events"]),
+    "PageRank 5 iter": ("graph_pagerank_5iter", ["events"]),
 }
 
 
@@ -81,6 +89,9 @@ def _time_query(spark, fn, sf_dir: str) -> float:
 
 def main() -> None:
     quick = "--quick" in sys.argv[1:]
+    only = None
+    if "--only" in sys.argv[1:]:
+        only = sys.argv[sys.argv.index("--only") + 1].lower()
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
 
@@ -89,7 +100,12 @@ def main() -> None:
     out_rows = []
     results = {}
 
-    for label, (qname, tables) in FAMILIES.items():
+    families = {
+        k: v
+        for k, v in FAMILIES.items()
+        if only is None or only in k.lower() or only in v[0]
+    }
+    for label, (qname, tables) in families.items():
         fn = qs[qname]
         _time_query(spark, fn, SF_A)  # warm JIT/codegen once
         # interleave the two sizes (A,B,A,B) and take best-of-2 per
@@ -115,6 +131,10 @@ def main() -> None:
         }
 
     # build family: 2k → 8k synthetic docs through the full pipeline
+    if only is not None and "build" not in only:
+        _print_results(out_rows, results)
+        spark.stop()
+        return
     import tempfile
 
     from tools.gen_xml_corpus import gen_bundle
@@ -150,13 +170,17 @@ def main() -> None:
         "time_ratio": round(ratio, 2),
     }
 
+    _print_results(out_rows, results)
+    spark.stop()
+
+
+def _print_results(out_rows, results) -> None:
     print("\n| family | query | t_small (s) | t_big (s) | data | time |")
     print("|---|---|---|---|---|---|")
     for r in out_rows:
         print("| " + " | ".join(r) + " |")
     print()
     print(json.dumps({"metric": "scale_slope", "families": results}))
-    spark.stop()
 
 
 if __name__ == "__main__":
