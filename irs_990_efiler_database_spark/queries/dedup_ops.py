@@ -40,20 +40,38 @@ _NORM = normalize_text
 @register(
     "dedup_exact_groups",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 25
+    )
     SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS group_size
-    FROM documents
+    FROM corpus
     GROUP BY 1
     HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: normalized-text hash → min-id
-    representative. Scale: one shuffle on the 16-byte digest."""
-    d = load_table(spark, sf_dir, "documents")
+    representative. Scale: one shuffle on the 16-byte digest.
+
+    The corpus is augmented with EXACT copies of doc_id < 25 under
+    offset ids (both sides identically), so duplicate groups exist by
+    construction at every SF — the generated documents table has zero
+    natural exact duplicates below sf0.1, which made this gate row
+    vacuously green (0 rows vs 0 rows) in driver rounds (VERDICT r6
+    what's-wrong #3)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
     return (
-        d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fp"))
+        corpus.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") > 1)
