@@ -28,8 +28,17 @@ bottlenecks and which one binds:
                 window slope would understate it. The reported
                 exponent is diagnostic only.
 
-Usage: python tools/capacity_plan.py [--quick]
+Usage: python tools/capacity_plan.py [--quick] [--three <sf1_dir>]
 (--quick runs each timing once instead of best-of-2)
+
+``--three`` adds a THIRD measured point (an sf1-scale set from
+tools/gen_sf1.py, 10x sf0.1): the fixed+marginal split becomes a
+least-squares line over three points spanning two decades of scale,
+and the table reports the middle point's relative residual — a large
+residual means the linear model (hence the cpu_min extrapolation) is
+not trustworthy for that family. Two points can always be fit
+exactly; three points is where linearity is actually TESTED.
+
 Prints a markdown table (paste into BENCH_NOTES.md) + one JSON line.
 """
 
@@ -94,8 +103,21 @@ def _time_query(spark, fn, sf_dir: str) -> float:
     return dt
 
 
+def _fit_line(xs: list[float], ys: list[float]) -> tuple[float, float]:
+    """Least-squares y = fixed + M*x; returns (fixed, M)."""
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx if sxx else 0.0
+    return my - slope * mx, slope
+
+
 def main() -> None:
     quick = "--quick" in sys.argv[1:]
+    sf1_dir = None
+    if "--three" in sys.argv[1:]:
+        sf1_dir = sys.argv[sys.argv.index("--three") + 1]
     reps = 1 if quick else 2
     from irs_990_efiler_database_spark.caching import release_cached
     from irs_990_efiler_database_spark.plans.metrics import (
@@ -108,15 +130,19 @@ def main() -> None:
     qs = all_queries()
     rows = []
     out = {}
+    sf_dirs = [SF_SMALL, SF_BIG] + ([sf1_dir] if sf1_dir else [])
     for label, (qname, tables) in FAMILIES.items():
         fn = qs[qname]
         _time_query(spark, fn, SF_SMALL)  # warm codegen/JIT once
-        ta = tb = float("inf")
+        times = {d: float("inf") for d in sf_dirs}
         for _ in range(reps):
-            ta = min(ta, _time_query(spark, fn, SF_SMALL))
-            tb = min(tb, _time_query(spark, fn, SF_BIG))
-        inp_small = _input_bytes(SF_SMALL, tables)
-        inp_big = _input_bytes(SF_BIG, tables)
+            # interleave sizes so monotonic host drift biases all
+            # points the same way instead of poisoning the slope
+            for d in sf_dirs:
+                times[d] = min(times[d], _time_query(spark, fn, d))
+        bytes_ = {d: _input_bytes(d, tables) for d in sf_dirs}
+        ta, tb = times[SF_SMALL], times[SF_BIG]
+        inp_small, inp_big = bytes_[SF_SMALL], bytes_[SF_BIG]
         data_ratio = inp_big / inp_small
         exponent = math.log(tb / ta) / math.log(data_ratio)
 
@@ -131,19 +157,33 @@ def main() -> None:
 
         scan_min = TARGET / (NODES * SCAN_BW) / 60
         shuffle_min = 2 * ratio * TARGET / (NODES * NIC_BW) / 60
-        # two-point fixed+marginal split; a family whose big-SF run is
-        # not measurably slower than small-SF is pure fixed overhead at
-        # these sizes — floor the marginal rate at 0 and flag it
-        marginal = max(tb - ta, 0.0) * LOCAL_CORES / (inp_big - inp_small)
+        if sf1_dir:
+            # 3-point least-squares fixed+marginal fit; the middle
+            # point's relative residual is the linearity test
+            xs = [bytes_[d] for d in sf_dirs]
+            ys = [times[d] * LOCAL_CORES for d in sf_dirs]
+            fixed, marginal = _fit_line(xs, ys)
+            marginal = max(marginal, 0.0)
+            fit_mid = fixed + marginal * bytes_[SF_BIG]
+            resid = abs(fit_mid - times[SF_BIG] * LOCAL_CORES) / (
+                times[SF_BIG] * LOCAL_CORES
+            )
+        else:
+            # two-point split; a family whose big-SF run is not
+            # measurably slower than small-SF is pure fixed overhead
+            # at these sizes — floor the marginal rate at 0
+            marginal = max(tb - ta, 0.0) * LOCAL_CORES / (inp_big - inp_small)
+            resid = None
         cpu_min = marginal * TARGET / (NODES * CORES_PER_NODE) / 60
         bound = max(
             ("scan", scan_min), ("shuffle", shuffle_min), ("cpu", cpu_min),
             key=lambda kv: kv[1],
         )
+        resid_cell = f" {resid*100:.0f}% |" if resid is not None else ""
         rows.append(
             f"| {label} | {ratio:.3f} | {exponent:.2f} "
             f"| {scan_min:.0f} | {shuffle_min:.0f} | {cpu_min:.0f} "
-            f"| {bound[0]}-bound ~{bound[1]:.0f} min |"
+            f"| {bound[0]}-bound ~{bound[1]:.0f} min |" + resid_cell
         )
         out[qname] = {
             "shuffle_ratio": round(ratio, 4),
@@ -153,6 +193,9 @@ def main() -> None:
             "cpu_min": round(cpu_min, 1),
             "bound": bound[0],
         }
+        if resid is not None:
+            out[qname]["t_points_sec"] = [round(times[d], 2) for d in sf_dirs]
+            out[qname]["fit_residual_mid"] = round(resid, 3)
 
     print(
         f"Cluster model: {NODES} nodes x {CORES_PER_NODE} cores, "
@@ -160,11 +203,12 @@ def main() -> None:
         f"node; target = 100 TB of each family's own input."
     )
     print()
+    resid_hdr = " mid-point residual |" if sf1_dir else ""
     print(
         "| family | shuffle ratio | slope exp | scan min | shuffle min "
-        "| cpu min | binding |"
+        "| cpu min | binding |" + resid_hdr
     )
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|" + ("---|" if sf1_dir else ""))
     for r in rows:
         print(r)
     print()
