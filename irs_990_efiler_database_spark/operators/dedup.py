@@ -251,15 +251,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sigs = sh.select("id", "sig")
-    cand = (
-        cand.join(sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
-        .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
-        .filter(
-            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k) >= est_prefilter
+    if est_prefilter * k > rows:
+        # the estimate stage can only prune when its cutoff exceeds the
+        # banding floor: one band collision already guarantees rows/k
+        # agreeing positions, so est >= rows/k holds for EVERY banded
+        # candidate by construction. At the defaults (0.25 = 4/16) the
+        # stage was a provable no-op whose two signature joins cost
+        # ~55 of 61 s at sf1 (13.3M candidates, zero dropped) — skip it
+        # and let the exact stage see the same pair set either way.
+        sigs = sh.select("id", "sig")
+        cand = (
+            cand.join(sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+            .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+            .filter(
+                estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k)
+                >= est_prefilter
+            )
+            .select("id_a", "id_b")
         )
-        .select("id_a", "id_b")
-    )
     sets_ = sh.select("id", "sh")
     out = (
         cand.join(sets_.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -447,15 +456,20 @@ def minhash_lsh_pairs_between(
         .select("new_id", "idx_id")
         .distinct()
     )
-    sigs = sh.select("id", "sig")
-    cand = (
-        cand.join(sigs.withColumnsRenamed({"id": "new_id", "sig": "sig_a"}), "new_id")
-        .join(sigs.withColumnsRenamed({"id": "idx_id", "sig": "sig_b"}), "idx_id")
-        .filter(
-            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k) >= est_prefilter
+    if est_prefilter * k > rows:
+        # same banding-floor rule as minhash_lsh_pairs: a band
+        # collision guarantees rows/k agreement, so a cutoff at or
+        # below it prunes nothing — skip the two signature joins
+        sigs = sh.select("id", "sig")
+        cand = (
+            cand.join(sigs.withColumnsRenamed({"id": "new_id", "sig": "sig_a"}), "new_id")
+            .join(sigs.withColumnsRenamed({"id": "idx_id", "sig": "sig_b"}), "idx_id")
+            .filter(
+                estimated_jaccard(F.col("sig_a"), F.col("sig_b"), k)
+                >= est_prefilter
+            )
+            .select("new_id", "idx_id")
         )
-        .select("new_id", "idx_id")
-    )
     sets_ = sh.select("id", "sh")
     return (
         cand.join(sets_.withColumnsRenamed({"id": "new_id", "sh": "sh_a"}), "new_id")

@@ -51,6 +51,57 @@ def test_minhash_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_prefilter_skipped_at_banding_floor(spark):
+    """The estimate-prefilter stage is a provable no-op when its
+    cutoff <= rows/k: one band collision already guarantees rows/k
+    agreeing signature positions, so every banded candidate passes.
+    Round 7 measured the no-op stage's two signature joins at ~55 of
+    61 s on the sf1 upsample (13.3M candidates, zero dropped) — the
+    operator now skips it at the floor. This test pins BOTH halves:
+    (a) the floor invariant that makes the skip safe, and (b) plan
+    shape — defaults produce exactly the candidate join + 2 shingle
+    joins, while a cutoff above the floor adds its 2 signature joins."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.operators.dedup import (
+        cap_hot_buckets,
+        estimated_jaccard,
+        shingled,
+    )
+
+    # (a) floor invariant on real banded candidates
+    sh = shingled(_augmented(spark), "doc_id", "text", 5, 16, 4, 4)
+    bandsdf = sh.select("id", F.posexplode("bh").alias("band_idx", "band_hash"))
+    bandsdf = cap_hot_buckets(bandsdf, ["band_idx", "band_hash"], 1000)
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sigs = sh.select("id", "sig")
+    est = (
+        cand.join(sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .select(estimated_jaccard(F.col("sig_a"), F.col("sig_b"), 16).alias("e"))
+    )
+    n_cand = est.count()
+    assert n_cand > 0
+    assert est.filter(F.col("e") < 4 / 16).count() == 0
+
+    # (b) plan shape: default (floor) skips the signature joins
+    n_joins_default = _plan(minhash_lsh_pairs(_augmented(spark))).count("Join")
+    n_joins_est = _plan(
+        minhash_lsh_pairs(_augmented(spark), est_prefilter=0.5)
+    ).count("Join")
+    assert n_joins_est > n_joins_default
+
+
 def test_simhash_finds_planted_neardups(spark):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
