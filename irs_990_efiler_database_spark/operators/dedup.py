@@ -269,14 +269,38 @@ def minhash_lsh_pairs(
             )
             .select("id_a", "id_b")
         )
-    sets_ = sh.select("id", "sh")
+    # exact stage: dedupe each shingle multiset ONCE per document and
+    # carry its size, so the per-pair work is a single array_intersect
+    # — |A∪B| = |A|+|B|-|A∩B| replaces array_union, which would
+    # otherwise ALLOCATE a deduped union array per candidate pair just
+    # to take its size (measured ~25% of the exact stage at sf1's
+    # 13.3M candidates)
+    sets_ = sh.select(
+        "id",
+        F.array_distinct("sh").alias("shd"),
+        F.size(F.array_distinct("sh")).alias("n_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     out = (
-        cand.join(sets_.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sets_.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        cand.join(
+            sets_.withColumnsRenamed(
+                {"id": "id_a", "shd": "sh_a", "n_sh": "n_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.withColumnsRenamed(
+                {"id": "id_b", "shd": "sh_b", "n_sh": "n_b"}
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            (
+                inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -470,14 +494,33 @@ def minhash_lsh_pairs_between(
             )
             .select("new_id", "idx_id")
         )
-    sets_ = sh.select("id", "sh")
+    # same per-doc dedup + size-arithmetic union as minhash_lsh_pairs
+    sets_ = sh.select(
+        "id",
+        F.array_distinct("sh").alias("shd"),
+        F.size(F.array_distinct("sh")).alias("n_sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.join(sets_.withColumnsRenamed({"id": "new_id", "sh": "sh_a"}), "new_id")
-        .join(sets_.withColumnsRenamed({"id": "idx_id", "sh": "sh_b"}), "idx_id")
+        cand.join(
+            sets_.withColumnsRenamed(
+                {"id": "new_id", "shd": "sh_a", "n_sh": "n_a"}
+            ),
+            "new_id",
+        )
+        .join(
+            sets_.withColumnsRenamed(
+                {"id": "idx_id", "shd": "sh_b", "n_sh": "n_b"}
+            ),
+            "idx_id",
+        )
         .select(
             "new_id",
             "idx_id",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            (
+                inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
