@@ -111,6 +111,8 @@ HEADLINE = [
     "graph_label_propagation",
     "doc_quality_quantile_normalize",
     "stat_median_ci_distribution_free",
+    # round 7 additions
+    "events_stream_running_totals_tws",
 ]
 
 
