@@ -133,3 +133,51 @@ def test_every_rdb_arm_and_group_root_matches_golden(spark, tmp_path):
         f"{len(mismatches)} (table, doc) diverge; first 3: "
         f"{mismatches[:3]}"
     )
+
+
+def test_every_schedn_arm_and_group_vintage_matches_golden(spark, tmp_path):
+    """Schedule N (the reference's hand-rolled section, :2875-4140):
+    every ONE-table xpath arm and every (group vintage, leaf vintage)
+    MANY-arm with two instances must produce exactly the golden
+    extractor's rows — both LiquidationOfAssetsTableGrp/
+    LiquidationTable vintages and every leaf rename across them."""
+    from irs_990_efiler_database_spark.extract.golden import (
+        golden_schedn_rows,
+    )
+    from irs_990_efiler_database_spark.extract.schedn_builder import (
+        build_schedn_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_schedn_arm_docs
+
+    corpora = gen_schedn_arm_docs()
+    assert sum(len(d) for d in corpora.values()) >= 290
+    mismatches = []
+    for table, docs in corpora.items():
+        tdir = tmp_path / table
+        tdir.mkdir()
+        by_url = {}
+        for url, xml in docs:
+            p = tdir / url.rsplit("/", 1)[-1]
+            p.write_text(xml)
+            by_url[p.resolve().as_uri()] = xml
+        df = read_return_xml_files(spark, str(tdir / "*.xml"))
+        got = {}
+        for r in build_schedn_table(df, table).collect():
+            got.setdefault(r["URL"], []).append(r.asDict())
+        for url, xml in by_url.items():
+            cols, want = golden_schedn_rows(url, xml, table)
+            want_set = sorted(tuple(w.get(c) for c in cols) for w in want)
+            got_set = sorted(
+                tuple(g.get(c) for c in cols) for g in got.get(url, [])
+            )
+            if want_set != got_set:
+                mismatches.append(
+                    (table, url.rsplit("/", 1)[-1], got_set, want_set)
+                )
+    assert not mismatches, (
+        f"{len(mismatches)} (table, doc) diverge; first 3: "
+        f"{mismatches[:3]}"
+    )

@@ -210,6 +210,82 @@ def gen_rdb_arm_docs() -> dict[str, list[tuple[str, str]]]:
     return out
 
 
+def gen_schedn_arm_docs() -> dict[str, list[tuple[str, str]]]:
+    """Arm-fuzz corpus for the hand-rolled Schedule N tables
+    (reference :2875-4140): one doc per ONE-table xpath arm and one
+    per (group-root vintage, variable, relative-leaf vintage) with TWO
+    group instances — ~300 docs covering both LiquidationOfAssets
+    vintages, both DispositionOfActivities shapes, and every leaf
+    rename across them. Same conflict-free one-arm-per-doc design as
+    the CORE/RDB fuzzers."""
+    import sys as _sys
+    import xml.etree.ElementTree as ET
+
+    _sys.path.insert(0, str(REPO))
+    from irs_990_efiler_database_spark.plans.concordance import (
+        load_schedn_spec,
+    )
+
+    spec = load_schedn_spec()
+    serial = 0
+
+    def new_root():
+        root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+        ET.SubElement(root, "ReturnHeader")
+        data = ET.SubElement(root, "ReturnData")
+        ET.SubElement(data, "IRS990")
+        ET.SubElement(data, "IRS990ScheduleN")
+        return root
+
+    def finish(root, out):
+        nonlocal serial
+        obj = f"9902{serial:06d}"
+        serial += 1
+        out.append(
+            (
+                f"file:///armfuzz/{obj}_public.xml",
+                ET.tostring(root, encoding="unicode"),
+            )
+        )
+
+    def ensure(node, parts):
+        for part in parts:
+            found = node.find(part)
+            node = found if found is not None else ET.SubElement(node, part)
+        return node
+
+    out: dict[str, list[tuple[str, str]]] = {}
+    for tname, t in spec["tables"].items():
+        docs: list[tuple[str, str]] = []
+        if t["cardinality"] == "ONE":
+            i = 0
+            for var in t["columns"]:
+                for xp in t["vars"][var]["xpaths"]:
+                    root = new_root()
+                    parts = [p for p in xp.split("/") if p]
+                    if parts and parts[0] == "Return":
+                        parts = parts[1:]
+                    ensure(root, parts).text = str(700 + i)
+                    i += 1
+                    finish(root, docs)
+        else:
+            for gi, gp in enumerate(t["groups"]):
+                gparts = [p for p in gp.split("/") if p][1:]
+                li = 0
+                for var in t["columns"]:
+                    for rel in t["vars"][var]["rels"]:
+                        root = new_root()
+                        parent = ensure(root, gparts[:-1])
+                        for inst in range(2):
+                            g = ET.SubElement(parent, gparts[-1])
+                            leaf = ensure(g, [p for p in rel.split("/") if p])
+                            leaf.text = str(2000 * (gi + 1) + 10 * li + inst)
+                        li += 1
+                        finish(root, docs)
+        out[tname] = docs
+    return out
+
+
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
