@@ -181,3 +181,68 @@ def test_every_schedn_arm_and_group_vintage_matches_golden(spark, tmp_path):
         f"{len(mismatches)} (table, doc) diverge; first 3: "
         f"{mismatches[:3]}"
     )
+
+
+def test_master_crosswalk_slice_arms_match_golden(spark, tmp_path):
+    """Master-crosswalk fuzz (G6): a deterministic, scope-diverse
+    sample of the 1,683 LOCATIONs — including the largest
+    (SCHED-A-PART-02, 431 arms) and PF/PC/EZ/H/G parts — registered as
+    slices and arm-fuzzed like the parity tables: one doc per xpath
+    arm, build_rdb_table vs the golden extractor on every doc. This
+    exercises the register → schema-extend → parse → coalesce path for
+    vintage arms no fixture has ever populated."""
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        register_master_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_rdb_arm_docs
+
+    locations = [
+        "SCHED-A-PART-02",    # largest slice: 431 rows
+        "IRS990PF-PART-08",   # PF on-form part
+        "SCHED-G-PART-03",    # gaming schedule
+        "SCHED-H-PART-02",    # hospital schedule
+        "F990-EZ-PART-05",    # EZ scope
+        "SCHED-PF-PART-01",   # off-form PF schedule (AccountingFees…)
+    ]
+    tables = []
+    for loc in locations:
+        name = register_master_table(loc, table_name=f"FUZZ-{loc}")
+        tables.append(name)
+
+    corpora = gen_rdb_arm_docs(tables)
+    n_docs = sum(len(d) for d in corpora.values())
+    assert n_docs >= 700, n_docs
+    mismatches = []
+    for table, docs in corpora.items():
+        tdir = tmp_path / table
+        tdir.mkdir()
+        by_url = {}
+        for url, xml in docs:
+            p = tdir / url.rsplit("/", 1)[-1]
+            p.write_text(xml)
+            by_url[p.resolve().as_uri()] = xml
+        df = read_return_xml_files(spark, str(tdir / "*.xml"))
+        got = {}
+        for r in build_rdb_table(df, table).collect():
+            got.setdefault(r["URL"], []).append(r.asDict())
+        for url, xml in by_url.items():
+            cols, want = golden_rdb_rows(url, xml, table)
+            want_set = sorted(tuple(w.get(c) for c in cols) for w in want)
+            got_set = sorted(
+                tuple(g.get(c) for c in cols) for g in got.get(url, [])
+            )
+            if want_set != got_set:
+                mismatches.append(
+                    (table, url.rsplit("/", 1)[-1], got_set, want_set)
+                )
+    assert not mismatches, (
+        f"{len(mismatches)} (table, doc) diverge; first 3: "
+        f"{mismatches[:3]}"
+    )
