@@ -231,6 +231,15 @@ def main() -> None:
                 # 0.76 s but whose tail entries ran 2-5x slow)
                 "cpu_calibration_sec": _calib_start,
                 "cpu_calibration_end_sec": _cpu_calibration(),
+                # multi-core probe: co-tenant load can leave the
+                # single-thread probe unchanged while halving effective
+                # core availability (observed: probe 0.64 s matching a
+                # quiet round while every 32-way query ran ~2-3x slow;
+                # a 32-process pool of the same workload read 1.2 s vs
+                # the ~0.7 s a free host gives). Ratio mc/single >> 1
+                # marks a run whose totals are NOT cross-round
+                # comparable.
+                "cpu_calibration_mc_sec": _cpu_calibration_mc(),
                 "extract": extract_stats,
             }
         )
@@ -288,6 +297,29 @@ def _cpu_calibration() -> float:
         s += i
     assert s == 199999990000000
     return round(time.perf_counter() - t0, 4)
+
+
+def _cpu_calibration_mc() -> float:
+    """Wall seconds for 32 PROCESSES each running the single-thread
+    workload — measures effective core availability, which co-tenant
+    load degrades without moving the single-thread probe. On a free
+    32-core host this reads ≈ the single-thread number."""
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(32) as pool:
+            t0 = time.perf_counter()
+            pool.map(_mc_work, range(32))
+            return round(time.perf_counter() - t0, 4)
+    except Exception:  # pool creation can fail in exotic sandboxes
+        return -1.0
+
+
+def _mc_work(_):
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return s
 
 
 if __name__ == "__main__":
