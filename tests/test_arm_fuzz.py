@@ -86,6 +86,41 @@ def test_every_core_coalesce_arm_matches_golden(arm_corpus):
     )
 
 
+def test_arm_corpus_bundle_source_extracts_identically(spark):
+    """The (url, xml) parquet BUNDLE source — the path a 3M-doc build
+    actually uses — must extract every coalesce arm identically to the
+    file source (which the golden test above anchors). Runs build_core
+    over the arm corpus loaded as an in-memory bundle frame and
+    compares per-URL rows against the same build over a re-created
+    frame, keyed by the arm corpus's synthetic URLs."""
+    from irs_990_efiler_database_spark.extract.core_builder import build_core
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        with_parsed_return,
+    )
+
+    docs = gen_arm_docs()
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    bundle = with_parsed_return(
+        spark.createDataFrame(docs, ["url", "xml"])
+    )
+    got = {
+        r["URL"]: r.asDict()
+        for r in build_core(bundle, columns=cols).collect()
+    }
+    assert len(got) == len(docs)
+    from irs_990_efiler_database_spark.extract.golden import golden_core_row
+
+    bad = []
+    for url, xml in docs:
+        want = golden_core_row(url, xml)
+        g = got[url]  # same synthetic urls on both sides
+        diffs = {c: (g[c], want[c]) for c in cols if g[c] != want[c]}
+        if diffs:
+            bad.append((url, diffs))
+    assert not bad, f"{len(bad)} bundle-source docs diverge: {bad[:3]}"
+
+
 def test_every_rdb_arm_and_group_root_matches_golden(spark, tmp_path):
     """RDB tables (E3/E4 keyed explode): every ONE-arm and every
     (group root, leaf) MANY-arm — with TWO instances per group so the
