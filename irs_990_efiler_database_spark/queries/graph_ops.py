@@ -796,10 +796,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
     pairs = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    # collapse multiplicity into an integer weight ONCE: the vote join
+    # below runs every round, and at co-occurrence-graph scale the
+    # multiset of edge INSTANCES is many times the unique-edge count —
+    # one upfront (u,v) aggregation makes each round's join input the
+    # unique edges and the vote an equivalent SUM(w) (identical
+    # integers to the COUNT(*) over instances, same oracle)
     edges = tracked_persist(
         pairs.unionAll(
             pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w")),
         StorageLevel.MEMORY_AND_DISK,
     )
     edges.count()
@@ -815,7 +823,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v",
             )
             .groupBy(F.col("u").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("w").alias("cnt"))
         )
         labels = (
             votes.groupBy("node")
