@@ -79,6 +79,20 @@ def _infer_type(xpaths: list[str]) -> str:
     return "text"
 
 
+def _split_xpath_cell(xp: str) -> list[str]:
+    """'/Return/.../IRS990/X; Return/.../IRS990EZ/X' → both arms,
+    normalized to a leading '/'. Single-path cells pass through."""
+    arms = []
+    for part in xp.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if not part.startswith("/"):
+            part = "/" + part
+        arms.append(part)
+    return arms
+
+
 def master_table_rows(
     location: str,
     scope: str | None = None,
@@ -120,7 +134,20 @@ def master_table_rows(
         by_var.setdefault(var, []).append((sc, xp))
     out: list[dict] = []
     for var, pairs in by_var.items():
-        xps = list(dict.fromkeys(xp for _, xp in pairs))
+        # the master crosswalk joins multi-form vintages in ONE cell
+        # with '; ' for PZ-scope variables ('/Return/.../IRS990/X;
+        # Return/.../IRS990EZ/X' — 342 such cells); each is a separate
+        # coalesce arm, not a literal path. Split here (the single
+        # consumption point) so the schema, the compiler, AND the
+        # golden all see real arms — verbatim treatment silently made
+        # those variables never extract from either form.
+        xps = list(
+            dict.fromkeys(
+                arm
+                for _, xp in pairs
+                for arm in _split_xpath_cell(xp)
+            )
+        )
         for xp in xps:
             row = {
                 "xpath": xp,
