@@ -402,6 +402,11 @@ def events_stream_running_totals_tws(
         "events_stream_tws_q",
         str(tmp / "ckpt"),
         output_mode="append",
+        # same sizing rule as events_stream_stateful_sessions: a
+        # bounded drain pays a RocksDB instance + commit per state
+        # partition per batch — 8 partitions measured 3.46 s vs 4.83 s
+        # at 32 on the sf0.1 drain (state is 2 longs x 150 users)
+        state_partitions=8,
     )
 
 
