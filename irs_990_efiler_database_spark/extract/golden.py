@@ -61,7 +61,16 @@ def _match_values(root: ET.Element, xpath: str) -> list[str | None]:
         for n in nodes:
             nxt.extend(n.findall(seg))
         nodes = nxt
-    return [n.text for n in nodes]
+    # xml2 semantics (the reference's xml_text, which never returns NA
+    # for a PRESENT node): an empty leaf — <X/> or <X></X> — is "",
+    # not missing; ElementTree's .text is None for both, so map
+    # childless-with-no-text to "". Nodes with children keep None here
+    # (the engine's struct nodes have no direct scalar either; xml2's
+    # descendant-text concatenation is out of scope for both engines).
+    return [
+        n.text if n.text is not None else ("" if len(n) == 0 else None)
+        for n in nodes
+    ]
 
 
 def _match_nodes(root: ET.Element, xpath: str) -> list[ET.Element]:

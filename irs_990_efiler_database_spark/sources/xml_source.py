@@ -142,7 +142,15 @@ def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         F.from_xml(
             F.col(xml_col),
             parse_schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+                # reference parity: the R pipeline's xml_text() never
+                # trims, so "  x  " must extract verbatim — Spark's XML
+                # reader strips surrounding whitespace by default
+                # (found by the edge-value differential fuzz)
+                "ignoreSurroundingSpaces": "false",
+            },
         ),
     ).withColumn(
         # get_object_id (:39-44): strip bucket prefix and _public.xml suffix

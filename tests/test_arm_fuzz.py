@@ -281,3 +281,83 @@ def test_master_crosswalk_slice_arms_match_golden(spark, tmp_path):
         f"{len(mismatches)} (table, doc) diverge; first 3: "
         f"{mismatches[:3]}"
     )
+
+
+def test_edge_values_extract_identically(spark, tmp_path):
+    """Value-level differential fuzz: XML entities, numeric entities,
+    whitespace shapes, unicode, quotes, long text, and empty elements
+    pushed through representative CORE variables on BOTH parsers —
+    from_xml (JVM, the engine) and ElementTree (the golden). This is
+    where silent encoding/trim disagreements would hide; every arm
+    fuzz above uses plain digit values and cannot see them."""
+    import xml.etree.ElementTree as ET
+
+    from irs_990_efiler_database_spark.extract.core_builder import build_core
+    from irs_990_efiler_database_spark.extract.golden import golden_core_row
+    from irs_990_efiler_database_spark.plans.concordance import load_core_spec
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        read_return_xml_files,
+    )
+
+    cols = list(dict.fromkeys(load_core_spec()["columns"]))
+    # raw XML payloads (inserted verbatim into the document text)
+    payloads = [
+        "Smith &amp; Jones",          # named entity
+        "&#65;&#66;&#67;",            # numeric entities
+        "café 会社",     # unicode (accents + CJK)
+        "  leading and trailing  ",   # outer whitespace
+        "line1\nline2",               # embedded newline
+        "tabs\tinside",               # embedded tab
+        "O'Brien “quoted”", # quotes
+        "x" * 5000,                   # long text
+        "0",                          # zero-string
+        "0001234",                    # leading zeros
+        "-17.50",                     # negative decimal
+        "<![CDATA[raw <markup> &]]>", # CDATA section
+        "",                           # empty element <X></X>
+    ]
+    docs = []
+    for i, payload in enumerate(payloads):
+        obj = f"9903{i:06d}"
+        xml = (
+            '<Return returnVersion="2014v5.0"><ReturnHeader>'
+            "<Filer><BusinessName><BusinessNameLine1>"
+            f"{payload}"
+            "</BusinessNameLine1></BusinessName></Filer>"
+            "</ReturnHeader><ReturnData><IRS990>"
+            f"<ActivityOrMissionDesc>{payload}</ActivityOrMissionDesc>"
+            "</IRS990></ReturnData></Return>"
+        )
+        ET.fromstring(xml)  # payload must itself be well-formed XML
+        p = tmp_path / f"{obj}_public.xml"
+        p.write_text(xml)
+        docs.append((p.resolve().as_uri(), xml))
+
+    # self-closed variant: <X/> must behave exactly like <X></X>
+    # (xml2 reads both as "")
+    xml = (
+        '<Return returnVersion="2014v5.0"><ReturnHeader>'
+        "<Filer><BusinessName><BusinessNameLine1/>"
+        "</BusinessName></Filer>"
+        "</ReturnHeader><ReturnData><IRS990>"
+        "<ActivityOrMissionDesc/>"
+        "</IRS990></ReturnData></Return>"
+    )
+    ET.fromstring(xml)
+    p = tmp_path / "9903990000_public.xml"
+    p.write_text(xml)
+    docs.append((p.resolve().as_uri(), xml))
+
+    df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
+    got = {
+        r["URL"]: r.asDict() for r in build_core(df, columns=cols).collect()
+    }
+    assert len(got) == len(docs)
+    bad = []
+    for url, xml in docs:
+        want = golden_core_row(url, xml)
+        g = got[url]
+        diffs = {c: (g[c], want[c]) for c in cols if g[c] != want[c]}
+        if diffs:
+            bad.append((url.rsplit("/", 1)[-1], diffs))
+    assert not bad, f"{len(bad)} edge-value docs diverge: {bad}"
