@@ -348,6 +348,37 @@ def test_edge_values_extract_identically(spark, tmp_path):
     p.write_text(xml)
     docs.append((p.resolve().as_uri(), xml))
 
+    # namespaced variant (real 990 e-file XML carries the IRS default
+    # namespace): local-name matching must behave exactly like the
+    # unnamespaced docs on both parsers
+    xml = (
+        '<Return xmlns="http://www.irs.gov/efile" '
+        'returnVersion="2014v5.0"><ReturnHeader>'
+        "<Filer><BusinessName><BusinessNameLine1>"
+        "Namespaced &amp; Co"
+        "</BusinessNameLine1></BusinessName></Filer>"
+        "</ReturnHeader><ReturnData><IRS990>"
+        "<ActivityOrMissionDesc>ns body</ActivityOrMissionDesc>"
+        "</IRS990></ReturnData></Return>"
+    )
+    ET.fromstring(xml)
+    p = tmp_path / "9903990001_public.xml"
+    p.write_text(xml)
+    docs.append((p.resolve().as_uri(), xml))
+
+    # entity inside an ATTRIBUTE (attribute-projection arms): the 501c
+    # type carried via organization501cTypeTxt
+    xml = (
+        '<Return returnVersion="2014v5.0"><ReturnHeader/>'
+        "<ReturnData><IRS990>"
+        '<Organization501cInd organization501cTypeTxt="3 &amp; 4"/>'
+        "</IRS990></ReturnData></Return>"
+    )
+    ET.fromstring(xml)
+    p = tmp_path / "9903990002_public.xml"
+    p.write_text(xml)
+    docs.append((p.resolve().as_uri(), xml))
+
     df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
     got = {
         r["URL"]: r.asDict() for r in build_core(df, columns=cols).collect()
