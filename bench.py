@@ -184,19 +184,40 @@ def main() -> None:
         # expensive entry, so one co-tenant contention spike otherwise
         # dominates the whole headline total (observed 17.9 s -> 93 s
         # on identical code purely from host load)
-        best, worst = float("inf"), 0.0
-        for i in range(max(1, runs)):
+        # self-validation policy (BENCH_r06's 0.165 s / 2000-doc entry
+        # was a harness artifact ~40x below any real run):
+        # - WRONG OUTPUT (row counts / dead letters) always raises —
+        #   a broken build must never post any number;
+        # - a SUB-FLOOR TIMING invalidates that run only (clock
+        #   artifact); the entry records the best VALID run, and the
+        #   bench raises only if no run was physically plausible —
+        #   one bad clock read shouldn't void 90 other measurements.
+        valid: list[float] = []
+        n_runs = max(1, runs)
+        for i in range(n_runs + 1):  # +1 retry budget for a bad clock
+            if len(valid) >= 1 and i >= n_runs:
+                break
             t0 = time.perf_counter()
             result = build_database(
                 spark, f"{tmp}/out{i}", bundle_path=f"{tmp}/bundle"
             )
             dt = time.perf_counter() - t0
-            # self-validation: a run that produced wrong row counts or
-            # a physically impossible wall time must fail LOUDLY, not
-            # post a flattering number (BENCH_r06's 0.165 s / 2000-doc
-            # entry was a harness artifact ~40x below any real run)
-            _validate_extract_run(result.rows, result.dead_rows, n_docs, dt)
-            best, worst = min(best, dt), max(worst, dt)
+            _validate_extract_rows(result.rows, result.dead_rows, n_docs)
+            if dt >= n_docs * EXTRACT_FLOOR_SEC_PER_DOC:
+                valid.append(dt)
+            else:
+                print(
+                    f"# extract run {i}: {dt:.4f}s below the physical "
+                    "floor — discarded as a clock artifact",
+                    file=sys.stderr,
+                )
+        if not valid:
+            raise RuntimeError(
+                "extraction bench: every run timed below the physical "
+                f"floor ({EXTRACT_FLOOR_SEC_PER_DOC * 1000:.2f} ms/doc "
+                f"x {n_docs} docs) — harness clock is untrustworthy"
+            )
+        best, worst = min(valid), max(valid)
         key = f"x990_build_database_{n_docs}_docs"
         timings[key] = round(best, 4)
         spreads[key] = round(worst - best, 4)
@@ -204,7 +225,8 @@ def main() -> None:
             "docs": n_docs,
             "sec": round(best, 4),
             "docs_per_sec": round(n_docs / best, 1),
-            "rows_ok": True,  # _validate_extract_run raised otherwise
+            "rows_ok": True,  # _validate_extract_rows raised otherwise
+            "runs_valid": len(valid),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -258,12 +280,12 @@ EXTRACT_FLOOR_SEC_PER_DOC = 0.0005
 EXTRACT_MIN_NONEMPTY_TABLES = 10
 
 
-def _validate_extract_run(
-    rows: dict[str, int], dead_rows: int, n_docs: int, sec: float
+def _validate_extract_rows(
+    rows: dict[str, int], dead_rows: int, n_docs: int
 ) -> None:
-    """Reject a bench extraction run whose outputs or wall time are
-    inconsistent with actually having done the work. Raises
-    RuntimeError — the bench must crash rather than record the entry."""
+    """Reject a bench extraction run whose OUTPUTS are inconsistent
+    with actually having done the work. Raises RuntimeError — a broken
+    build must crash the bench, never record an entry."""
     problems = []
     if rows.get("CORE") != n_docs:
         problems.append(f"CORE rows {rows.get('CORE')} != n_docs {n_docs}")
@@ -275,16 +297,26 @@ def _validate_extract_run(
             f"only {nonempty} non-empty tables "
             f"(expected >= {EXTRACT_MIN_NONEMPTY_TABLES}): {rows}"
         )
-    floor = n_docs * EXTRACT_FLOOR_SEC_PER_DOC
-    if sec < floor:
-        problems.append(
-            f"wall time {sec:.4f}s below the physical floor {floor:.4f}s "
-            f"({EXTRACT_FLOOR_SEC_PER_DOC * 1000:.2f} ms/doc x {n_docs} docs) "
-            "— clock/harness artifact, not a real build"
-        )
     if problems:
         raise RuntimeError(
             "extraction bench self-validation FAILED: " + "; ".join(problems)
+        )
+
+
+def _validate_extract_run(
+    rows: dict[str, int], dead_rows: int, n_docs: int, sec: float
+) -> None:
+    """Row validation + the timing floor in one call (kept for tests
+    and external callers; the bench loop applies the floor per-run so
+    one clock artifact invalidates that run, not the whole bench)."""
+    _validate_extract_rows(rows, dead_rows, n_docs)
+    floor = n_docs * EXTRACT_FLOOR_SEC_PER_DOC
+    if sec < floor:
+        raise RuntimeError(
+            "extraction bench self-validation FAILED: "
+            f"wall time {sec:.4f}s below the physical floor {floor:.4f}s "
+            f"({EXTRACT_FLOOR_SEC_PER_DOC * 1000:.2f} ms/doc x {n_docs} docs) "
+            "— clock/harness artifact, not a real build"
         )
 
 

@@ -45,3 +45,14 @@ def test_sub_physical_floor_timing_fails_loudly():
 def test_dead_letter_rows_fail_loudly():
     with pytest.raises(RuntimeError, match="dead-letter"):
         _validate_extract_run(GOOD_ROWS, 3, 2000, 4.0)
+
+
+def test_rows_validation_split_from_timing_floor():
+    """The bench loop applies the floor PER-RUN (one clock artifact
+    discards that run, not the whole bench); row validation alone must
+    not raise on timing and the combined validator must."""
+    from bench import _validate_extract_rows
+
+    _validate_extract_rows(GOOD_ROWS, 0, 2000)  # no timing arg, no raise
+    with pytest.raises(RuntimeError, match="CORE rows"):
+        _validate_extract_rows(dict(GOOD_ROWS, CORE=5), 0, 2000)
