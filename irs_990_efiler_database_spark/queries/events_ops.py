@@ -407,6 +407,10 @@ def events_stream_running_totals_tws(
         # partition per batch — 8 partitions measured 3.46 s vs 4.83 s
         # at 32 on the sf0.1 drain (state is 2 longs x 150 users)
         state_partitions=8,
+        # transformWithState requires the RocksDB provider; pin it
+        # per-query so the drain works on ANY session, not just one
+        # built by session.get_spark (which sets it globally)
+        state_store="rocksdb",
     )
 
 

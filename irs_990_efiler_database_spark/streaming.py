@@ -275,12 +275,22 @@ def stateful_sessions(
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
 def run_available_now(
     stream: DataFrame,
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain everything currently in the source into an in-memory sink
     (test/backfill mode) and return the result table.
@@ -292,13 +302,32 @@ def run_available_now(
     pay a fixed per-partition cost every micro-batch (a state store
     instance + commit each), so size it to the state volume: a
     backfill drain of bounded input wants few partitions; a 100 TB
-    production stream sizes it to state volume / executor count. The
-    conf is restored after the drain — batch queries in the session
-    are unaffected."""
+    production stream sizes it to state volume / executor count.
+
+    ``state_store="rocksdb"``: pin the RocksDB state-store provider
+    (+ changelog checkpointing) for this drain. ``transformWithState``
+    refuses to run on the default HDFS-backed provider
+    (STREAM_FAILED / 0A000), so any query built on it must carry the
+    provider itself rather than assume the session was built by
+    ``session.get_spark`` — a vanilla ``SparkSession.builder`` session
+    must work too.
+
+    Every conf touched is restored after the drain — batch queries in
+    the session are unaffected."""
     spark = stream.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    saved: dict[str, str | None] = {}
+
+    def _pin(key: str, value: str) -> None:
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, value)
+
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        _pin("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store == "rocksdb":
+        _pin(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+        _pin(_CHANGELOG_CONF, "true")
+    elif state_store is not None:  # pragma: no cover - guard
+        raise ValueError(f"unknown state_store: {state_store!r}")
     try:
         q = (
             stream.writeStream.format("memory")
@@ -310,8 +339,11 @@ def run_available_now(
         )
         q.awaitTermination()
     finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for key, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     return stream.sparkSession.table(query_name)
 
 
@@ -594,25 +626,25 @@ def running_totals(events: DataFrame) -> DataFrame:
             (user_id,) = key
             held = self._state.get()
             n, v = held if held is not None else (0, 0)
-            out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-                ncum = pdf["ones"].cumsum() + n
-                vcum = pdf["v_us"].cumsum() + v
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "user_id": user_id,
-                            "event_id": pdf["event_id"].to_numpy(),
-                            "n_cum": ncum.to_numpy(),
-                            "v_cum_micros": vcum.to_numpy(),
-                        }
-                    )
-                )
-                n = int(ncum.iloc[-1])
-                v = int(vcum.iloc[-1])
-            self._state.update((n, v))
-            yield from out
+            # `rows` is an iterator of Arrow-sized chunks (default
+            # ~10k rows) in arbitrary shuffle order — a per-chunk sort
+            # would produce per-chunk cumulative runs that disagree
+            # whenever one key's batch spans >1 chunk. Concatenate the
+            # whole batch for this key and sort ONCE; state volume per
+            # key is bounded by the micro-batch, not the stream.
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ncum = pdf["ones"].cumsum() + n
+            vcum = pdf["v_us"].cumsum() + v
+            self._state.update((int(ncum.iloc[-1]), int(vcum.iloc[-1])))
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "n_cum": ncum.to_numpy(),
+                    "v_cum_micros": vcum.to_numpy(),
+                }
+            )
 
         def close(self) -> None:
             pass

@@ -293,6 +293,92 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert a == b
 
 
+def test_tws_query_portable_to_hdfs_provider_session(spark):
+    """Regression (CORRECTNESS_r07's only red row): the registered TWS
+    query must run on a session whose state-store provider is the
+    default HDFS-backed one — i.e. any session NOT built by
+    session.get_spark, like the driver's harness. The query pins
+    RocksDB per-drain and restores the session conf after."""
+    from irs_990_efiler_database_spark.queries import all_queries
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, hdfs)
+    try:
+        fn = all_queries()["events_stream_running_totals_tws"]
+        got = fn(spark, "/root/testdata/sf0.001")
+        n = got.count()
+        assert n > 0
+        # the per-query pin must not leak: the session still carries
+        # the provider we gave it (the driver's default, here HDFS)
+        assert spark.conf.get(conf) == hdfs
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+def test_tws_running_totals_multichunk_batch(spark, tmp_path):
+    """ADVICE r7 (medium): handleInputRows receives an ITERATOR of
+    Arrow chunks in shuffle order; a per-chunk sort+cumsum is wrong the
+    moment one key's micro-batch spans >1 chunk. Force tiny Arrow
+    batches so every user's rows arrive as many chunks, and require
+    exact equality with the batch cumulative window."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table, table_path
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    (tmp_path / "in").mkdir()
+    shutil.copy(table_path(sf, "events"), tmp_path / "in" / "part-000.parquet")
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "7")
+    try:
+        got = run_available_now(
+            running_totals(stream_events(spark, str(tmp_path / "in"))),
+            "tws_running_multichunk_q",
+            str(tmp_path / "ckpt"),
+            output_mode="append",
+            state_partitions=4,
+            state_store="rocksdb",
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"), "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = load_table(spark, sf, "events").select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_cum"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+            .over(w)
+            .alias("v_cum_micros"),
+        )
+        a = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in want.collect()}
+        assert a == b
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
 def test_streaming_query_listener_observes_progress(spark, tmp_path):
     """Streaming observability surface: a StreamingQueryListener
     receives start/progress/termination callbacks with row counts —
