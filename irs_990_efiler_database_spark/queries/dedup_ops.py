@@ -41,14 +41,15 @@ _NORM = normalize_text
     "dedup_exact_groups",
     oracle="""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text, FALSE AS synthetic FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text
+      SELECT doc_id + 1000000 AS doc_id, text, TRUE AS synthetic
       FROM documents WHERE doc_id < 25
     )
     SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
            MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS group_size
+           COUNT(*) AS group_size,
+           MAX(synthetic) AS has_synthetic
     FROM corpus
     GROUP BY 1
     HAVING COUNT(*) > 1
@@ -63,17 +64,31 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction at every SF — the generated documents table has zero
     natural exact duplicates below sf0.1, which made this gate row
     vacuously green (0 rows vs 0 rows) in driver rounds (VERDICT r6
-    what's-wrong #3)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    what's-wrong #3). Every group containing an injected copy is
+    LABELED via ``has_synthetic`` (ADVICE r7: a catalog consumer must
+    be able to tell fabricated gate groups from organic corpus
+    duplicates — at small SF all groups are synthetic; any organic
+    group at larger SF surfaces with has_synthetic = false)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(False).alias("synthetic")
+    )
     corpus = d.unionAll(
         d.filter(F.col("doc_id") < 25).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.lit(True).alias("synthetic"),
         )
     )
     return (
-        corpus.select("doc_id", F.md5(_NORM(F.col("text"))).alias("fp"))
+        corpus.select(
+            "doc_id", "synthetic", F.md5(_NORM(F.col("text"))).alias("fp")
+        )
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.max("synthetic").alias("has_synthetic"),
+        )
         .filter(F.col("group_size") > 1)
     )
 

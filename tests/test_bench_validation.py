@@ -56,3 +56,38 @@ def test_rows_validation_split_from_timing_floor():
     _validate_extract_rows(GOOD_ROWS, 0, 2000)  # no timing arg, no raise
     with pytest.raises(RuntimeError, match="CORE rows"):
         _validate_extract_rows(dict(GOOD_ROWS, CORE=5), 0, 2000)
+
+
+def test_entry_flags_sub_floor_and_high_spread():
+    """VERDICT r7 #3: every per-query entry carries plausibility flags.
+    A best below the scheduling floor is marked sub_floor (r6's
+    0.020 s doc_quality_deciles class); a spread exceeding the best is
+    marked high_spread; clean entries produce NO key at all."""
+    from bench import QUERY_FLOOR_SEC, entry_flags
+
+    timings = {
+        "fast_fake": 0.02,          # below floor
+        "noisy": 0.4,               # spread 0.6 > best 0.4
+        "clean": 1.2,               # clean
+        "small_clean": 0.06,        # above floor, tiny spread
+    }
+    spreads = {
+        "fast_fake": 0.001,
+        "noisy": 0.6,
+        "clean": 0.1,
+        "small_clean": 0.01,
+    }
+    flags = entry_flags(timings, spreads)
+    assert flags == {"fast_fake": ["sub_floor"], "noisy": ["high_spread"]}
+    assert QUERY_FLOOR_SEC == 0.05
+
+
+def test_entry_flags_both_flags_and_spread_absolute_guard():
+    """A sub-floor entry with huge relative spread gets both flags;
+    a micro-entry whose spread is relatively large but under the 50 ms
+    absolute guard stays clean (pure scheduling jitter)."""
+    from bench import entry_flags
+
+    flags = entry_flags({"bad": 0.01, "jitter": 0.06}, {"bad": 0.09, "jitter": 0.04})
+    assert flags["bad"] == ["sub_floor", "high_spread"]
+    assert "jitter" not in flags

@@ -3,11 +3,17 @@
 same scale factor; compare row count, schema, and an order-insensitive
 value hash.
 
-Usage: python tools/check_oracle.py [--spark-only] [--shard K/N] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--spark-only] [--vanilla] [--shard K/N] [sf_dir] [query_name ...]
 (--spark-only skips the DuckDB compare and prints per-query Spark wall
 time; --shard K/N runs every N-th query starting at K (0-based) so a
 full-registry sweep can fan out over N processes — e.g.
-``for k in 0 1 2 3; do python tools/check_oracle.py --shard $k/4 & done``)
+``for k in 0 1 2 3; do python tools/check_oracle.py --shard $k/4 & done``;
+--vanilla runs the sweep on a BARE ``SparkSession.builder`` session —
+no ``session.get_spark`` tuning (default state-store provider, default
+ANSI/AQE, default session timezone) — to prove every registered query
+carries the confs it needs at the query site instead of silently
+depending on the repo's session factory. Only resource knobs are set
+(driver memory, UI off): they change capacity, never semantics.)
 """
 
 from __future__ import annotations
@@ -63,8 +69,9 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--spark-only"]
+    argv = [a for a in sys.argv[1:] if a not in ("--spark-only", "--vanilla")]
     spark_only = "--spark-only" in sys.argv[1:]
+    vanilla = "--vanilla" in sys.argv[1:]
     shard_k, shard_n = 0, 1
     for i, a in enumerate(list(argv)):
         if a == "--shard":
@@ -75,9 +82,25 @@ def main() -> int:
     only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from irs_990_efiler_database_spark.session import get_spark
 
-    spark = get_spark("oracle-check", shuffle_partitions=8)
+    if vanilla:
+        # the driver's harness builds its own session; replicate that
+        # worst case — no repo tuning at all, resource knobs only
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from irs_990_efiler_database_spark.session import get_spark
+
+        spark = get_spark("oracle-check", shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLES:

@@ -99,10 +99,21 @@ def check_bounds(measured: dict, bounds_doc: dict) -> list[str]:
     """Compare measured ratios against committed bounds; returns the
     list of violations (empty = gate passes). A family measured but
     not bounded is also a violation — new heavy families must commit
-    a bound when they join the audit."""
+    a bound when they join the audit. Symmetrically, a BOUNDED family
+    that was not measured is a violation too (ADVICE r7: otherwise
+    dropping a family from AUDIT silently disarms its tripwire —
+    gate coverage may only shrink by editing shuffle_bounds.json,
+    which is a reviewed, committed file)."""
     factor = bounds_doc.get("factor", 1.5)
     bounds = bounds_doc["bounds"]
     problems = []
+    for name in bounds:
+        if name not in measured:
+            problems.append(
+                f"{name}: committed bound but NOT measured — removed "
+                "from AUDIT or failed to run; delete its bound "
+                "deliberately if retiring the family"
+            )
     for name, stats in measured.items():
         bound = bounds.get(name)
         if bound is None:
