@@ -239,8 +239,13 @@ def main() -> None:
     # cross-round comparable (VERDICT r7: r6→r7 "regressions" on
     # unchanged code were exactly this); stamping the ratio makes the
     # comparison mechanical instead of forensic
-    single = min(x for x in (_calib_start, calib_end) if x > 0)
-    contention = round(calib_mc / single, 2) if calib_mc > 0 else -1.0
+    # guard like the mc probe (ADVICE r8): if both single-thread probes
+    # read <=0 the min() over an empty generator would crash main()
+    # AFTER every query ran, discarding the whole bench JSON
+    positives = [x for x in (_calib_start, calib_end) if x > 0]
+    contention = (
+        round(calib_mc / min(positives), 2) if calib_mc > 0 and positives else -1.0
+    )
     print(
         json.dumps(
             {

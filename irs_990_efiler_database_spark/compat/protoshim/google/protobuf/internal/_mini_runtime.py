@@ -122,9 +122,44 @@ class FieldSpec:
 # ---------------------------------------------------------- messages
 
 
+class _AttachList(list):
+    """Repeated-field view that registers its owning message in ITS
+    parent on first mutation — reading ``a.b.items`` must not mark
+    ``b`` present, but ``a.b.items.append(x)`` must."""
+
+    __slots__ = ("_owner",)
+
+    def __init__(self, owner):
+        super().__init__()
+        self._owner = owner
+
+    def append(self, item):
+        super().append(item)
+        self._owner._attach()
+
+    def extend(self, items):
+        super().extend(items)
+        self._owner._attach()
+
+    def insert(self, index, item):
+        super().insert(index, item)
+        self._owner._attach()
+
+    def __iadd__(self, items):
+        self.extend(items)
+        return self
+
+
 class MiniMessage:
     """Base for generated-equivalent message classes. Subclasses carry
-    ``_FIELDS`` (name -> FieldSpec) and ``_BY_NUMBER``."""
+    ``_FIELDS`` (name -> FieldSpec) and ``_BY_NUMBER``.
+
+    Presence semantics (ADVICE r7 / VERDICT r8 #7): reading an UNSET
+    singular message field returns a cached *detached* default — it is
+    persisted into ``_values`` (and so onto the wire / into ``__eq__``)
+    only when first written through (``msg.ttl.durationMs = 5``), never
+    by the read itself. Merely inspecting an unset oneof arm before
+    ``SerializeToString`` therefore cannot emit a wrong/extra arm."""
 
     _FIELDS: dict[str, FieldSpec] = {}
     _BY_NUMBER: dict[int, FieldSpec] = {}
@@ -149,14 +184,36 @@ class MiniMessage:
         if name in values:
             return values[name]
         if spec.repeated:
-            lst: list = []
-            values[name] = lst  # persist so .append() sticks
+            lst = _AttachList(self)
+            values[name] = lst  # empty list = absent on wire / in __eq__
             return lst
         if spec.type == TYPE_MESSAGE:
-            sub = spec.message_cls()
-            values[name] = sub  # auto-vivify (ttl.durationMs = …)
+            # detached default, cached so repeated reads return the SAME
+            # view (write-through from either read must not race)
+            lazy = self.__dict__.setdefault("_lazy", {})
+            sub = lazy.get(name)
+            if sub is None:
+                sub = spec.message_cls()
+                sub.__dict__["_parent_hook"] = (self, name)
+                lazy[name] = sub
             return sub
         return spec.default()
+
+    def _attach(self) -> None:
+        """First write-through: persist this (previously detached)
+        submessage into its parent's ``_values`` and cascade upward so
+        ``a.b.c.x = 1`` marks the whole chain present."""
+        hook = self.__dict__.pop("_parent_hook", None)
+        if hook is None:
+            return
+        parent, name = hook
+        pvals = parent.__dict__["_values"]
+        # an explicit ``parent.name = other`` after our read wins; do
+        # not clobber it from a stale detached view
+        if name not in pvals:
+            pvals[name] = self
+            parent.__dict__.get("_lazy", {}).pop(name, None)
+            parent._attach()
 
     def __setattr__(self, name, value):
         spec = self._FIELDS.get(name)
@@ -181,6 +238,10 @@ class MiniMessage:
         elif spec.type == TYPE_BYTES:
             value = bytes(value)
         self.__dict__["_values"][name] = value
+        # an explicit set supersedes any cached detached view and marks
+        # this message present in ITS parent (write-through presence)
+        self.__dict__.get("_lazy", {}).pop(name, None)
+        self._attach()
 
     # -- serialization -----------------------------------------------
     def SerializeToString(self) -> bytes:  # noqa: N802 — protobuf API
@@ -220,11 +281,15 @@ class MiniMessage:
     # -- parsing -------------------------------------------------------
     def ParseFromString(self, data: bytes) -> int:  # noqa: N802
         self.__dict__["_values"].clear()
+        self.__dict__.get("_lazy", {}).clear()
         self._merge(data)
         return len(data)
 
     def _merge(self, buf: bytes) -> None:
         values = self.__dict__["_values"]
+        if buf:
+            # parsing content into a detached view is a write-through
+            self._attach()
         pos = 0
         while pos < len(buf):
             key, pos = decode_varint(buf, pos)
@@ -289,10 +354,20 @@ class MiniMessage:
         )
         return f"{type(self).__name__}({vals})"
 
+    def _present(self) -> dict:
+        """Fields that exist on the wire: empty repeated lists (left
+        behind by a pure read) are absent, so ``__eq__`` is independent
+        of attribute-access order."""
+        return {
+            k: v
+            for k, v in self.__dict__["_values"].items()
+            if not (isinstance(v, list) and not v)
+        }
+
     def __eq__(self, other):
         return (
             type(self) is type(other)
-            and self.__dict__["_values"] == other.__dict__["_values"]
+            and self._present() == other._present()
         )
 
 

@@ -314,6 +314,11 @@ def run_available_now(
 
     Every conf touched is restored after the drain — batch queries in
     the session are unaffected."""
+    # Validate BEFORE any conf is pinned (ADVICE r8): raising after a
+    # _pin but outside the try/finally would leak the pinned conf into
+    # the session on the error path.
+    if state_store is not None and state_store != "rocksdb":
+        raise ValueError(f"unknown state_store: {state_store!r}")
     spark = stream.sparkSession
     saved: dict[str, str | None] = {}
 
@@ -326,8 +331,6 @@ def run_available_now(
     if state_store == "rocksdb":
         _pin(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
         _pin(_CHANGELOG_CONF, "true")
-    elif state_store is not None:  # pragma: no cover - guard
-        raise ValueError(f"unknown state_store: {state_store!r}")
     try:
         q = (
             stream.writeStream.format("memory")

@@ -71,6 +71,45 @@ def test_nested_auto_vivification_marks_presence():
     assert back.ttl.durationMs == 1000 and back.HasField("ttl")
 
 
+def test_reading_unset_fields_does_not_mark_presence():
+    """VERDICT r8 #7: reading an unset submessage (e.g. inspecting a
+    oneof arm) must NOT persist it — only a write-through does. The
+    old auto-vivify-on-read would emit a wrong/extra arm on the wire
+    and made __eq__ access-order dependent."""
+    sm = _state_message()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "x"
+    # pure reads of unset message + repeated fields
+    assert cmd.ttl.durationMs == 0
+    _ = sm.StateCallCommand().SerializeToString()
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b"\x0a\x01x"  # only stateName
+    # __eq__ is access-order independent
+    other = sm.StateCallCommand()
+    other.stateName = "x"
+    assert cmd == other
+    # repeated read leaves no wire footprint either
+    resp = sm.StateResponseWithTimer()
+    _ = resp.timer
+    assert resp.SerializeToString() == b""
+    assert resp == sm.StateResponseWithTimer()
+    # ...but the cached detached view writes through on first mutation,
+    # and repeated reads return the SAME view
+    view = cmd.ttl
+    assert view is cmd.ttl
+    view.durationMs = 77
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 77
+
+
+def test_explicit_set_wins_over_stale_detached_view():
+    sm = _state_message()
+    cmd = sm.StateCallCommand()
+    stale = cmd.ttl  # detached
+    cmd.ttl = sm.TTLConfig(durationMs=5)
+    stale.durationMs = 99  # late write through a stale view
+    assert cmd.ttl.durationMs == 5  # explicit set not clobbered
+
+
 def test_repeated_message_and_bytes_roundtrip():
     sm = _state_message()
     resp = sm.StateResponseWithTimer(

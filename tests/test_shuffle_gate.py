@@ -17,25 +17,60 @@ BOUNDS = json.loads(
 )
 
 
+def _bounds_for(*families: str) -> dict:
+    """Committed bounds scoped to the families a unit test measures.
+    check_bounds (r8 contract) symmetrically flags bounded-but-not-
+    measured families, so tests that deliberately measure a subset
+    must scope the bounds doc to that subset."""
+    return {
+        "factor": BOUNDS.get("factor", 1.5),
+        "bounds": {f: BOUNDS["bounds"][f] for f in families},
+    }
+
+
 def test_check_bounds_passes_at_bound_and_fails_beyond():
+    local = _bounds_for("q1_pricing_summary", "fdedup_minhash_pairs")
+    pairs_bound = local["bounds"]["fdedup_minhash_pairs"]
     measured = {
         "q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 0.0},
-        "fdedup_minhash_pairs": {"ratio": 3.28 * 1.49, "spill_mb": 0.0},
+        "fdedup_minhash_pairs": {"ratio": pairs_bound * 1.49, "spill_mb": 0.0},
     }
-    assert check_bounds(measured, BOUNDS) == []
-    measured["fdedup_minhash_pairs"]["ratio"] = 3.28 * 1.51
-    problems = check_bounds(measured, BOUNDS)
+    assert check_bounds(measured, local) == []
+    measured["fdedup_minhash_pairs"]["ratio"] = pairs_bound * 1.51
+    problems = check_bounds(measured, local)
     assert len(problems) == 1 and "fdedup_minhash_pairs" in problems[0]
 
 
 def test_unbounded_family_and_spill_fail():
+    local = _bounds_for("q1_pricing_summary")
     assert check_bounds(
-        {"brand_new_family": {"ratio": 0.1, "spill_mb": 0.0}}, BOUNDS
+        {
+            "brand_new_family": {"ratio": 0.1, "spill_mb": 0.0},
+            "q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 0.0},
+        },
+        local,
     ) == ["brand_new_family: no committed bound (add one)"]
     problems = check_bounds(
-        {"q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 5.0}}, BOUNDS
+        {"q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 5.0}}, local
     )
     assert problems and "spill" in problems[0]
+
+
+def test_bounded_but_not_measured_is_a_violation():
+    """The r8 symmetric contract: dropping a family from AUDIT without
+    deleting its committed bound must trip the gate — gate coverage may
+    only shrink by editing shuffle_bounds.json."""
+    local = _bounds_for("q1_pricing_summary", "fdedup_minhash_pairs")
+    problems = check_bounds(
+        {"q1_pricing_summary": {"ratio": 0.0001, "spill_mb": 0.0}}, local
+    )
+    assert len(problems) == 1
+    assert "fdedup_minhash_pairs" in problems[0] and "NOT measured" in problems[0]
+    # and the full committed bounds file against the full AUDIT keyset
+    # is symmetric — every bounded family is audited and vice versa
+    from tools.shuffle_budget import AUDIT
+
+    assert set(BOUNDS["bounds"]) == set(AUDIT)
 
 
 def test_deliberate_deoptimization_trips_the_gate(spark):
