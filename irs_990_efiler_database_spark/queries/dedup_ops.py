@@ -56,8 +56,9 @@ _NORM = normalize_text
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups: normalized-text hash → min-id
-    representative. Scale: one shuffle on the 16-byte digest.
+    """Exact duplicate groups (has_synthetic column flags injected
+    gate copies): normalized-text hash → min-id representative.
+    Scale: one shuffle on the 16-byte digest.
 
     The corpus is augmented with EXACT copies of doc_id < 25 under
     offset ids (both sides identically), so duplicate groups exist by

@@ -355,6 +355,156 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_stream_session_close_timers_tws",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us, v_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us, v_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts_us) AS start_us,
+             MAX(ts_us) AS end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(v_us) AS BIGINT) AS value_micros
+      FROM sess
+      GROUP BY user_id, session_seq
+    ), wm AS (
+      SELECT MAX(ts_us) // 1000 AS max_ms FROM seq
+    )
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.value_micros,
+           a.end_us // 1000 + 1800000 AS closed_at_ms
+    FROM agg a, wm
+    WHERE a.end_us // 1000 + 1800000 <= wm.max_ms
+    """,
+)
+def events_stream_session_close_timers_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time TIMERS on the TWS arbitrary-state API (SURVEY
+    §2.12, VERDICT r8 #3): the gap-sessionizer re-expressed so that
+    EVERY emitted row comes out of ``handleExpiredTimer`` — input
+    batches only fold state (open session in ValueState, gap-closed
+    sessions in a pending ListState) and register event-time timers;
+    the watermark advancing past a session's close time is what
+    produces output. Differs from ``events_stream_stateful_sessions``
+    (applyInPandasWithState timeouts) in the API under test, not the
+    sessionization: this is the registerTimer / handleExpiredTimer /
+    getCurrentWatermarkInMs surface, which had no oracle coverage.
+
+    Two-file user-split harness (even/odd user_id, ordered mtimes +
+    maxFilesPerTrigger=1) makes timers genuinely fire MID-STREAM
+    (registered in batch 0, fired in batch 1 when the watermark
+    advances) and again in the final no-data batch; the emitted set
+    is batch-invariant by construction (emission depends only on data
+    + final watermark), which is what the SQL oracle replays:
+    a session emits iff end_ms + gap_ms <= max_event_ms, inclusive —
+    timers fire at expiry == watermark on this engine (probed)."""
+    import os
+    import tempfile
+    import time
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+    from ..streaming import (
+        run_available_now,
+        session_close_timers,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_tws_timers_"))
+    (tmp / "in").mkdir()
+    tbl = pq.read_table(table_path(sf_dir, "events"))
+    parity = pc.bit_wise_and(tbl["user_id"], 1)
+    now = time.time()
+    for i in (0, 1):
+        part = tmp / "in" / f"part-{i:03d}.parquet"
+        pq.write_table(
+            tbl.filter(pc.equal(parity, i)), part, version="2.6"
+        )
+        os.utime(part, (now + 10 * i, now + 10 * i))
+    stream = session_close_timers(
+        stream_events(spark, str(tmp / "in"), max_files_per_trigger=1)
+    )
+    return run_available_now(
+        stream,
+        "events_stream_tws_timers_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+        state_partitions=8,
+        state_store="rocksdb",
+    )
+
+
+@register(
+    "events_stream_trailing_state_tws",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) AS type_seq,
+           CAST(SUM(v_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail3_v_us
+    FROM seq
+    """,
+)
+def events_stream_trailing_state_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ListState + MapState on the TWS API (SURVEY §2.12, VERDICT r8
+    #3): promotes the remaining typed-state kinds from unit tests to
+    the hash gate. Each input event emits its per-(user, type)
+    sequence number — a running count carried in **MapState**
+    (event_type -> n) — and its trailing-3 integer-micros value sum,
+    whose 2-value carry buffer lives in **ListState** across
+    micro-batches. Both are exact SQL window functions, so every
+    List/MapState wire round-trip (getValue/updateValue, get/put) is
+    value-checked, not just exercised. The window math is the VEHICLE;
+    the batch ``win_*`` family already covers it as SQL — what had no
+    oracle row is the state-kind surface itself."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import table_path
+    from ..streaming import run_available_now, stream_events, trailing_state
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_tws_trail_"))
+    (tmp / "in").mkdir()
+    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    stream = trailing_state(stream_events(spark, str(tmp / "in")))
+    return run_available_now(
+        stream,
+        "events_stream_tws_trail_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+        state_partitions=8,
+        state_store="rocksdb",
+    )
+
+
+@register(
     "events_stream_running_totals_tws",
     oracle="""
     WITH seq AS (

@@ -664,6 +664,247 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def session_close_timers(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-sessionizer on the TWS arbitrary-state API in EVENT-TIME
+    mode — the §2.12 surface the applyInPandasWithState sessionizer
+    can't reach: ``registerTimer`` / ``handleExpiredTimer`` with a
+    real watermark, plus ListState as the pending-emission buffer.
+
+    Emission is 100%-watermark-gated: ``handleInputRows`` only FOLDS
+    events into the open session (ValueState) and moves gap-closed
+    sessions to a pending ListState, registering an event-time timer
+    at each session's close time (end_ms + gap). All OUTPUT happens in
+    ``handleExpiredTimer``: when a timer fires, every pending session
+    whose close time <= the current watermark emits (and the open
+    session itself closes if the watermark passed its close time).
+    That makes the emitted SET a pure function of the data + final
+    watermark — independent of micro-batch boundaries — so a SQL
+    oracle can replay it exactly: a session emits iff
+    ``end_ms + gap_ms <= max_event_ms`` (0-delay watermark; timers
+    fire INCLUSIVELY at expiry == watermark, measured on this engine).
+
+    Stale timers (an open session extended after its close timer was
+    registered) are deliberately NOT deleted: ``handleExpiredTimer``
+    re-derives what is due from state + watermark, so a stale firing
+    is a no-op. At 100 TB this trades a few spurious no-op firings for
+    never scanning ``listTimers`` on the hot input path; timer count
+    is O(sessions), same as the emitted output."""
+    from .compat import ensure_protobuf
+
+    ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_micros", T.LongType()),
+            T.StructField("closed_at_ms", T.LongType()),
+        ]
+    )
+
+    def _emit(user_id, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([user_id] * len(sessions), dtype="int64"),
+                "start_us": pd.array([s[0] for s in sessions], dtype="int64"),
+                "end_us": pd.array([s[1] for s in sessions], dtype="int64"),
+                "n_events": pd.array([s[2] for s in sessions], dtype="int64"),
+                "value_micros": pd.array([s[3] for s in sessions], dtype="int64"),
+                "closed_at_ms": pd.array(
+                    [s[1] // 1000 + gap_ms for s in sessions], dtype="int64"
+                ),
+            }
+        )
+
+    class SessionCloseTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            # open session: (start_us, end_us, n, v_sum_micros)
+            self._open = handle.getValueState(
+                "open", "start LONG, end LONG, n LONG, v LONG"
+            )
+            # gap-closed sessions awaiting their watermark
+            self._pending = handle.getListState(
+                "pending", "start LONG, end LONG, n LONG, v LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = pdf["ts_us"].to_numpy()
+            v = pdf["v_us"].to_numpy()
+            held = self._open.get()
+            # session-break flags within the batch; the first row breaks
+            # against the carried open session (or always, if none)
+            new_flag = [False] * len(ts)
+            new_flag[0] = held is None or ts[0] - held[1] > gap_us
+            for i in range(1, len(ts)):
+                new_flag[i] = ts[i] - ts[i - 1] > gap_us
+            closed = []
+            if held is not None and new_flag[0]:
+                closed.append(tuple(held))
+            cur = None if (held is None or new_flag[0]) else tuple(held)
+            import numpy as np
+
+            sess_id = np.cumsum(new_flag)
+            g = pd.DataFrame(
+                {"sid": sess_id, "ts": ts, "v": v}
+            ).groupby("sid", sort=True)
+            agg = g.agg(
+                start=("ts", "min"), end=("ts", "max"),
+                n=("ts", "size"), vs=("v", "sum"),
+            )
+            for j, (sid, row) in enumerate(agg.iterrows()):
+                s = (int(row["start"]), int(row["end"]), int(row["n"]), int(row["vs"]))
+                if j == 0 and cur is not None:
+                    s = (cur[0], s[1], cur[2] + s[2], cur[3] + s[3])
+                if j < len(agg) - 1:
+                    closed.append(s)
+                else:
+                    cur = s
+            for s in closed:
+                self._pending.appendValue(s)
+                self.handle.registerTimer(s[1] // 1000 + gap_ms)
+            self._open.update(cur)
+            # the open session's own close candidate — fires once the
+            # watermark passes it (or is superseded by a later batch's
+            # registration; the stale one no-ops in handleExpiredTimer)
+            self.handle.registerTimer(cur[1] // 1000 + gap_ms)
+            return iter(())  # all emission is timer-driven
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            due, keep = [], []
+            for s in self._pending.get():
+                (due if s[1] // 1000 + gap_ms <= wm else keep).append(tuple(s))
+            if due:
+                self._pending.clear()
+                if keep:
+                    self._pending.appendList(keep)
+            held = self._open.get()
+            if held is not None and held[1] // 1000 + gap_ms <= wm:
+                due.append(tuple(held))
+                self._open.clear()
+            if due:
+                due.sort(key=lambda s: s[0])
+                yield _emit(key[0], due)
+
+        def close(self) -> None:
+            pass
+
+    prepped = (
+        events.withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+            "ts",
+        )
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        SessionCloseTimers(), out_schema, "append", "eventTime"
+    )
+
+
+def trailing_state(events: DataFrame) -> DataFrame:
+    """Per-event trailing-window + per-type sequence numbers via the
+    TWS typed-state kinds the running-total operator doesn't touch:
+    **ListState** carries the trailing value buffer (the 2 preceding
+    v_us per user) across micro-batches, **MapState** carries one
+    running count per (user, event_type). Each input event emits one
+    row with (a) its 1-based sequence number among same-type events of
+    the user and (b) the ROWS-BETWEEN-2-PRECEDING-AND-CURRENT sum of
+    integer-micros values — both exactly reproducible by SQL window
+    functions, putting List/MapState wire round-trips under the hash
+    gate. Same cross-batch ordering contract as ``running_totals``
+    (batches arrive in event-time order per key; file-source harness
+    guarantees it)."""
+    from .compat import ensure_protobuf
+
+    ensure_protobuf(events.sparkSession)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("type_seq", T.LongType()),
+            T.StructField("trail3_v_us", T.LongType()),
+        ]
+    )
+
+    class TrailingState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._trail = handle.getListState("trail", "v LONG")
+            self._counts = handle.getMapState(
+                "type_counts", "t STRING", "n LONG"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            # MapState: prior per-type counts -> batch-local cumcount
+            prior = {
+                t: (self._counts.getValue((t,)) or (0,))[0]
+                for t in pdf["event_type"].unique()
+            }
+            within = pdf.groupby("event_type").cumcount().to_numpy() + 1
+            type_seq = within + pdf["event_type"].map(prior).to_numpy()
+            for t, n in (
+                pdf.groupby("event_type")["event_id"].size().items()
+            ):
+                self._counts.updateValue((t,), (int(prior[t] + n),))
+            # ListState: <=2 carried values prefix the batch, rolling-3
+            tail = np.array([t[0] for t in self._trail.get()], dtype="int64")
+            comb = np.concatenate([tail, pdf["v_us"].to_numpy()])
+            trail3 = (
+                pd.Series(comb).rolling(3, min_periods=1).sum().to_numpy()
+            )[len(tail):]
+            self._trail.put([(int(x),) for x in comb[-2:]])
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "type_seq": type_seq.astype("int64"),
+                    "trail3_v_us": trail3.astype("int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        TrailingState(), out_schema, "append", "none"
+    )
+
+
 def purchase_click_attribution_full(
     clicks: DataFrame,
     purchases: DataFrame,
