@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..plans.xml_schema import ATTR_PREFIX, VALUE_TAG, XmlSchemaBuilder, _strip
+from ..plans.xml_schema import ATTR_PREFIX, VALUE_TAG, XmlSchemaBuilder, _strip, resolve_child
 
 
 def _q(name: str) -> str:
@@ -52,7 +52,7 @@ class ExprCompiler:
         sql = _q(self.doc)
         depth = 0
         for seg in parts:
-            node = node.children.get(seg)
+            node = resolve_child(node, seg)
             if node is None:
                 raise KeyError(f"xpath not in schema: {xpath}")
             sql = f"{sql}.{_q(seg)}"
@@ -122,7 +122,7 @@ class ExprCompiler:
         sql = _q(self.doc)
         depth = 0
         for seg in parts:
-            node = node.children.get(seg)
+            node = resolve_child(node, seg)
             if node is None:
                 raise KeyError(f"xpath not in schema: {xpath}")
             sql = f"{sql}.{_q(seg)}"

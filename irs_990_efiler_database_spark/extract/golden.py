@@ -50,6 +50,24 @@ def _parts(xpath: str) -> list[str]:
     return parts
 
 
+def _kids(n: ET.Element, seg: str) -> list[ET.Element]:
+    """Child-element step, case-insensitive on a miss: the engine's
+    from_xml matches element names case-insensitively
+    (spark.sql.caseSensitive=false — Spark XML source semantics), so
+    the golden must too. Exact matches win outright (a doc carrying
+    BOTH casings of one tag under one parent is out of scope for both
+    engines — no XSD vintage does that). Found by the full-master
+    value fuzz via the AppliedToESTaxAmt/AppliedToEsTaxAmt vintage
+    rename (IRS990PF Part VI)."""
+    hits = n.findall(seg)
+    if hits:
+        return hits
+    low = seg.lower()
+    return [
+        c for c in n if isinstance(c.tag, str) and c.tag.lower() == low
+    ]
+
+
 def _match_values(root: ET.Element, xpath: str) -> list[str | None]:
     """All matched text/attribute values at xpath, document order."""
     parts = _parts(xpath)
@@ -59,7 +77,7 @@ def _match_values(root: ET.Element, xpath: str) -> list[str | None]:
             return [n.get(seg[1:]) for n in nodes if n.get(seg[1:]) is not None]
         nxt: list[ET.Element] = []
         for n in nodes:
-            nxt.extend(n.findall(seg))
+            nxt.extend(_kids(n, seg))
         nodes = nxt
     # xml2 semantics (the reference's xml_text, which never returns NA
     # for a PRESENT node): an empty leaf — <X/> or <X></X> — is "",
@@ -79,9 +97,23 @@ def _match_nodes(root: ET.Element, xpath: str) -> list[ET.Element]:
     for seg in parts:
         nxt: list[ET.Element] = []
         for n in nodes:
-            nxt.extend(n.findall(seg))
+            nxt.extend(_kids(n, seg))
         nodes = nxt
     return nodes
+
+
+def _find_rel(node: ET.Element, rel: str) -> ET.Element | None:
+    """First match of a relative leaf path, case-insensitive per step
+    (same from_xml-alignment as ``_kids``)."""
+    nodes = [node]
+    for seg in [p for p in rel.split("/") if p]:
+        nxt: list[ET.Element] = []
+        for n in nodes:
+            nxt.extend(_kids(n, seg))
+        nodes = nxt
+        if not nodes:
+            return None
+    return nodes[0]
 
 
 def _scalar(root: ET.Element, xpath: str) -> str | None:
@@ -252,7 +284,7 @@ def golden_rdb_rows(
             for var, rels in by_var.items():
                 v = None
                 for rel in rels:
-                    hit = node.find(rel)
+                    hit = _find_rel(node, rel)
                     if hit is not None and hit.text is not None:
                         v = hit.text
                         break
@@ -289,7 +321,7 @@ def golden_schedn_rows(
             for v in t["columns"]:
                 val = None
                 for rel in t["vars"][v]["rels"]:
-                    hit = node.find(rel)
+                    hit = _find_rel(node, rel)
                     if hit is not None and hit.text is not None:
                         val = hit.text
                         break

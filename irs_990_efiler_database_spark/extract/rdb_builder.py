@@ -75,6 +75,30 @@ def _typed(
     return col
 
 
+def one_table_columns(
+    c: ExprCompiler, ones: list[dict], typed: bool = False
+) -> list[Column]:
+    """The ONE-cardinality column list (multi-version coalesce per
+    variable, P2 semantics) — shared by ``build_rdb_table`` and the
+    full-master value fuzz (tests/test_master_fuzz.py), so the fuzz
+    exercises the identical compile path the production builder uses."""
+    by_var: dict[str, dict] = {}
+    for r in ones:
+        v = by_var.setdefault(
+            r["variable"], {"xpaths": [], "data_type": r["data_type"]}
+        )
+        v["xpaths"].append(r["xpath"])
+    return [
+        _typed(
+            c.coalesce_scalar(s["xpaths"]),
+            s["data_type"],
+            typed,
+            tuple(x.rstrip("/").rsplit("/", 1)[-1] for x in s["xpaths"]),
+        ).alias(var)
+        for var, s in by_var.items()
+    ]
+
+
 def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) -> DataFrame:
     """returns (url, xml, doc, object_id) → the named concordance table."""
     rows = table_rows(table_name)
@@ -99,22 +123,7 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
     manys = [r for r in rows if r["cardinality"] == "MANY"]
 
     if ones and not manys:
-        by_var: dict[str, dict] = {}
-        for r in ones:
-            v = by_var.setdefault(
-                r["variable"], {"xpaths": [], "data_type": r["data_type"]}
-            )
-            v["xpaths"].append(r["xpath"])
-        cols = [
-            _typed(
-                c.coalesce_scalar(s["xpaths"]),
-                s["data_type"],
-                typed,
-                tuple(x.rstrip("/").rsplit("/", 1)[-1] for x in s["xpaths"]),
-            ).alias(var)
-            for var, s in by_var.items()
-        ]
-        return src.select(*keys, *cols)
+        return src.select(*keys, *one_table_columns(c, ones, typed))
 
     # MANY: explode each concrete repeating element, map leaves →
     # variables, union by name (NULL-fill for leaves a version doesn't

@@ -45,6 +45,40 @@ def _strip(xpath: str) -> list[str]:
     return parts
 
 
+def _child(node: _Node, part: str) -> _Node:
+    """Child lookup that MERGES case-variant sibling names into the
+    first-seen casing. Spark resolves struct members case-insensitively
+    (spark.sql.caseSensitive=false) and from_xml matches elements the
+    same way, so two sibling fields differing only in case are (a) an
+    AMBIGUOUS_REFERENCE_TO_FIELDS analysis error and (b) redundant —
+    both vintages' values land in one field anyway. The master
+    crosswalk carries exactly one such pair (IRS990PF Part VI:
+    AppliedToESTaxAmt pre-rename vs AppliedToEsTaxAmt; found by the
+    full-master value fuzz — registering both locations crashed
+    build_rdb_table at analysis)."""
+    hit = node.children.get(part)
+    if hit is not None:
+        return hit
+    low = part.lower()
+    for name, ch in node.children.items():
+        if name.lower() == low:
+            return ch
+    return node.children.setdefault(part, _Node())
+
+
+def resolve_child(node: _Node, part: str) -> "_Node | None":
+    """Read-side twin of ``_child``: exact match first, case-variant
+    sibling on a miss, None when absent (no insertion)."""
+    hit = node.children.get(part)
+    if hit is not None:
+        return hit
+    low = part.lower()
+    return next(
+        (ch for name, ch in node.children.items() if name.lower() == low),
+        None,
+    )
+
+
 class XmlSchemaBuilder:
     """Accumulates xpaths, then emits the superset StructType."""
 
@@ -60,7 +94,7 @@ class XmlSchemaBuilder:
             if part.startswith("@"):
                 node.attrs.add(part[1:])
                 return
-            node = node.children.setdefault(part, _Node())
+            node = _child(node, part)
             if i == len(parts) - 1:
                 node.is_leaf = True
                 if repeated_leaf:
@@ -70,7 +104,7 @@ class XmlSchemaBuilder:
         """Declare the element at *xpath* as repeating (group root)."""
         node = self.root
         for part in _strip(xpath):
-            node = node.children.setdefault(part, _Node())
+            node = _child(node, part)
         node.repeated = True
 
     def _to_type(self, node: _Node) -> T.DataType:
@@ -103,7 +137,7 @@ class XmlSchemaBuilder:
         for part in _strip(xpath):
             if part.startswith("@"):
                 return node if part[1:] in node.attrs else None
-            node = node.children.get(part)
+            node = resolve_child(node, part)
             if node is None:
                 return None
         return node

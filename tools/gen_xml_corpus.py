@@ -303,6 +303,87 @@ def gen_schedn_arm_docs() -> dict[str, list[tuple[str, str]]]:
     return out
 
 
+def wellformed_xpath(xp: str) -> bool:
+    """True when the crosswalk cell is a representable element path —
+    the shared filter for every master-crosswalk fuzz (the public CSV
+    carries a handful of malformed cells that can never match a real
+    element; both the engine and the golden treat them verbatim)."""
+    leaf_ok = all(
+        part.startswith("@") or part.replace("_", "").isalnum()
+        for part in xp.split("/")
+        if part and part != "Return"
+    )
+    return ";" not in xp and " " not in xp and leaf_ok
+
+
+def gen_master_arm_docs(
+    locations: list[str] | None = None,
+) -> dict[str, list[tuple[str, str, str, str]]]:
+    """Value-fuzz corpus for the ENTIRE master crosswalk (VERDICT r7
+    #7 / r8 #5): one tiny document per well-formed xpath arm of every
+    one of the 1,683 LOCATIONs — ~13.5k docs. The slice fuzz samples 6
+    locations; the '; '-cell and presence-semantics bugs both lived in
+    cells no fixture touched, so VALUE coverage must be total, like
+    compile coverage already is.
+
+    Returns location -> [(url, xml, variable, value, xpath)] — the
+    variable, its unique digit value, and the populated arm ride along
+    so the harness can check cross-arm wiring (a doc's value must
+    appear in exactly the variables whose xpath set contains the
+    populated arm) without a golden call per (doc, location) pair."""
+    import sys as _sys
+    import xml.etree.ElementTree as ET
+
+    _sys.path.insert(0, str(REPO))
+    from irs_990_efiler_database_spark.plans.concordance import (
+        load_master_index,
+        master_table_rows,
+    )
+
+    if locations is None:
+        locations = sorted({r[1] for r in load_master_index()})
+    serial = 0
+    out: dict[str, list[tuple[str, str, str, str]]] = {}
+    for loc in locations:
+        docs: list[tuple[str, str, str, str]] = []
+        for r in master_table_rows(loc):
+            if not wellformed_xpath(r["xpath"]):
+                continue
+            root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+            ET.SubElement(root, "ReturnHeader")
+            ET.SubElement(root, "ReturnData")
+            parts = [p for p in r["xpath"].split("/") if p]
+            if parts and parts[0] == "Return":
+                parts = parts[1:]
+            attr = None
+            if parts and parts[-1].startswith("@"):
+                attr = parts.pop()[1:]
+            node = root
+            for part in parts:
+                found = node.find(part)
+                node = (
+                    found if found is not None else ET.SubElement(node, part)
+                )
+            value = f"3{serial:07d}"  # unique per arm, never a prefix clash
+            if attr:
+                node.set(attr, value)
+            else:
+                node.text = value
+            obj = f"9903{serial:06d}"
+            serial += 1
+            docs.append(
+                (
+                    f"file:///masterfuzz/{obj}_public.xml",
+                    ET.tostring(root, encoding="unicode"),
+                    r["variable"],
+                    value,
+                    r["xpath"],
+                )
+            )
+        out[loc] = docs
+    return out
+
+
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
