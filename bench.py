@@ -113,6 +113,10 @@ HEADLINE = [
     "stat_median_ci_distribution_free",
     # round 7 additions
     "events_stream_running_totals_tws",
+    # round 9 additions (§2.12 arbitrary-state surface complete:
+    # event-time timers; ListState + MapState) — entry count 91 → 93
+    "events_stream_session_close_timers_tws",
+    "events_stream_trailing_state_tws",
 ]
 
 

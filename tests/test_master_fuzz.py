@@ -58,6 +58,56 @@ def all_registered():
     build_return_schema.cache_clear()
 
 
+def test_case_variant_vintage_locations_build_together(spark, tmp_path):
+    """Pinned regression for the bug this fuzz found: F990-PF-PART-06
+    and IRS990PF-PART-06-LINE-11 carry case-variant vintages of the
+    same leaf (AppliedToESTaxAmt / AppliedToEsTaxAmt); with both
+    registered, the superset schema used to emit two sibling fields
+    differing only in case, and ANY build over the struct failed
+    analysis with AMBIGUOUS_REFERENCE_TO_FIELDS. The schema builder
+    now merges case-variant siblings (from_xml matches
+    case-insensitively under spark.sql.caseSensitive=false, so both
+    vintages' values land in the one field), and both locations'
+    variables extract the value from either casing."""
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        register_master_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+
+    saved = dict(_MASTER_TABLES)
+    try:
+        register_master_table("F990-PF-PART-06", table_name="CV-P06")
+        register_master_table(
+            "IRS990PF-PART-06-LINE-11", table_name="CV-P06L11"
+        )
+        xml = (
+            '<Return returnVersion="2014v5.0"><ReturnHeader/>'
+            "<ReturnData><IRS990PF><ExciseTaxBasedOnInvstIncmGrp>"
+            "<AppliedToESTaxAmt>77</AppliedToESTaxAmt>"
+            "</ExciseTaxBasedOnInvstIncmGrp></IRS990PF></ReturnData>"
+            "</Return>"
+        )
+        p = tmp_path / "990077_public.xml"
+        p.write_text(xml)
+        df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
+        r1 = build_rdb_table(df, "CV-P06").collect()[0]
+        r2 = build_rdb_table(df, "CV-P06L11").collect()[0]
+        # old-vintage casing in the doc; BOTH variables extract it
+        assert r1["ETBOIIATETAX"] == "77"
+        assert r2["ETBOIIATESTA"] == "77"
+    finally:
+        _MASTER_TABLES.clear()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
+
+
 def test_every_master_arm_value_matches_golden(spark, tmp_path, all_registered):
     from irs_990_efiler_database_spark.extract.compiler import ExprCompiler
     from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
