@@ -108,6 +108,84 @@ def test_case_variant_vintage_locations_build_together(spark, tmp_path):
         build_return_schema.cache_clear()
 
 
+def test_master_many_slices_match_golden(spark, tmp_path):
+    """MANY-cardinality master slices beyond the two default PF Part
+    VIII tables (VERDICT r7 #7's literal ask — "(group-root, leaf)
+    MANY arms" of the master): four declared-root repeating tables
+    across four schedules, arm-fuzzed with TWO group instances per
+    doc through build_rdb_table's explode path vs the golden.
+    SCHED-H-PART-05 declares TWO roots in one slice (hospital
+    facilities + non-hospital facilities), exercising the ragged
+    unionByName merge on master-sourced groups."""
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        register_master_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_rdb_arm_docs
+
+    slices = [
+        ("SCHED-I-PART-02", ["RecipientTable"]),  # grants table
+        ("SCHED-R-PART-02", ["IdRelatedTaxExemptOrgGrp"]),
+        (
+            "SCHED-H-PART-05",
+            ["HospitalFacilitiesGrp", "OthHlthCareFcltsNotHospitalGrp"],
+        ),
+        ("SCHED-G-PART-01", ["FundraiserActivityInfoGrp"]),
+    ]
+    saved = dict(_MASTER_TABLES)
+    try:
+        tables = [
+            register_master_table(
+                loc, table_name=f"MANY-{loc}", group_roots=roots
+            )
+            for loc, roots in slices
+        ]
+        corpora = gen_rdb_arm_docs(tables)
+        n_docs = sum(len(d) for d in corpora.values())
+        assert n_docs >= 150, n_docs
+        mismatches = []
+        for table, docs in corpora.items():
+            tdir = tmp_path / table
+            tdir.mkdir()
+            by_url = {}
+            for url, xml in docs:
+                p = tdir / url.rsplit("/", 1)[-1]
+                p.write_text(xml)
+                by_url[p.resolve().as_uri()] = xml
+            df = read_return_xml_files(spark, str(tdir / "*.xml"))
+            got = {}
+            for r in build_rdb_table(df, table).collect():
+                got.setdefault(r["URL"], []).append(r.asDict())
+            for url, xml in by_url.items():
+                cols, want = golden_rdb_rows(url, xml, table)
+                want_set = sorted(
+                    tuple(w.get(c) for c in cols) for w in want
+                )
+                got_set = sorted(
+                    tuple(g.get(c) for c in cols) for g in got.get(url, [])
+                )
+                if want_set != got_set:
+                    mismatches.append(
+                        (table, url.rsplit("/", 1)[-1], got_set, want_set)
+                    )
+        assert not mismatches, (
+            f"{len(mismatches)} (table, doc) diverge; first 3: "
+            f"{mismatches[:3]}"
+        )
+    finally:
+        _MASTER_TABLES.clear()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
+
+
 def test_every_master_arm_value_matches_golden(spark, tmp_path, all_registered):
     from irs_990_efiler_database_spark.extract.compiler import ExprCompiler
     from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
