@@ -14,6 +14,27 @@ from ..catalog import load_table
 from . import register
 
 
+def _stage_events(sf_dir: str, dest, copies: int = 1) -> None:
+    """Stage the events table as raw parquet file(s) for a file-source
+    stream. Handles both testdata shapes: a single parquet FILE (the
+    driver-generated sf0.001-0.1 sets) and a Spark-written DIRECTORY
+    of part files (the sf1 upsample — a bare shutil.copy raised
+    IsADirectoryError there). ``copies > 1`` stages the whole set
+    again under distinct names (twice-delivered-source harnesses)."""
+    import shutil
+    from pathlib import Path
+
+    from ..catalog import table_path
+
+    src = Path(table_path(sf_dir, "events"))
+    files = sorted(src.glob("*.parquet")) if src.is_dir() else [src]
+    n = 0
+    for _ in range(copies):
+        for f in files:
+            shutil.copy(f, Path(dest) / f"part-{n:03d}.parquet")
+            n += 1
+
+
 @register(
     "events_tumbling_5min",
     oracle="""
@@ -69,7 +90,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = tumbling_counts(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_tumbling_q", str(tmp / "ckpt"),
@@ -129,7 +150,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_sliding_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = sliding_counts(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_sliding_q", str(tmp / "ckpt"),
@@ -191,7 +212,7 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_sesswin_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = session_windows(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_sesswin_q", str(tmp / "ckpt"), output_mode="append",
@@ -346,7 +367,7 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stateful_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = stateful_sessions(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append",
@@ -430,6 +451,23 @@ def events_stream_session_close_timers_tws(
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_timers_"))
     (tmp / "in").mkdir()
     tbl = pq.read_table(table_path(sf_dir, "events"))
+    # the events table has shipped as INT96, TIMESTAMP(NANOS) and
+    # TIMESTAMP_NTZ(µs) across testdata revisions; pyarrow reads the
+    # first two as timestamp[ns], which a re-written file would encode
+    # as TIMESTAMP(NANOS) — unreadable by Spark's vectorized reader
+    # under the inferred timestamp schema. Normalize to µs (value-
+    # preserving: the generator's values are µs-grained) so the split
+    # files always carry the encoding Spark reads natively.
+    import pyarrow as pa
+
+    ts_idx = tbl.schema.get_field_index("ts")
+    ts_type = tbl.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit != "us":
+        tbl = tbl.set_column(
+            ts_idx,
+            "ts",
+            tbl["ts"].cast(pa.timestamp("us", tz=ts_type.tz)),
+        )
     parity = pc.bit_wise_and(tbl["user_id"], 1)
     now = time.time()
     for i in (0, 1):
@@ -492,7 +530,7 @@ def events_stream_trailing_state_tws(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_trail_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = trailing_state(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream,
@@ -545,7 +583,7 @@ def events_stream_running_totals_tws(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = running_totals(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream,
@@ -654,8 +692,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_dedup_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-001.parquet")
+    _stage_events(sf_dir, tmp / "in", copies=2)
     ev = stream_events(spark, str(tmp / "in")).select(
         "event_id",
         "user_id",
@@ -710,7 +747,7 @@ def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     clicks = stream_events(spark, str(tmp / "in")).filter(
         F.col("event_type") == "click"
     )
@@ -819,7 +856,7 @@ def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> D
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     clicks = stream_events(spark, str(tmp / "in")).filter(
         F.col("event_type") == "click"
     )
@@ -1327,7 +1364,7 @@ def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_enrich_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
 
     dim = spark.range(100_000).select(
         F.col("id").alias("user_id"),
@@ -1867,7 +1904,7 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="events_running_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     stream = running_totals(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append",
@@ -2109,7 +2146,7 @@ def events_stream_dedup_within_watermark(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_dedup_wm_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     ev = stream_events(spark, str(tmp / "in")).select(
         "ts", "user_id", "event_type"
     )
@@ -2533,7 +2570,7 @@ def events_stream_click_attribution_full(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_attr_full_"))
     (tmp / "in").mkdir()
-    shutil.copy(table_path(sf_dir, "events"), tmp / "in" / "part-000.parquet")
+    _stage_events(sf_dir, tmp / "in")
     ev = stream_events(spark, str(tmp / "in"))
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
