@@ -449,6 +449,120 @@ def test_tws_session_close_timers_event_time(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == want
 
 
+def test_tws_session_close_timers_batch_invariant(spark, tmp_path):
+    """Property check of the operator's core claim: the emitted
+    session set is a pure function of (data, final watermark) —
+    independent of micro-batch boundaries — for every split shape the
+    harness contract allows (key-disjoint files, and time-ordered
+    files where max(ts of file i) <= min(ts of file i+1)). Seeded
+    random streams; expected set computed by an independent python
+    sessionizer applying the measured timer rule
+    (end_ms + gap_ms <= max_ts_ms, inclusive)."""
+    import os
+    import random
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        session_close_timers,
+        stream_events,
+    )
+
+    rng = random.Random(990)
+    t0 = 1_704_067_200_000_000
+    GAP_US = 1800 * 1_000_000
+    GAP_MS = 1800_000
+    events = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = t0 + rng.randrange(0, 10**9)
+        for _ in range(40):
+            t += rng.randrange(1, 3 * GAP_US)  # mix of gaps
+            events.append((user, eid, t, rng.randrange(1, 100) / 10))
+            eid += 1
+
+    def expected():
+        out = set()
+        max_ms = max(e[2] for e in events) // 1000
+        by_user: dict = {}
+        for u, i, t, v in sorted(events, key=lambda e: (e[0], e[2], e[1])):
+            by_user.setdefault(u, []).append((t, round(v * 1e6)))
+        for u, rows in by_user.items():
+            sess = [[rows[0]]]
+            for r in rows[1:]:
+                if r[0] - sess[-1][-1][0] > GAP_US:
+                    sess.append([])
+                sess[-1].append(r)
+            for s in sess:
+                end = s[-1][0]
+                if end // 1000 + GAP_MS <= max_ms:
+                    out.add(
+                        (
+                            u,
+                            s[0][0],
+                            end,
+                            len(s),
+                            sum(x[1] for x in s),
+                            end // 1000 + GAP_MS,
+                        )
+                    )
+        return out
+
+    def run(split_name: str, files: list[list[tuple]]) -> set:
+        base = tmp_path / split_name
+        (base / "in").mkdir(parents=True)
+        now = _time.time()
+        for i, batch in enumerate(files):
+            df = spark.createDataFrame(
+                batch, "user_id long, event_id long, ts_us long, value double"
+            ).select(
+                "user_id", "event_id",
+                F.timestamp_micros("ts_us").alias("ts"), "value",
+                F.lit("t").alias("event_type"), F.lit("{}").alias("props"),
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(base / f"stage{i}")
+            )
+            part = next((base / f"stage{i}").glob("part-*.parquet"))
+            dest = base / "in" / f"part-{i:03d}.parquet"
+            part.rename(dest)
+            os.utime(dest, (now + 10 * i, now + 10 * i))
+        got = run_available_now(
+            session_close_timers(
+                stream_events(
+                    spark, str(base / "in"), max_files_per_trigger=1
+                )
+            ),
+            f"tws_inv_{split_name}_q",
+            str(base / "ckpt"),
+            output_mode="append",
+            state_partitions=4,
+            state_store="rocksdb",
+        )
+        return {tuple(r) for r in got.collect()}
+
+    want = expected()
+    # single file; key-disjoint 2-file; time-ordered 3-file
+    by_time = sorted(events, key=lambda e: e[2])
+    k = len(by_time) // 3
+    splits = {
+        "single": [events],
+        "bykey": [
+            [e for e in events if e[0] in (1, 3)],
+            [e for e in events if e[0] == 2],
+        ],
+        "bytime": [by_time[:k], by_time[k : 2 * k], by_time[2 * k :]],
+    }
+    for name, files in splits.items():
+        got = run(name, files)
+        assert got == want, (
+            f"split {name}: {len(got)} vs {len(want)} expected; "
+            f"diff {list(got ^ want)[:4]}"
+        )
+
+
 def test_tws_trailing_state_multichunk_batch(spark, tmp_path):
     """List/MapState carry across Arrow chunks: force 7-row batches so
     every user's micro-batch spans many chunks and both state kinds
