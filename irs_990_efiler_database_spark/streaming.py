@@ -291,6 +291,7 @@ def run_available_now(
     output_mode: str = "complete",
     state_partitions: int | None = None,
     state_store: str | None = None,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Drain everything currently in the source into an in-memory sink
     (test/backfill mode) and return the result table.
@@ -312,6 +313,14 @@ def run_available_now(
     ``session.get_spark`` — a vanilla ``SparkSession.builder`` session
     must work too.
 
+    ``sink_path``: write a parquet FILE sink there instead of the
+    in-memory table and return a read of it. The memory sink cannot
+    recover from an existing checkpoint ("This query does not support
+    recovering from checkpoint location"); incremental/restart drains
+    — run, stop, add files, run again on the SAME checkpoint — need
+    the file sink, which is also the production backfill shape
+    (exactly-once via the sink's transaction log).
+
     Every conf touched is restored after the drain — batch queries in
     the session are unaffected."""
     # Validate BEFORE any conf is pinned (ADVICE r8): raising after a
@@ -332,14 +341,16 @@ def run_available_now(
         _pin(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
         _pin(_CHANGELOG_CONF, "true")
     try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(query_name)
+        writer = (
+            stream.writeStream.queryName(query_name)
             .outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
-            .start()
         )
+        if sink_path is not None:
+            q = writer.format("parquet").option("path", sink_path).start()
+        else:
+            q = writer.format("memory").start()
         q.awaitTermination()
     finally:
         for key, prev in saved.items():
@@ -347,6 +358,8 @@ def run_available_now(
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+    if sink_path is not None:
+        return spark.read.parquet(sink_path)
     return stream.sparkSession.table(query_name)
 
 

@@ -563,6 +563,98 @@ def test_tws_session_close_timers_batch_invariant(spark, tmp_path):
         )
 
 
+def test_tws_session_timers_checkpoint_restart(spark, tmp_path):
+    """Restart-correctness of the event-time timer sessionizer: drain
+    file 0, STOP, add file 1, restart on the SAME checkpoint. The
+    open-session ValueState, pending ListState, and registered timers
+    must all survive the restart (RocksDB + changelog checkpointing),
+    so run 1 ∪ run 2 equals the single-run emitted set exactly once —
+    sessions spanning the restart boundary included."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        session_close_timers,
+        stream_events,
+    )
+
+    t0 = 1_704_067_200_000_000
+    MIN = 60_000_000
+    rows = [
+        # user 1: session A spans the restart boundary (10-min gaps)
+        (1, 10, t0, 1.0),
+        (1, 11, t0 + 10 * MIN, 2.0),          # file 0 ends here
+        (1, 12, t0 + 20 * MIN, 4.0),          # file 1 continues A
+        (1, 13, t0 + 200 * MIN, 8.0),         # session B
+        # user 2: session C closed by file-0 data, emitted after restart
+        (2, 20, t0 + 5 * MIN, 16.0),
+        (2, 21, t0 + 300 * MIN, 32.0),        # stream max (open D)
+    ]
+    files = [rows[:2] + rows[4:5], rows[2:4] + rows[5:]]
+
+    def write(i: int) -> None:
+        df = spark.createDataFrame(
+            files[i], "user_id long, event_id long, ts_us long, value double"
+        ).select(
+            "user_id", "event_id",
+            F.timestamp_micros("ts_us").alias("ts"), "value",
+            F.lit("t").alias("event_type"), F.lit("{}").alias("props"),
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next((tmp_path / f"stage{i}").glob("part-*.parquet"))
+        dest = tmp_path / "in" / f"part-{i:03d}.parquet"
+        part.rename(dest)
+        os.utime(dest, (_time.time(), _time.time()))
+
+    (tmp_path / "in").mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(tag: str) -> set:
+        # FILE sink: the memory sink refuses to recover an existing
+        # checkpoint, and restart-resume is exactly what's under test
+        got = run_available_now(
+            session_close_timers(stream_events(spark, str(tmp_path / "in"))),
+            f"tws_restart_{tag}_q",
+            ckpt,
+            output_mode="append",
+            state_partitions=4,
+            state_store="rocksdb",
+            sink_path=out,
+        )
+        return [tuple(r) for r in got.collect()]
+
+    write(0)
+    run1 = drain("a")
+    write(1)
+    # same checkpoint + same sink: resumes state + timers; the sink
+    # read returns EVERYTHING written so far
+    total = drain("b")
+
+    gap_ms = 1800_000
+    want = {
+        (1, t0, t0 + 20 * MIN, 3, 7_000_000,
+         (t0 + 20 * MIN) // 1000 + gap_ms),           # spans restart
+        (1, t0 + 200 * MIN, t0 + 200 * MIN, 1, 8_000_000,
+         (t0 + 200 * MIN) // 1000 + gap_ms),
+        (2, t0 + 5 * MIN, t0 + 5 * MIN, 1, 16_000_000,
+         (t0 + 5 * MIN) // 1000 + gap_ms),
+        # open session D (t0+300min) withheld: close > final watermark
+    }
+    assert len(total) == len(set(total)) == len(want), (
+        f"exactly-once violated: {len(total)} rows for {len(want)} "
+        f"sessions; run1={sorted(run1)} total={sorted(total)}"
+    )
+    assert set(run1) <= want and set(total) == want, (
+        f"run1={sorted(run1)} total={sorted(total)} want={sorted(want)}"
+    )
+
+
 def test_tws_trailing_state_multichunk_batch(spark, tmp_path):
     """List/MapState carry across Arrow chunks: force 7-row batches so
     every user's micro-batch spans many chunks and both state kinds
