@@ -81,11 +81,8 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the Structured Streaming engine (file source → watermark →
     availableNow drain into a memory sink) — the streaming path itself
     sits under the oracle gate."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, stream_events, tumbling_counts
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stream_"))
@@ -141,11 +138,8 @@ def events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME sliding aggregation run through the Structured
     Streaming engine (file source → watermark → availableNow drain)."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, sliding_counts, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_sliding_"))
@@ -203,11 +197,8 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-sessionizer's strict ``>``. Emission rule: append mode only
     emits sessions whose end has passed the final watermark
     (ms granularity), reconstructed verbatim by the oracle."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, session_windows, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_sesswin_"))
@@ -358,11 +349,8 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     elapsed at the final watermark — so the stateful operator's exact
     output (timestamps, counts, integer-micros sums) sits under the
     hash gate, not just a row count."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, stateful_sessions, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_stateful_"))
@@ -521,11 +509,8 @@ def events_stream_trailing_state_tws(
     value-checked, not just exercised. The window math is the VEHICLE;
     the batch ``win_*`` family already covers it as SQL — what had no
     oracle row is the state-kind surface itself."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, stream_events, trailing_state
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_trail_"))
@@ -574,11 +559,8 @@ def events_stream_running_totals_tws(
     Works without the protobuf wheel via compat/protoshim (the mini
     proto3 runtime is itself verified here against the JVM's real
     protobuf on every state-protocol message)."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, running_totals, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_"))
@@ -683,11 +665,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is simply the events table itself, each event once.
     At scale the dedup state holds only ids inside the watermark
     horizon; older state is evicted as the watermark advances."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_dedup_"))
@@ -734,11 +713,8 @@ def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     (streaming.purchase_click_attribution). The oracle is the plain
     batch interval join — inner stream-stream joins emit exactly the
     batch answer once the source drains."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import (
         purchase_click_attribution,
         run_available_now,
@@ -843,11 +819,8 @@ def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> D
     null-emission rule (min-of-sides watermark, ms floor, strict <) —
     so the streaming engine's outer-join state eviction itself is what
     gets hash-verified."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import (
         purchase_click_attribution_outer,
         run_available_now,
@@ -1351,11 +1324,8 @@ def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment. The dimension is derived deterministically in both
     engines; the availableNow drain must equal the batch join+rollup
     exactly."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import (
         enrich_with_dimension,
         run_available_now,
@@ -1895,11 +1865,8 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity proof is tests/test_streaming.py::
     test_transform_with_state_running_totals (skipped where protobuf
     is unavailable, green where it exists)."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, running_totals, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_running_"))
@@ -2137,11 +2104,8 @@ def events_stream_dedup_within_watermark(
     is deterministic regardless of which physical duplicate won; a
     single availableNow batch dedups everything, making DISTINCT the
     exact oracle."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import run_available_now, stream_events
 
     tmp = Path(tempfile.mkdtemp(prefix="events_dedup_wm_"))
@@ -2557,11 +2521,8 @@ def events_stream_click_attribution_full(
     clicks once wm passes click_ts + lookback (the state-eviction
     boundary on each side). Completes the inner/left/full join-matrix
     coverage of the streaming engine."""
-    import shutil
     import tempfile
     from pathlib import Path
-
-    from ..catalog import table_path
     from ..streaming import (
         purchase_click_attribution_full,
         run_available_now,

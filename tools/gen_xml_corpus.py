@@ -180,21 +180,9 @@ def gen_rdb_arm_docs(
     for t in tables if tables is not None else table_names():
         docs: list[tuple[str, str]] = []
         rows = table_rows(t)
-        # the public master crosswalk has a handful of malformed cells
-        # (two xpaths jammed together with '; ', e.g. F990-EZ-PART-05's
-        # GrossReceiptsAmount rows): the engine and the golden both
-        # treat such strings verbatim — they can never match a real
-        # element — so the fuzzer skips generating (unrepresentable)
-        # documents for them rather than emitting invalid XML
-        def wellformed(xp: str) -> bool:
-            leaf_ok = all(
-                part.startswith("@") or part.replace("_", "").isalnum()
-                for part in xp.split("/")
-                if part and part != "Return"
-            )
-            return ";" not in xp and " " not in xp and leaf_ok
-
-        rows = [r for r in rows if wellformed(r["xpath"])]
+        # malformed crosswalk cells can never match a real element —
+        # skip generating (unrepresentable) docs for them
+        rows = [r for r in rows if wellformed_xpath(r["xpath"])]
         ones = [r for r in rows if r["cardinality"] == "ONE"]
         manys = [r for r in rows if r["cardinality"] == "MANY"]
         for i, r in enumerate(ones):
