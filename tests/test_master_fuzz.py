@@ -288,3 +288,89 @@ def test_every_master_arm_value_matches_golden(spark, tmp_path, all_registered):
     assert not wiring, (
         f"{len(wiring)} cross-arm wiring hits; first 5: {wiring[:5]}"
     )
+
+
+def test_master_coalesce_precedence_matches_golden(
+    spark, tmp_path, all_registered
+):
+    """Arm-ORDER differential: a doc carrying ALL arms of a multi-arm
+    variable (3,170 such variables) must coalesce to the same value in
+    the engine (coalesce_scalar over the compiled struct) and the
+    golden (_coalesce over ElementTree) — the single-arm fuzz cannot
+    see precedence divergence because only one arm is ever present."""
+    from irs_990_efiler_database_spark.extract.compiler import ExprCompiler
+    from irs_990_efiler_database_spark.extract.golden import (
+        _coalesce,
+        load_doc,
+    )
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        one_table_columns,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import table_rows
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+    from pyspark.sql import functions as F
+    from tools.gen_xml_corpus import (
+        gen_master_coalesce_docs,
+        wellformed_xpath,
+    )
+
+    corpora = gen_master_coalesce_docs()
+    n_docs = sum(len(d) for d in corpora.values())
+    assert n_docs >= 3000, n_docs
+
+    chunks: list[list[str]] = [[]]
+    size = 0
+    for loc in all_registered:
+        if loc not in corpora:
+            continue
+        if size >= 700:
+            chunks.append([])
+            size = 0
+        chunks[-1].append(loc)
+        size += len(corpora[loc])
+
+    _, builder = build_return_schema()
+    c = ExprCompiler(builder)
+    mismatches = []
+    for ci, chunk in enumerate(chunks):
+        cdir = tmp_path / f"chunk{ci}"
+        cdir.mkdir()
+        docs = {}
+        for loc in chunk:
+            for url, xml, var in corpora[loc]:
+                p = cdir / url.rsplit("/", 1)[-1]
+                p.write_text(xml)
+                docs[p.resolve().as_uri()] = (loc, xml, var)
+        cols = []
+        var_xps: dict[str, list[str]] = {}
+        for loc in chunk:
+            rows = [
+                r
+                for r in table_rows(f"MF-{loc}")
+                if wellformed_xpath(r["xpath"])
+            ]
+            by_var: dict[str, list[str]] = {}
+            for r in rows:
+                by_var.setdefault(r["variable"], []).append(r["xpath"])
+            for col, (var, xps) in zip(
+                one_table_columns(c, rows), by_var.items()
+            ):
+                alias = f"{loc}::{var}"
+                cols.append(col.alias(alias))
+                var_xps[alias] = xps
+        df = read_return_xml_files(spark, str(cdir / "*.xml"))
+        got = {
+            r["url"]: r.asDict()
+            for r in df.select(F.col("url"), *cols).collect()
+        }
+        for url, (loc, xml, var) in docs.items():
+            alias = f"{loc}::{var}"
+            want = _coalesce(load_doc(xml), var_xps[alias])
+            if got[url][alias] != want:
+                mismatches.append((loc, var, got[url][alias], want))
+    assert not mismatches, (
+        f"{len(mismatches)} precedence diffs; first 5: {mismatches[:5]}"
+    )

@@ -372,6 +372,75 @@ def gen_master_arm_docs(
     return out
 
 
+def gen_master_coalesce_docs(
+    locations: list[str] | None = None,
+) -> dict[str, list[tuple[str, str, str]]]:
+    """Coalesce-PRECEDENCE fuzz: one doc per multi-arm master variable
+    with ALL of its arms populated at once (distinct values per arm).
+    The single-arm fuzz (gen_master_arm_docs) proves each arm wires to
+    the right column; it cannot see arm-ORDER divergence between the
+    engine's coalesce_scalar and the golden's _coalesce when several
+    vintages coexist in one document — 3,170 master variables carry
+    >=2 arms. Returns location -> [(url, xml, variable)]."""
+    import sys as _sys
+    import xml.etree.ElementTree as ET
+
+    _sys.path.insert(0, str(REPO))
+    from irs_990_efiler_database_spark.plans.concordance import (
+        load_master_index,
+        master_table_rows,
+    )
+
+    if locations is None:
+        locations = sorted({r[1] for r in load_master_index()})
+    serial = 0
+    out: dict[str, list[tuple[str, str, str]]] = {}
+    for loc in locations:
+        by_var: dict[str, list[str]] = {}
+        for r in master_table_rows(loc):
+            if wellformed_xpath(r["xpath"]):
+                by_var.setdefault(r["variable"], []).append(r["xpath"])
+        docs: list[tuple[str, str, str]] = []
+        for var, xps in by_var.items():
+            if len(xps) < 2:
+                continue
+            root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+            ET.SubElement(root, "ReturnHeader")
+            ET.SubElement(root, "ReturnData")
+            for k, xp in enumerate(xps):
+                parts = [p for p in xp.split("/") if p]
+                if parts and parts[0] == "Return":
+                    parts = parts[1:]
+                attr = None
+                if parts and parts[-1].startswith("@"):
+                    attr = parts.pop()[1:]
+                node = root
+                for part in parts:
+                    found = node.find(part)
+                    node = (
+                        found
+                        if found is not None
+                        else ET.SubElement(node, part)
+                    )
+                value = f"4{serial:06d}{k:02d}"
+                if attr:
+                    node.set(attr, value)
+                else:
+                    node.text = value
+            obj = f"9904{serial:06d}"
+            serial += 1
+            docs.append(
+                (
+                    f"file:///coalescefuzz/{obj}_public.xml",
+                    ET.tostring(root, encoding="unicode"),
+                    var,
+                )
+            )
+        if docs:
+            out[loc] = docs
+    return out
+
+
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
