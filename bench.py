@@ -136,6 +136,14 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # per-entry cold-path warm-up (VERDICT r9 #2): these three touch
+    # sources the TABLES loop above does not warm (idx_build reads the
+    # JSON index files, x990_core parses the XML docs) or pay a
+    # first-touch codegen/cache cost big enough to trip `high_spread`
+    # on every round's bench even though best-of-2 keeps the TIMING
+    # honest. One untimed run each keeps the flags dict a real signal.
+    for _warm in ("idx_build", "x990_core", "dedup_exact_groups"):
+        qs[_warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warm the Structured Streaming machinery AND the Python worker
     # pool (state store, micro-batch planner, Arrow workers) on the
     # tiny SF once, so streaming entries measure the operator, not
@@ -250,9 +258,7 @@ def main() -> None:
     contention = (
         round(calib_mc / min(positives), 2) if calib_mc > 0 and positives else -1.0
     )
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -289,9 +295,50 @@ def main() -> None:
                 "cpu_calibration_mc_sec": calib_mc,
                 "extract": extract_stats,
             }
-        )
-    )
+    print(json.dumps(payload))
+    # full record also persisted next to the repo — the driver's tail
+    # capture (below) only carries the compact summary, so the complete
+    # per-entry table must live somewhere committed for cross-round
+    # plan-regression analysis
+    try:
+        (REPO / "bench_full.json").write_text(json.dumps(payload) + "\n")
+    except OSError as e:  # read-only checkout must not void the bench
+        print(f"# bench_full.json not written: {e}", file=sys.stderr)
+    # pad so the driver's 2000-char tail window holds ONLY whitespace
+    # + the digest — json.loads on the raw tail then succeeds (leading
+    # whitespace is legal JSON), as does any last-line strategy
+    print("\n" * 2000, end="")
+    print(json.dumps(compact_summary(payload)))
     spark.stop()
+
+
+def compact_summary(payload: dict) -> dict:
+    """Driver-parseable one-line digest (VERDICT r9 #1).
+
+    The driver records only the LAST 2000 characters of stdout and
+    json-parses that tail; the full payload above is ~8 KB, so for
+    three rounds the recorded bench was an unparseable mid-JSON
+    fragment (BENCH_r07-r09 all ``"parsed": null``). The caller prints
+    this digest as the FINAL line, padded so the whole tail window is
+    whitespace + one JSON object — parseable whether the driver loads
+    the raw tail, the stripped tail, or the last line. Keeps the
+    required {metric, value, unit, queries, sf} schema with ``queries``
+    cut to the top-5 slowest entries."""
+    top5 = dict(
+        sorted(payload["queries"].items(), key=lambda kv: -kv[1])[:5]
+    )
+    return {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": top5,
+        "sf": payload["sf"],
+        "entries": len(payload["queries"]),
+        "contention_ratio": payload["contention_ratio"],
+        "extract_docs_per_sec": payload["extract"]["docs_per_sec"],
+        "flagged_entries": sorted(payload["flags"]),
+        "full_record": "bench_full.json (per-entry timings/spreads)",
+    }
 
 
 # plausibility floor for ANY per-query entry: a Spark action on

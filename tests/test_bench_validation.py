@@ -82,6 +82,72 @@ def test_entry_flags_sub_floor_and_high_spread():
     assert QUERY_FLOOR_SEC == 0.05
 
 
+def _fake_payload(n_queries: int = 93) -> dict:
+    qs = {f"q_{i:03d}": round(0.05 + i * 0.037, 4) for i in range(n_queries)}
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(qs.values()), 4),
+        "unit": "sec",
+        "queries": qs,
+        "spread": {k: 0.01 for k in qs},
+        "flags": {"q_000": ["sub_floor"]},
+        "contention_ratio": 1.87,
+        "sf": 0.1,
+        "cpu_calibration_sec": 0.8,
+        "cpu_calibration_end_sec": 0.82,
+        "cpu_calibration_mc_sec": 1.5,
+        "extract": {"docs": 2000, "sec": 4.2, "docs_per_sec": 476.2,
+                    "rows_ok": True, "runs_valid": 2},
+    }
+
+
+def test_compact_summary_schema_and_top5():
+    """VERDICT r9 #1: the digest keeps the required
+    {metric, value, unit, queries, sf} schema, cuts queries to the 5
+    slowest, and carries the cross-round signals (contention ratio,
+    extraction throughput, flagged entries)."""
+    import json
+
+    from bench import compact_summary
+
+    payload = _fake_payload()
+    digest = compact_summary(payload)
+    assert digest["metric"] == payload["metric"]
+    assert digest["value"] == payload["value"]
+    assert digest["unit"] == "sec"
+    assert digest["sf"] == 0.1
+    assert digest["entries"] == 93
+    # top-5 slowest, not first-5
+    assert list(digest["queries"]) == [f"q_{i:03d}" for i in (92, 91, 90, 89, 88)]
+    assert digest["contention_ratio"] == 1.87
+    assert digest["extract_docs_per_sec"] == 476.2
+    assert digest["flagged_entries"] == ["q_000"]
+    json.dumps(digest)  # serializable
+
+
+def test_compact_summary_survives_2000_char_tail_capture():
+    """The driver records the LAST 2000 chars of stdout and json-parses
+    them; BENCH_r07-r09 were all ``parsed: null`` because the full JSON
+    line overflows that window. Reproduce the capture over the exact
+    print sequence bench.main emits and assert every plausible driver
+    parse strategy succeeds on the tail."""
+    import json
+
+    from bench import compact_summary
+
+    payload = _fake_payload()
+    compact_line = json.dumps(compact_summary(payload))
+    assert len(compact_line) < 1900  # digest must FIT the window
+    stdout = json.dumps(payload) + "\n" + "\n" * 2000 + compact_line + "\n"
+    tail = stdout[-2000:]
+    # raw-tail loads (leading whitespace is legal JSON)
+    assert json.loads(tail)["value"] == payload["value"]
+    # stripped-tail and last-non-empty-line strategies
+    assert json.loads(tail.strip())["entries"] == 93
+    last_line = [ln for ln in tail.splitlines() if ln.strip()][-1]
+    assert json.loads(last_line)["metric"] == payload["metric"]
+
+
 def test_entry_flags_both_flags_and_spread_absolute_guard():
     """A sub-floor entry with huge relative spread gets both flags;
     a micro-entry whose spread is relatively large but under the 50 ms

@@ -101,6 +101,38 @@ def test_reading_unset_fields_does_not_mark_presence():
     assert cmd.HasField("ttl") and cmd.ttl.durationMs == 77
 
 
+def test_repeated_item_and_slice_writes_mark_presence():
+    """ADVICE r9: every list mutator must write through presence, not
+    just append/extend/insert — ``msg.sub.items[0:0] = [...]`` is a
+    mutation of a detached repeated view exactly like an append."""
+    sm = _state_message()
+    # slice assignment on a detached repeated field attaches the chain
+    resp = sm.StateResponseWithTimer()
+    resp.timer[0:0] = [sm.TimerInfo(key=b"k", timestampMs=3)]
+    wire = resp.SerializeToString()
+    assert wire != b""
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(wire)
+    assert [(t.key, t.timestampMs) for t in back.timer] == [(b"k", 3)]
+    # item assignment writes through too (list already attached here,
+    # but the new value must land on the wire)
+    resp.timer[0] = sm.TimerInfo(key=b"k2", timestampMs=9)
+    back.ParseFromString(resp.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back.timer] == [(b"k2", 9)]
+    # del/pop/remove/clear are writes as well; an emptied repeated
+    # field is absent on the wire (proto3), so the round-trip is empty
+    del resp.timer[0]
+    assert resp.SerializeToString() == b""
+    r2 = sm.StateResponseWithListGet()
+    r2.value[0:0] = [b"a", b"b"]
+    r2.value.pop()
+    r2.value.remove(b"a")
+    assert r2.SerializeToString() == b""
+    r2.value += [b"z"]
+    r2.value.clear()
+    assert r2.SerializeToString() == b""
+
+
 def test_explicit_set_wins_over_stale_detached_view():
     sm = _state_message()
     cmd = sm.StateCallCommand()

@@ -306,7 +306,7 @@ def wellformed_xpath(xp: str) -> bool:
 
 def gen_master_arm_docs(
     locations: list[str] | None = None,
-) -> dict[str, list[tuple[str, str, str, str]]]:
+) -> dict[str, list[tuple[str, str, str, str, str]]]:
     """Value-fuzz corpus for the ENTIRE master crosswalk (VERDICT r7
     #7 / r8 #5): one tiny document per well-formed xpath arm of every
     one of the 1,683 LOCATIONs — ~13.5k docs. The slice fuzz samples 6
