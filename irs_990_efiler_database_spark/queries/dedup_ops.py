@@ -785,7 +785,7 @@ def fdedup_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the suffix-array-free approximation of exact substring dedup
     that training pipelines run at corpus scale."""
     from ..operators.dedup import cap_hot_buckets
-    from .text_ops import text_chunk_fixed
+    from .text_retrieval import text_chunk_fixed
 
     c = text_chunk_fixed(spark, sf_dir).select("doc_id", "chunk_md5")
     c = cap_hot_buckets(c, ["chunk_md5"], 1000)

@@ -329,7 +329,7 @@ def run_available_now(
     stream). The cap is a SOURCE option, not a sink/trigger one — it
     cannot be injected here on an already-built plan — so build the
     stream with ``stream_events(path, max_files_per_trigger=N)`` over
-    time-sliced staging (``queries.events_ops._stage_events`` with
+    time-sliced staging (``queries.events_streaming._stage_events`` with
     ``time_slices > 1``); availableNow honors maxFilesPerTrigger and
     drains the backlog as multiple batches. Time-sliced files keep the
     per-key event-time-order contract the cumulative operators need.

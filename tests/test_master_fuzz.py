@@ -290,6 +290,151 @@ def test_every_master_arm_value_matches_golden(spark, tmp_path, all_registered):
     )
 
 
+def _ref_cast(wv, dtype: str):
+    """Reference cast of a golden STRING value to the Spark dtype the
+    typed select produced — the Python mirror of _typed's try_cast /
+    boolean-recode semantics on the fuzz corpus's value universe
+    (digit strings): an unparseable value degrades to NULL, never
+    raises (the reference's as.numeric coercion)."""
+    import re
+
+    if wv is None:
+        return None
+    if dtype == "bigint":
+        return int(wv) if re.fullmatch(r"[+-]?\d+", wv.strip()) else None
+    if dtype == "double":
+        try:
+            return float(wv)
+        except ValueError:
+            return None
+    if dtype == "boolean":
+        return wv in ("X", "1", "true")
+    return wv
+
+
+def test_every_master_arm_value_matches_golden_typed(
+    spark, tmp_path, all_registered
+):
+    """Typed-mode arm fuzz (VERDICT r9 #4): the same 13,552-arm sweep
+    through ``one_table_columns(..., typed=True)`` — the cast layer was
+    the last extraction surface with no arm-granular value check, and
+    every bug this fuzzer family found ('; '-cells, presence semantics,
+    case-variant siblings) lived exactly where no fixture looked.
+
+    Two checks per chunk:
+    - the TYPE DECISION is the documented contract: concordance
+      ``numeric`` is long iff any arm's XSD leaf carries an integral
+      suffix (Amt/Cnt/Nbr/Qty), double otherwise; non-numeric stays
+      string (asserted from the select's OWN schema, so a silently
+      widened or skipped cast fails loudly);
+    - every arm VALUE equals the ElementTree golden's string value
+      pushed through the reference cast for that schema dtype — so a
+      cast that mangles, reorders, or nulls a parseable value diverges."""
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.extract.compiler import ExprCompiler
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        _INT_SUFFIXES,
+        one_table_columns,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import table_rows
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_master_arm_docs, wellformed_xpath
+
+    corpora = gen_master_arm_docs()
+    n_arms = sum(len(d) for d in corpora.values())
+    assert n_arms > 13000, n_arms
+
+    chunks: list[list[str]] = [[]]
+    size = 0
+    for loc in all_registered:
+        if not corpora[loc]:
+            continue
+        if size >= 700:
+            chunks.append([])
+            size = 0
+        chunks[-1].append(loc)
+        size += len(corpora[loc])
+
+    _, builder = build_return_schema()
+    c = ExprCompiler(builder)
+    mismatches: list = []
+    decisions: list = []
+    for ci, chunk in enumerate(chunks):
+        cdir = tmp_path / f"chunk{ci}"
+        cdir.mkdir()
+        docs = {}
+        for loc in chunk:
+            for url, xml, var, value, xpath in corpora[loc]:
+                p = cdir / url.rsplit("/", 1)[-1]
+                p.write_text(xml)
+                docs[p.resolve().as_uri()] = (loc, xml)
+        cols = []
+        meta: dict[str, tuple[str, tuple[str, ...]]] = {}
+        for loc in chunk:
+            rows = [
+                r
+                for r in table_rows(f"MF-{loc}")
+                if wellformed_xpath(r["xpath"])
+            ]
+            by_var: dict[str, dict] = {}
+            for r in rows:
+                v = by_var.setdefault(
+                    r["variable"], {"xps": [], "dt": r["data_type"]}
+                )
+                v["xps"].append(r["xpath"])
+            for col, (var, s) in zip(
+                one_table_columns(c, rows, typed=True), by_var.items()
+            ):
+                alias = f"{loc}::{var}"
+                cols.append(col.alias(alias))
+                meta[alias] = (
+                    s["dt"],
+                    tuple(
+                        x.rstrip("/").rsplit("/", 1)[-1] for x in s["xps"]
+                    ),
+                )
+        df = read_return_xml_files(spark, str(cdir / "*.xml"))
+        sel = df.select(F.col("url"), *cols)
+        dtypes = dict(sel.dtypes)
+        for alias, (dt, leaves) in meta.items():
+            if dt == "numeric":
+                want_t = (
+                    "bigint"
+                    if any(lf.endswith(_INT_SUFFIXES) for lf in leaves)
+                    else "double"
+                )
+            elif dt == "boolean":
+                want_t = "boolean"
+            else:
+                want_t = "string"
+            if dtypes[alias] != want_t:
+                decisions.append((alias, dt, dtypes[alias], want_t))
+        got = {r["url"]: r.asDict() for r in sel.collect()}
+        assert len(got) == len(docs)
+        for url, (loc, xml) in docs.items():
+            g = got[url]
+            _, want_rows = golden_rdb_rows(url, xml, f"MF-{loc}")
+            assert len(want_rows) == 1, (loc, url)
+            for var, wv in want_rows[0].items():
+                alias = f"{loc}::{var}"
+                if alias not in meta:
+                    continue
+                exp = _ref_cast(wv, dtypes[alias])
+                if g[alias] != exp:
+                    mismatches.append((loc, var, url, g[alias], exp))
+    assert not decisions, (
+        f"{len(decisions)} type-decision diffs; first 5: {decisions[:5]}"
+    )
+    assert not mismatches, (
+        f"{len(mismatches)} typed value diffs; first 5: {mismatches[:5]}"
+    )
+
+
 def test_master_coalesce_precedence_matches_golden(
     spark, tmp_path, all_registered
 ):

@@ -154,17 +154,19 @@ def test_chunker_round_trips_tokens(spark, texts):
 
     from pyspark.sql import functions as F
 
-    import irs_990_efiler_database_spark.queries.text_ops as text_ops
+    import irs_990_efiler_database_spark.queries.text_retrieval as text_retrieval
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    # text_ops binds load_table at import; patch its module reference
-    orig_load = text_ops.load_table
-    text_ops.load_table = lambda _s, _d, _n: df
+    # the query binds load_table at import; patch the OWNING module's
+    # reference (text_retrieval since the r10 sub-family split —
+    # patching the text_ops aggregator would be a no-op)
+    orig_load = text_retrieval.load_table
+    text_retrieval.load_table = lambda _s, _d, _n: df
     try:
-        out = text_ops.text_chunk_fixed(spark, "unused").collect()
+        out = text_retrieval.text_chunk_fixed(spark, "unused").collect()
     finally:
-        text_ops.load_table = orig_load
+        text_retrieval.load_table = orig_load
     by_doc: dict = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
