@@ -164,6 +164,16 @@ def test_master_many_slices_match_golden(spark, tmp_path):
             got = {}
             for r in build_rdb_table(df, table).collect():
                 got.setdefault(r["URL"], []).append(r.asDict())
+            # typed explode path (VERDICT r9 #4 closure for MANY): the
+            # same rows through build_rdb_table(typed=True), compared
+            # as the golden string values pushed through the reference
+            # cast for the schema dtype the build chose — exercises
+            # the GLOBAL-leaf typing + ragged typed union per arm
+            tdf = build_rdb_table(df, table, typed=True)
+            tdtypes = dict(tdf.dtypes)
+            got_t = {}
+            for r in tdf.collect():
+                got_t.setdefault(r["URL"], []).append(r.asDict())
             for url, xml in by_url.items():
                 cols, want = golden_rdb_rows(url, xml, table)
                 want_set = sorted(
@@ -175,6 +185,34 @@ def test_master_many_slices_match_golden(spark, tmp_path):
                 if want_set != got_set:
                     mismatches.append(
                         (table, url.rsplit("/", 1)[-1], got_set, want_set)
+                    )
+                # None-safe sort key: typed rows mix None/int/float in
+                # one column, which tuple< cannot order
+                def _k(t):
+                    return tuple((v is None, str(v)) for v in t)
+
+                want_typed = sorted(
+                    (
+                        tuple(_ref_cast(w.get(c), tdtypes[c]) for c in cols)
+                        for w in want
+                    ),
+                    key=_k,
+                )
+                got_typed = sorted(
+                    (
+                        tuple(g.get(c) for c in cols)
+                        for g in got_t.get(url, [])
+                    ),
+                    key=_k,
+                )
+                if want_typed != got_typed:
+                    mismatches.append(
+                        (
+                            f"{table}[typed]",
+                            url.rsplit("/", 1)[-1],
+                            got_typed,
+                            want_typed,
+                        )
                     )
         assert not mismatches, (
             f"{len(mismatches)} (table, doc) diverge; first 3: "
