@@ -327,6 +327,13 @@ def compact_summary(payload: dict) -> dict:
     top5 = dict(
         sorted(payload["queries"].items(), key=lambda kv: -kv[1])[:5]
     )
+    # flagged_entries must stay BOUNDED: a heavily contended round can
+    # flag most of the 93 entries, and an unbounded name list would
+    # push this digest past the 2000-char tail window — reproducing
+    # the exact truncation failure the digest exists to fix, in the
+    # round where the flag signal matters most. Count + first few
+    # names here; the full flags dict is in bench_full.json.
+    flagged = sorted(payload["flags"])
     return {
         "metric": payload["metric"],
         "value": payload["value"],
@@ -336,7 +343,8 @@ def compact_summary(payload: dict) -> dict:
         "entries": len(payload["queries"]),
         "contention_ratio": payload["contention_ratio"],
         "extract_docs_per_sec": payload["extract"]["docs_per_sec"],
-        "flagged_entries": sorted(payload["flags"]),
+        "flagged_n": len(flagged),
+        "flagged_entries": flagged[:8],
         "full_record": "bench_full.json (per-entry timings/spreads)",
     }
 

@@ -9,7 +9,10 @@ are unchanged; new code should import the sub-family module directly."""
 
 from __future__ import annotations
 
-from ..catalog import load_table  # noqa: F401  (patched by test fakes)
+# NOTE: each sub-family module binds ..catalog.load_table at ITS OWN
+# import — patching a name on THIS aggregator affects nothing. Test
+# fakes must patch the owning module (e.g. text_retrieval.load_table,
+# as tests/test_properties.py does).
 from .text_lm import *  # noqa: F401,F403
 from .text_quality import *  # noqa: F401,F403
 from .text_retrieval import *  # noqa: F401,F403

@@ -16,7 +16,6 @@ the reference's "rebuild everything every few months".
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -372,14 +371,27 @@ def run_available_now(
             else:
                 spark.conf.set(key, prev)
     if sink_path is not None:
-        try:
-            return spark.read.parquet(sink_path)
-        except AnalysisException:
-            # an empty source commits no batch, so the parquet sink
-            # directory was never created; mirror the memory-sink mode
-            # (which returns an empty table) instead of raising
-            # PATH_NOT_FOUND (ADVICE r9)
+        # an empty source commits no batch, leaving either no sink
+        # directory at all or a metadata-only one with zero data files
+        # (this engine produces the latter, measured) — both of which
+        # the read would refuse (PATH_NOT_FOUND / a version-dependent
+        # unable-to-infer-schema condition). Mirror the memory-sink
+        # mode (empty, correctly-typed table) for exactly the no-data
+        # case, detected structurally rather than by sniffing error
+        # conditions (ADVICE r9); any failure reading ACTUAL data files
+        # (corrupt sink, incompatible leftovers) still surfaces.
+        from pathlib import Path
+
+        data_files = [
+            p
+            for p in Path(sink_path).rglob("*")
+            if p.is_file()
+            and not p.name.startswith(("_", "."))
+            and "_spark_metadata" not in p.parts
+        ] if Path(sink_path).exists() else []
+        if not data_files:
             return spark.createDataFrame([], stream.schema)
+        return spark.read.parquet(sink_path)
     return stream.sparkSession.table(query_name)
 
 

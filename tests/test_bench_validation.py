@@ -125,6 +125,31 @@ def test_compact_summary_schema_and_top5():
     json.dumps(digest)  # serializable
 
 
+def test_compact_summary_bounded_when_every_entry_flags():
+    """The digest must stay inside the tail window even on a round so
+    contended that EVERY entry trips high_spread — an unbounded
+    flagged-entries list would reproduce the exact truncation failure
+    the digest exists to fix, in the round where the flag signal
+    matters most."""
+    import json
+
+    from bench import compact_summary
+
+    payload = _fake_payload()
+    # realistic long registry names (the real worst case is ~39 chars)
+    long = {
+        f"events_stream_session_close_timers_{i:03d}": v
+        for i, v in enumerate(payload["queries"].values())
+    }
+    payload["queries"] = long
+    payload["spread"] = {k: 0.01 for k in long}
+    payload["flags"] = {k: ["high_spread"] for k in long}  # all 93
+    digest = compact_summary(payload)
+    assert digest["flagged_n"] == 93
+    assert len(digest["flagged_entries"]) == 8  # bounded sample
+    assert len(json.dumps(digest)) < 1900
+
+
 def test_compact_summary_survives_2000_char_tail_capture():
     """The driver records the LAST 2000 chars of stdout and json-parses
     them; BENCH_r07-r09 were all ``parsed: null`` because the full JSON

@@ -331,9 +331,9 @@ def gen_master_arm_docs(
     if locations is None:
         locations = sorted({r[1] for r in load_master_index()})
     serial = 0
-    out: dict[str, list[tuple[str, str, str, str]]] = {}
+    out: dict[str, list[tuple[str, str, str, str, str]]] = {}
     for loc in locations:
-        docs: list[tuple[str, str, str, str]] = []
+        docs: list[tuple[str, str, str, str, str]] = []
         for r in master_table_rows(loc):
             if not wellformed_xpath(r["xpath"]):
                 continue
