@@ -34,7 +34,13 @@ def _stage_events(
     the stateful TWS operators — to one slice of the backfill, while
     preserving the per-key event-time-order-across-batches contract the
     cumulative folds rely on (slice i's (ts, event_id) keys all precede
-    slice i+1's). Mutually exclusive with ``copies > 1``."""
+    slice i+1's). Mutually exclusive with ``copies > 1``.
+
+    The driver-side pyarrow sort+rewrite is HARNESS cost only: this
+    helper exists because the testdata arrives as one parquet file. A
+    production backfill's input already lands as many time-ordered
+    files, so the engine-side story is just the maxFilesPerTrigger cap
+    (measured A/B in BENCH_NOTES round 10)."""
     import os
     import shutil
     import time

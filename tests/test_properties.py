@@ -429,3 +429,75 @@ def test_exact_substring_spans_match_bruteforce(spark, docs):
     }
     expect = _ess_reference(docs, w)
     assert got == expect
+
+
+# events for the time-sliced staging property: duplicate timestamps,
+# single-user and multi-user shapes, tiny tables smaller than the
+# slice count — every shape the adaptive backfill cap could meet
+_stage_events_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id (skewed)
+        st.integers(min_value=0, max_value=9),      # ts bucket (dups!)
+        st.floats(min_value=0, max_value=5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(_stage_events_rows, st.integers(min_value=2, max_value=6))
+def test_time_sliced_staging_partitions_exactly(tmp_path_factory, rows, k):
+    """_stage_events(time_slices=k>1) must, for ARBITRARY event tables
+    (duplicate timestamps, heavy key skew, fewer rows than slices):
+    (time_slices=1 is deliberately the raw-copy path — single-batch
+    drains sort per batch inside the operator, so staging stays a
+    byte copy there)
+    (1) lose/duplicate nothing — the concatenated slices are exactly
+    the (ts, event_id)-sorted input; (2) keep slices contiguous and
+    non-overlapping in (ts, event_id) order — the property the per-key
+    cross-batch state folds rely on; (3) stamp strictly increasing
+    mtimes so the file source batches them in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from irs_990_efiler_database_spark.queries import events_streaming as es
+
+    d = tmp_path_factory.mktemp("slice_prop")
+    (d / "src").mkdir()
+    (d / "out").mkdir()
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "ts": pa.array(
+                [r[1] * 60_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, d / "src" / "events.parquet")
+    # stage via an sf_dir layout catalog.table_path understands
+    # (<sf_dir>/events.parquet)
+    es._stage_events(str(d / "src"), d / "out", time_slices=k)
+    parts = sorted((d / "out").glob("*.parquet"))
+    assert len(parts) == k
+    allk, prev_last, mtimes = [], None, []
+    for p in parts:
+        t = pq.read_table(p)
+        keys = list(
+            zip(t["ts"].to_pylist(), t["event_id"].to_pylist())
+        )
+        assert keys == sorted(keys)  # sorted within the slice
+        if keys and prev_last is not None:
+            assert keys[0] >= prev_last  # contiguous across slices
+        if keys:
+            prev_last = keys[-1]
+        allk.extend(keys)
+        mtimes.append(p.stat().st_mtime)
+    want = sorted(
+        zip(tbl["ts"].to_pylist(), tbl["event_id"].to_pylist())
+    )
+    assert allk == want  # nothing lost, nothing duplicated
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
