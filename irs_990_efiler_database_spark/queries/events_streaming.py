@@ -282,6 +282,88 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_stream_state_introspection",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us, v_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us, v_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts_us) AS start_us,
+             MAX(ts_us) AS last_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(v_us) AS BIGINT) AS value_micros
+      FROM sess
+      GROUP BY user_id, session_seq
+    ), wm AS (
+      SELECT MAX(ts_us) // 1000 AS max_ms FROM seq
+    )
+    SELECT a.user_id, a.start_us, a.last_us, a.n_events, a.value_micros
+    FROM agg a, wm
+    WHERE (a.last_us + 1800000000) // 1000 >= wm.max_ms
+    """,
+)
+def events_stream_state_introspection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-store DATA SOURCE read (SURVEY §2.12, Spark 4
+    ``spark.read.format("statestore")``): drain the stateful
+    gap-sessionizer, then read its CHECKPOINT back as a DataFrame and
+    project the per-user open-session state — the production
+    introspection path (what keys hold state, is cleanup evicting).
+    The state content after an availableNow drain is fully
+    deterministic and therefore oracle-checkable: it is exactly the
+    COMPLEMENT of the sessionizer's emission rule — each user's last
+    session iff its close time has NOT provably passed the final
+    watermark ((last_us + gap) // 1000 >= max event ms; emitted
+    sessions' state was evicted by the event-time timeout). So one
+    query hash-gates both the reader (values round-trip the state
+    files bit-exactly) and the operator's state-cleanup contract (an
+    un-evicted emitted session would surface as an extra row)."""
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming import (
+        read_state,
+        run_available_now,
+        stateful_sessions,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_state_introspect_"))
+    (tmp / "in").mkdir()
+    _stage_events(sf_dir, tmp / "in")
+    run_available_now(
+        stateful_sessions(stream_events(spark, str(tmp / "in"))),
+        "events_state_introspect_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return read_state(spark, str(tmp / "ckpt")).select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.start_us").alias("start_us"),
+        F.col("value.groupState.last_us").alias("last_us"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.col("value.groupState.v_micros").alias("value_micros"),
+    )
+
+
+@register(
     "events_stream_session_close_timers_tws",
     oracle="""
     WITH seq AS (

@@ -537,6 +537,46 @@ def read_fanout(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def read_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    state_var_name: str | None = None,
+    batch_id: int | None = None,
+    operator_id: int | None = None,
+) -> DataFrame:
+    """Read a streaming query's CHECKPOINTED STATE as a DataFrame via
+    the Spark 4 state-store data source (SURVEY §2.12 ops surface) —
+    the introspection path a production deployment needs: what keys are
+    open, how big is each operator's state, did cleanup actually evict
+    (the questions that otherwise require guessing from metrics). The
+    read is a normal distributed scan over the checkpoint's state
+    files — one task per state partition, no driver materialization —
+    so it holds at 100-TB state exactly like any other source.
+
+    ``state_var_name`` selects one typed state of a
+    ``transformWithState`` operator (e.g. the "totals" ValueState);
+    legacy operators (aggregations, ``applyInPandasWithState``) expose
+    a single implicit state and take no name. ``batch_id`` time-travels
+    to an earlier committed batch (default: latest); ``operator_id``
+    disambiguates multi-operator queries (default 0)."""
+    r = spark.read.format("statestore")
+    if state_var_name is not None:
+        r = r.option("stateVarName", state_var_name)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    if operator_id is not None:
+        r = r.option("operatorId", operator_id)
+    return r.load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator/state-store metadata (operator ids and
+    names, store names, partition counts, min/max committed batch) via
+    the ``state-metadata`` data source — the discovery step before
+    ``read_state`` on an unfamiliar checkpoint."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

@@ -1033,3 +1033,61 @@ def test_transform_with_state_list_map_timers_full_surface(spark, tmp_path):
         want_ets = {et for (u, et) in want if u == user_id}
         assert set(counts) == want_ets
         assert r["timers_ok"]
+
+
+def test_state_reader_round_trips_tws_value_state(spark, tmp_path):
+    """spark.read.format("statestore") with stateVarName must read a
+    transformWithState operator's TYPED state back bit-exactly: after
+    the running-totals drain, the "totals" ValueState holds each
+    user's final (n, v) — which must equal the batch groupBy totals.
+    Also sanity-check the discovery path: state-metadata names the
+    operator and its state store."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table, table_path
+    from irs_990_efiler_database_spark.streaming import (
+        read_state,
+        read_state_metadata,
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    (tmp_path / "in").mkdir()
+    shutil.copy(table_path(sf, "events"), tmp_path / "in" / "part-000.parquet")
+    run_available_now(
+        running_totals(stream_events(spark, str(tmp_path / "in"))),
+        "tws_state_reader_q",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+        state_partitions=4,
+        state_store="rocksdb",
+    )
+    md = read_state_metadata(spark, str(tmp_path / "ckpt")).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "transformWithStateInPandasExec"
+    assert md[0]["numPartitions"] == 4
+    got = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in read_state(
+            spark, str(tmp_path / "ckpt"), state_var_name="totals"
+        ).select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.n").alias("n"),
+            F.col("value.v").alias("v"),
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
