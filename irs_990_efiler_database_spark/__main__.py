@@ -17,7 +17,7 @@ reference user can run the whole pipeline without writing Python:
             code: the build consumes the same slice via --tables
   export    write a built table to csv/stata/spss
   query     run any registered analytics query by name (the full
-            325-entry catalog: dedup, ANN, text, sketches, stats,
+            326-entry catalog: dedup, ANN, text, sketches, stats,
             graph, streaming, TPC-H, 990 reports) against a table
             directory; print or write the result
 

@@ -17,7 +17,11 @@ from .events_batch import _SLIDING_ORACLE
 
 
 def _stage_events(
-    sf_dir: str, dest, copies: int = 1, time_slices: int = 1
+    sf_dir: str,
+    dest,
+    copies: int = 1,
+    time_slices: int = 1,
+    min_ts_us: int | None = None,
 ) -> None:
     """Stage the events table as raw parquet file(s) for a file-source
     stream. Handles both testdata shapes: a single parquet FILE (the
@@ -36,6 +40,14 @@ def _stage_events(
     cumulative folds rely on (slice i's (ts, event_id) keys all precede
     slice i+1's). Mutually exclusive with ``copies > 1``.
 
+    ``min_ts_us`` stages only events with epoch-µs ``ts >= min_ts_us``
+    (the "live" suffix for the bootstrap-handoff harness); it forces
+    the arrow rewrite path even at ``time_slices=1``. Spark's
+    ``unix_micros``, DuckDB's ``epoch_us`` and arrow's int64 cast agree
+    bit-exactly on this table (verified empirically round 10 and
+    asserted in tests), so the same cutoff value partitions the table
+    identically in all three engines.
+
     The driver-side pyarrow sort+rewrite is HARNESS cost only: this
     helper exists because the testdata arrives as one parquet file. A
     production backfill's input already lands as many time-ordered
@@ -48,10 +60,21 @@ def _stage_events(
 
     from ..catalog import table_path
 
-    if time_slices > 1:
+    if time_slices > 1 or min_ts_us is not None:
         if copies != 1:
-            raise ValueError("time_slices>1 is incompatible with copies>1")
+            raise ValueError(
+                "time_slices>1/min_ts_us is incompatible with copies>1"
+            )
         tbl = _events_arrow_us(sf_dir)
+        if min_ts_us is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(
+                pc.greater_equal(
+                    pc.cast(tbl["ts"], pa.int64()), pa.scalar(min_ts_us)
+                )
+            )
         tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
         import pyarrow.parquet as pq
 
@@ -580,6 +603,95 @@ def events_stream_running_totals_tws(
         # transformWithState requires the RocksDB provider; pin it
         # per-query so the drain works on ANY session, not just one
         # built by session.get_spark (which sets it globally)
+        state_store="rocksdb",
+    )
+
+
+@register(
+    "events_stream_running_totals_bootstrap_tws",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ),
+    cut AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS cut_us FROM seq),
+    hist AS (
+      SELECT user_id, COUNT(*) AS n0, SUM(v_us) AS v0
+      FROM seq, cut WHERE ts_us < cut_us GROUP BY user_id
+    ),
+    live AS (SELECT seq.* FROM seq, cut WHERE ts_us >= cut_us)
+    SELECT l.user_id, l.event_id,
+           CAST(COALESCE(h.n0, 0) + COUNT(*) OVER w AS BIGINT) AS n_cum,
+           CAST(COALESCE(h.v0, 0) + SUM(l.v_us) OVER w AS BIGINT)
+             AS v_cum_micros
+    FROM live l LEFT JOIN hist h USING (user_id)
+    WINDOW w AS (PARTITION BY l.user_id ORDER BY l.ts_us, l.event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_stream_running_totals_bootstrap_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch→stream state handoff on the TWS ``initialState`` surface
+    (SURVEY §2.12): the migration pattern every streaming rollout
+    needs — aggregate the HISTORICAL half of the feed with one batch
+    job (one row per user), seed the stateful operator's ValueState
+    from that frame via ``handleInitialState``, then stream only the
+    LIVE half; emitted cumulative totals include the carried-in base
+    without ever replaying history through the state store. At 100 TB
+    the difference is streaming |keys| seed rows instead of |history|
+    events. The cumulative math is the VEHICLE (same fold as
+    events_stream_running_totals_tws); what had no oracle row is the
+    initial-state co-group wiring itself — a wrong/dropped/duplicated
+    seed shifts every downstream total, so the hash gate proves the
+    handoff is exact. Split point: the midpoint epoch-µs timestamp,
+    computed identically by Spark (``unix_micros``), the arrow staging
+    filter (int64 cast) and the DuckDB oracle (``epoch_us``)."""
+    import tempfile
+    from pathlib import Path
+    from ..catalog import load_table
+    from ..streaming import run_available_now, running_totals, stream_events
+
+    tmp = Path(tempfile.mkdtemp(prefix="events_tws_boot_"))
+    (tmp / "in").mkdir()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_us"),
+    )
+    lo, hi, n_total = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.count(F.lit(1))
+    ).first()
+    cut_us = (lo + hi) // 2
+    # the batch job side of the handoff: one row per user, computed by
+    # the engine (map-side-combined groupBy), never staged as events
+    seeds = (
+        ev.filter(F.col("ts_us") < cut_us)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum("v_us").alias("v0_micros"),
+        )
+    )
+    # bounded backfill sizing on the LIVE suffix only (~half the table;
+    # single-batch fast path at the oracle/bench SFs)
+    k = max(1, -(-(n_total // 2) // STREAM_SLICE_ROWS))
+    _stage_events(sf_dir, tmp / "in", time_slices=k, min_ts_us=cut_us)
+    stream = running_totals(
+        stream_events(
+            spark, str(tmp / "in"), max_files_per_trigger=1 if k > 1 else None
+        ),
+        initial_totals=seeds,
+    )
+    return run_available_now(
+        stream,
+        "events_stream_tws_boot_q",
+        str(tmp / "ckpt"),
+        output_mode="append",
+        state_partitions=8,
         state_store="rocksdb",
     )
 

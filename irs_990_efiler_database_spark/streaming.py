@@ -663,7 +663,9 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def running_totals(events: DataFrame) -> DataFrame:
+def running_totals(
+    events: DataFrame, initial_totals: DataFrame | None = None
+) -> DataFrame:
     """Per-user running event count + integer-micros value sum via the
     Spark 4 arbitrary-state API (``transformWithStateInPandas``) — the
     successor to applyInPandasWithState: typed state handles
@@ -684,7 +686,22 @@ def running_totals(events: DataFrame) -> DataFrame:
     repo's mini-runtime shim when the real wheel is absent (it
     propagates via sc.environment's PYTHONPATH, which pyspark
     snapshots into the operator's envVars at declaration time — so it
-    must run BEFORE transformWithStateInPandas below)."""
+    must run BEFORE transformWithStateInPandas below).
+
+    ``initial_totals`` (optional): a BATCH frame
+    ``(user_id LONG, n0 LONG, v0_micros LONG)`` of carried-in totals —
+    the batch→stream state handoff every migration to a streaming
+    pipeline needs (bootstrap the state from the historical batch
+    aggregate, then stream only the increments instead of replaying
+    100 TB of history through the state store). Wired through the TWS
+    ``initialState`` parameter: Spark co-groups the seed frame with
+    batch 0 by key and calls ``handleInitialState`` once per seeded
+    key — INCLUDING keys with no batch-0 input rows (asserted in
+    tests/test_streaming.py with a key whose first live event arrives
+    in batch 2), so a time-sliced bounded backfill seeds correctly.
+    Seed-only keys that never stream emit nothing (append mode) but
+    hold their state for when they do. At scale the seed frame is one
+    row per key — the shuffle is |keys|, not |history|."""
     from .compat import ensure_protobuf
 
     ensure_protobuf(events.sparkSession)
@@ -706,6 +723,18 @@ def running_totals(events: DataFrame) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
                 "totals", "n LONG, v LONG"
+            )
+
+        def handleInitialState(self, key, initialState, timer_values):
+            # one pandas row per seeded key (the seed frame is grouped
+            # on the same key as the stream); runs before any
+            # handleInputRows, so the first live event already folds
+            # onto the carried-in totals
+            self._state.update(
+                (
+                    int(initialState["n0"].iloc[0]),
+                    int(initialState["v0_micros"].iloc[0]),
+                )
             )
 
         def handleInputRows(self, key, rows, timer_values):
@@ -745,7 +774,15 @@ def running_totals(events: DataFrame) -> DataFrame:
         F.lit(1).cast("long").alias("ones"),
     )
     return prepped.groupBy("user_id").transformWithStateInPandas(
-        RunningTotal(), out_schema, "append", "none"
+        RunningTotal(),
+        out_schema,
+        "append",
+        "none",
+        initialState=(
+            None
+            if initial_totals is None
+            else initial_totals.groupBy("user_id")
+        ),
     )
 
 

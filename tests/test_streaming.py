@@ -1091,3 +1091,132 @@ def test_state_reader_round_trips_tws_value_state(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_tws_initial_state_seeds_across_batches(spark, tmp_path):
+    """TWS initialState (batch→stream handoff): handleInitialState must
+    seed EVERY key in the seed frame during batch 0 — including keys
+    whose first live event only arrives in a LATER micro-batch of a
+    bounded backfill — and seed-only keys must hold state silently.
+    Three keys prove the contract:
+      user 1: streams in batch 1, no seed        -> totals from scratch
+      user 7: seeded (5, 500), first event batch 2 -> folds onto seed
+      user 9: seeded (2, 20), never streams        -> no output rows,
+              but the seeded state is IN the checkpoint (read back via
+              the statestore reader)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.streaming import (
+        read_state,
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "stage").mkdir()
+
+    def _write(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        out = tmp_path / "stage" / name
+        df.coalesce(1).write.parquet(str(out))
+        (part,) = out.glob("part-*.parquet")
+        dest = tmp_path / "in" / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    now = time.time()
+    _write("b0", [(10, 1, ts(1), 1.0), (11, 1, ts(2), 2.0)], now)
+    _write("b1", [(20, 7, ts(3), 3.0), (21, 7, ts(4), 4.0)], now + 10)
+
+    seeds = spark.createDataFrame(
+        [(7, 5, 500), (9, 2, 20)], "user_id LONG, n0 LONG, v0_micros LONG"
+    )
+    got = run_available_now(
+        running_totals(
+            stream_events(spark, str(tmp_path / "in"), max_files_per_trigger=1),
+            initial_totals=seeds,
+        ),
+        "tws_init_state_q",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+        state_partitions=4,
+        state_store="rocksdb",
+    )
+    rows = {tuple(r) for r in got.collect()}
+    # the backfill really ran as >=2 micro-batches (one per file)
+    offsets = [
+        p
+        for p in (tmp_path / "ckpt" / "offsets").iterdir()
+        if p.name.isdigit()
+    ]
+    assert len(offsets) >= 2
+    assert rows == {
+        (1, 10, 1, 1_000_000),
+        (1, 11, 2, 3_000_000),
+        # user 7's FIRST emitted row already carries the seed: the
+        # initial state was applied in batch 0, before the key ever
+        # appeared in the input
+        (7, 20, 6, 3_000_500),
+        (7, 21, 7, 7_000_500),
+    }
+    state = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in read_state(
+            spark, str(tmp_path / "ckpt"), state_var_name="totals"
+        )
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.n").alias("n"),
+            F.col("value.v").alias("v"),
+        )
+        .collect()
+    }
+    # seed-only user 9 emitted nothing but its state is checkpointed,
+    # ready for its first live event
+    assert state == {
+        1: (2, 3_000_000),
+        7: (7, 7_000_500),
+        9: (2, 20),
+    }
+
+
+def test_stage_events_min_ts_filter_partitions_exactly(tmp_path):
+    """_stage_events(min_ts_us=cut) must stage exactly the rows with
+    epoch-µs ts >= cut — arrow's int64 cast agreeing with the cutoff
+    arithmetic the query computes in Spark (and the oracle in DuckDB;
+    empirical three-engine agreement, round 10)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from irs_990_efiler_database_spark.queries.events_streaming import (
+        _events_arrow_us,
+        _stage_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = _events_arrow_us(sf)
+    ints = pc.cast(tbl["ts"], pa.int64())
+    lo, hi = pc.min(ints).as_py(), pc.max(ints).as_py()
+    cut = (lo + hi) // 2
+    (tmp_path / "in").mkdir()
+    _stage_events(sf, tmp_path / "in", min_ts_us=cut)
+    staged = pq.read_table(str(tmp_path / "in"))
+    n_live = pc.sum(pc.greater_equal(ints, cut)).as_py()
+    assert staged.num_rows == n_live > 0
+    assert staged.num_rows < tbl.num_rows
+    staged_ints = pc.cast(staged["ts"], pa.int64())
+    assert pc.min(staged_ints).as_py() >= cut
