@@ -166,3 +166,114 @@ def test_parameterized_sql_matches_literal(spark):
     ).collect()
     assert sorted(map(tuple, bound)) == sorted(map(tuple, literal))
     assert bound, "filter should match some rows"
+
+
+def test_map_in_arrow_matches_map_in_pandas_kernel(spark):
+    """``mapInArrow`` (RecordBatch in/out, zero pandas materialization)
+    must reproduce the mapInPandas byte-histogram kernel bit-exactly —
+    offsets/data-buffer math on the BinaryArray instead of Python
+    bytes objects. Measured A/B at sf0.1 (BENCH_NOTES round 10): no
+    win at either payload shape on this box, so the pandas kernel
+    stays the shipped path; this pins the Arrow-native escape hatch's
+    correctness (the shape that matters when a kernel wants
+    Arrow-only zero-copy, e.g. tensors over the wire)."""
+    import pyarrow as pa
+
+    from irs_990_efiler_database_spark.catalog import load_table
+    from irs_990_efiler_database_spark.operators.multimodal import (
+        _HIST_ROWS_SCHEMA,
+        byte_histogram_rows,
+        synthetic_media,
+    )
+
+    BINS = 16
+
+    def batches(it):
+        import numpy as np
+
+        shift = 8 - BINS.bit_length() + 1
+        for batch in it:
+            arr = batch.column("payload")
+            ids_all = batch.column("media_id").to_numpy(zero_copy_only=False)
+            if len(arr) == 0:
+                continue
+            off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+            offsets = np.frombuffer(off_buf, dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(data_buf, dtype=np.uint8)
+            lens = offsets[1:] - offsets[:-1]
+            row_idx = np.repeat(np.arange(len(arr)), lens)
+            allb = data[offsets[0] : offsets[-1]]
+            keys = row_idx * BINS + (allb >> shift)
+            hist = np.bincount(keys, minlength=len(arr) * BINS).reshape(
+                len(arr), BINS
+            )
+            rows_i, bins_i = np.nonzero(hist)
+            cnts = hist[rows_i, bins_i]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": pa.array(ids_all[rows_i], pa.int64()),
+                    "bin": pa.array(bins_i.astype(np.int32), pa.int32()),
+                    "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+                    "weight": pa.array(cnts / lens[rows_i], pa.float64()),
+                }
+            )
+
+    media = synthetic_media(load_table(spark, SF_SMOKE, "documents"))
+    got = {
+        tuple(r)
+        for r in media.select("media_id", "payload")
+        .mapInArrow(batches, _HIST_ROWS_SCHEMA)
+        .collect()
+    }
+    want = {tuple(r) for r in byte_histogram_rows(media).collect()}
+    assert got == want and got
+
+
+def test_apply_in_arrow_grouped_matches_native_agg(spark):
+    """``groupBy().applyInArrow`` (grouped-map, one pyarrow.Table per
+    group) must agree with the codegen'd groupBy aggregate — the
+    Arrow-native twin of the applyInPandas grouped-map surface. Exact
+    integer math (int64 cents) so the comparison is equality, not
+    tolerance."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.catalog import load_table
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag").slice(0, 1),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "qty_sum": pa.array(
+                    [pc.sum(tbl.column("qty_cents")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+    got = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .applyInArrow(
+            per_group, "l_returnflag STRING, n LONG, qty_sum LONG"
+        )
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty_cents").alias("qty_sum"),
+        )
+        .collect()
+    }
+    assert got == want and got
