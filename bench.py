@@ -117,6 +117,10 @@ HEADLINE = [
     # event-time timers; ListState + MapState) — entry count 91 → 93
     "events_stream_session_close_timers_tws",
     "events_stream_trailing_state_tws",
+    # round 10 additions (state-store reader; TWS initial-state
+    # bootstrap) — entry count 93 → 95
+    "events_stream_state_introspection",
+    "events_stream_running_totals_bootstrap_tws",
 ]
 
 

@@ -23,7 +23,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .index import INDEX_ENTRY
@@ -174,3 +177,205 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
         # offsets live in Spark's checkpoint offset log; nothing to
         # acknowledge source-side (files are immutable once landed)
         return None
+
+
+# ---------------------------------------------------------------------------
+# Write path: JSONL sink with a driver-side commit manifest
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file's NAME (not path — the
+    driver re-anchors under its own view of the sink) + row count."""
+
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class JsonlCommitDataSource(DataSource):
+    """Python DataSource WRITE surface (batch ``writer()`` + streaming
+    ``streamWriter()``): a JSONL sink whose visibility contract is a
+    driver-side commit log — the dead-letter/audit-sink shape (schema
+    drift tolerated by construction, line-per-record, grep-able).
+
+    Exactly-once mechanics, both modes:
+    - every task stages to ``_staging/task-<partition>-<attempt>.jsonl``
+      (attempt id in the name → a retried or speculative task never
+      collides with its sibling);
+    - nothing is visible until the DRIVER promotes staged files and
+      writes the log atomically (temp + ``os.replace``):
+      batch → ``_manifest.json`` (the list of committed files; honors
+      ``overwrite``), streaming → ``_commits/<batchId>.json`` per
+      micro-batch. A replayed batch rewrites ITS OWN log entry whole,
+      so a retry replaces rather than doubles its output — the same
+      per-batch-keyed idempotent-overwrite pattern as
+      ``streaming.continuous_rollup`` and the incremental 990 build;
+    - ``abort()`` removes the staged files, leaving the log untouched.
+
+    ``read_jsonl_commit`` is the manifest-gated reader: it lists the
+    log driver-side and hands ONLY committed files to the distributed
+    JSON scan — uncommitted/aborted/orphaned stage files are invisible
+    by construction.
+
+    Registration:
+        spark.dataSource.register(JsonlCommitDataSource)
+        df.write.format("jsonlcommit").mode("overwrite").save(path)
+        stream.writeStream.format("jsonlcommit").option("path", path)...
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlcommit"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlCommitWriter":
+        return JsonlCommitWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlCommitStreamWriter":
+        return JsonlCommitStreamWriter(self.options)
+
+
+def _stage_rows(path: str, iterator) -> _JsonlCommit:
+    """Executor side: stream rows to one staged JSONL file; constant
+    memory (line-at-a-time), never a driver round-trip."""
+    import json
+    import os
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    name = f"task-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    n = 0
+    with open(os.path.join(staging, name), "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict(), default=str) + "\n")
+            n += 1
+    return _JsonlCommit(name, n)
+
+
+def _atomic_write_json(dest: str, payload: dict) -> None:
+    import json
+    import os
+
+    tmp = dest + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, dest)
+
+
+def _promote(path: str, messages, prefix: str = "") -> tuple[list, int]:
+    """Driver side: move each staged file into the sink root (with an
+    optional per-batch prefix so streaming batches never collide) and
+    return ([(final_name, rows)...], total_rows)."""
+    import os
+
+    files, total = [], 0
+    for m in messages:
+        if m is None:
+            continue
+        final = prefix + m.file
+        os.replace(
+            os.path.join(path, "_staging", m.file), os.path.join(path, final)
+        )
+        files.append({"file": final, "rows": m.rows})
+        total += m.rows
+    return files, total
+
+
+def _discard_staged(path: str, messages) -> None:
+    import os
+
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            os.remove(os.path.join(path, "_staging", m.file))
+        except FileNotFoundError:
+            pass
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlcommit requires a path (save(<dir>))")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files, total = _promote(self.path, messages)
+        manifest = os.path.join(self.path, "_manifest.json")
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                prev = json.load(fh)
+            files = prev["files"] + files
+            total += prev["rows"]
+        _atomic_write_json(manifest, {"files": files, "rows": total})
+
+    def abort(self, messages) -> None:
+        _discard_staged(self.path, messages)
+
+
+class JsonlCommitStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlcommit requires a path option")
+
+    def write(self, iterator) -> _JsonlCommit:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
+        os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
+        # rewrite THIS batch's entry whole: a replayed batch replaces
+        # its own output instead of appending a second copy
+        _atomic_write_json(
+            os.path.join(self.path, "_commits", f"{batchId}.json"),
+            {"batchId": batchId, "files": files, "rows": total},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_staged(self.path, messages)
+
+
+def read_jsonl_commit(spark, path: str, schema) -> "DataFrame":
+    """Manifest-gated read of a ``jsonlcommit`` sink: only files named
+    by the batch manifest and/or the per-batch streaming commit log are
+    scanned (uncommitted stage files, aborted attempts and a replayed
+    batch's superseded output are invisible). Listing is one driver-side
+    log read; the JSON parse fans out as a normal distributed scan with
+    an explicit schema (no sampling pass)."""
+    import glob as _glob
+    import json
+    import os
+
+    names: list[str] = []
+    manifest = os.path.join(path, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            names += [f["file"] for f in json.load(fh)["files"]]
+    for c in sorted(_glob.glob(os.path.join(path, "_commits", "*.json"))):
+        with open(c, encoding="utf-8") as fh:
+            names += [f["file"] for f in json.load(fh)["files"]]
+    if not names:
+        from pyspark.sql.types import StructType
+
+        empty_schema = (
+            schema
+            if isinstance(schema, StructType)
+            else spark.createDataFrame([], schema).schema
+        )
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.schema(schema).json(
+        [os.path.join(path, n) for n in names]
+    )

@@ -1,0 +1,153 @@
+"""Python DataSource WRITE surface (SURVEY §2.1): the jsonlcommit sink
+— batch writer() with manifest-gated visibility, streaming
+streamWriter() with a per-batch commit log (exactly-once via
+batch-keyed idempotent log rewrite), and abort invisibility."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+SCHEMA = "k LONG, s STRING, v DOUBLE"
+
+
+def _register(spark):
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitDataSource,
+    )
+
+    try:
+        spark.dataSource.register(JsonlCommitDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def test_jsonlcommit_batch_roundtrip_overwrite_and_append(spark, tmp_path):
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    df1 = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], SCHEMA)
+    df1.repartition(2).write.format("jsonlcommit").mode("overwrite").save(
+        str(sink)
+    )
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5)}
+
+    # append merges into the manifest
+    df2 = spark.createDataFrame([(3, "c", 3.5)], SCHEMA)
+    df2.write.format("jsonlcommit").mode("append").save(str(sink))
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)}
+
+    # overwrite resets visibility to the new write alone
+    df2.write.format("jsonlcommit").mode("overwrite").save(str(sink))
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(3, "c", 3.5)}
+
+    manifest = json.loads((sink / "_manifest.json").read_text())
+    assert manifest["rows"] == 1
+    # staged files were all promoted — staging holds nothing visible
+    assert list((sink / "_staging").glob("*.jsonl")) == []
+
+
+def test_jsonlcommit_stream_commits_per_batch_exactly_once(spark, tmp_path):
+    """availableNow drain through the streaming writer: every input row
+    lands exactly once, one commit-log entry per micro-batch, and the
+    manifest-gated reader sees precisely the committed union."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    sink = tmp_path / "sink"
+    sink.mkdir()
+
+    def _stage(name, rows, mtime):
+        out = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(out))
+        (part,) = out.glob("part-*.parquet")
+        dest = land / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    import time
+
+    now = time.time()
+    _stage("b0", [(1, "a", 1.0), (2, "b", 2.0)], now)
+    _stage("b1", [(3, "c", 3.0)], now + 10)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+        .writeStream.format("jsonlcommit")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    commits = sorted((sink / "_commits").glob("*.json"))
+    assert len(commits) >= 2  # one log entry per micro-batch
+    total = sum(json.loads(c.read_text())["rows"] for c in commits)
+    assert total == 3
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)}
+
+
+def test_jsonlcommit_uncommitted_and_replayed_output_invisible(spark, tmp_path):
+    """The visibility contract: stage files without a log entry are
+    invisible to the reader, and a REPLAYED streaming batch rewrites
+    its own commit entry whole (idempotent overwrite — retry replaces,
+    never doubles)."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+
+    # an orphaned stage file (task that died before commit)
+    (sink / "_staging" / "task-9-999.jsonl").write_text(
+        '{"k": 99, "s": "orphan", "v": 0.0}\n'
+    )
+    assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 0
+
+    # first attempt of batch 0 commits two files
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    for name, line in [
+        ("task-0-1.jsonl", '{"k": 1, "s": "x", "v": 1.0}\n'),
+        ("task-1-2.jsonl", '{"k": 2, "s": "y", "v": 2.0}\n'),
+    ]:
+        (sink / "_staging" / name).write_text(line)
+    w.commit(
+        [_JsonlCommit("task-0-1.jsonl", 1), _JsonlCommit("task-1-2.jsonl", 1)],
+        batchId=0,
+    )
+    assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 2
+
+    # the batch replays (e.g. driver restart before the offset commit):
+    # new attempt stages fresh files, commit REWRITES entry 0
+    (sink / "_staging" / "task-0-7.jsonl").write_text(
+        '{"k": 1, "s": "x", "v": 1.0}\n{"k": 2, "s": "y", "v": 2.0}\n'
+    )
+    w.commit([_JsonlCommit("task-0-7.jsonl", 2)], batchId=0)
+    got = read_jsonl_commit(spark, str(sink), SCHEMA)
+    assert got.count() == 2  # replaced, not doubled
+    assert {tuple(r) for r in got.collect()} == {(1, "x", 1.0), (2, "y", 2.0)}
+
+    # abort: staged files removed, log untouched
+    (sink / "_staging" / "task-3-3.jsonl").write_text('{"k": 5}\n')
+    w.abort([_JsonlCommit("task-3-3.jsonl", 1)], batchId=1)
+    assert not (sink / "_staging" / "task-3-3.jsonl").exists()
+    assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 2

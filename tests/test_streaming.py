@@ -1220,3 +1220,73 @@ def test_stage_events_min_ts_filter_partitions_exactly(tmp_path):
     assert staged.num_rows < tbl.num_rows
     staged_ints = pc.cast(staged["ts"], pa.int64())
     assert pc.min(staged_ints).as_py() >= cut
+
+
+def test_state_reader_batch_id_time_travel(spark, tmp_path):
+    """read_state(batch_id=N) must return the state AS OF batch N's
+    commit, not the latest — the time-travel option a production
+    postmortem needs ("what did this key hold before the bad batch").
+    Two bounded micro-batches of running totals: batch 0 sees only
+    user 1's first file; the latest state folds both."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.streaming import (
+        read_state,
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "stage").mkdir()
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _write(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        out = tmp_path / "stage" / name
+        df.coalesce(1).write.parquet(str(out))
+        (part,) = out.glob("part-*.parquet")
+        dest = tmp_path / "in" / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    _write("b0", [(10, 1, t0, 1.0)], now)
+    _write("b1", [(11, 1, t0 + dt.timedelta(seconds=1), 2.0),
+                  (20, 2, t0 + dt.timedelta(seconds=2), 5.0)], now + 10)
+
+    run_available_now(
+        running_totals(
+            stream_events(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+        ),
+        "tws_timetravel_q",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+        state_partitions=4,
+        state_store="rocksdb",
+    )
+
+    def _snap(**kw):
+        return {
+            r["user_id"]: (r["n"], r["v"])
+            for r in read_state(
+                spark, str(tmp_path / "ckpt"), state_var_name="totals", **kw
+            )
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.n").alias("n"),
+                F.col("value.v").alias("v"),
+            )
+            .collect()
+        }
+
+    assert _snap(batch_id=0) == {1: (1, 1_000_000)}
+    assert _snap() == {1: (2, 3_000_000), 2: (1, 5_000_000)}
