@@ -665,6 +665,13 @@ def events_stream_running_totals_bootstrap_tws(
     lo, hi, n_total = ev.agg(
         F.min("ts_us"), F.max("ts_us"), F.count(F.lit(1))
     ).first()
+    if n_total == 0:
+        # empty feed: nothing to seed, nothing to stream — mirror the
+        # empty-source drain contract (typed empty frame) instead of
+        # crashing on (None + None) // 2
+        return spark.createDataFrame(
+            [], "user_id LONG, event_id LONG, n_cum LONG, v_cum_micros LONG"
+        )
     cut_us = (lo + hi) // 2
     # the batch job side of the handoff: one row per user, computed by
     # the engine (map-side-combined groupBy), never staged as events
@@ -676,9 +683,14 @@ def events_stream_running_totals_bootstrap_tws(
             F.sum("v_us").alias("v0_micros"),
         )
     )
-    # bounded backfill sizing on the LIVE suffix only (~half the table;
-    # single-batch fast path at the oracle/bench SFs)
-    k = max(1, -(-(n_total // 2) // STREAM_SLICE_ROWS))
+    # bounded backfill sizing on the EXACT live-row count (one cheap
+    # aggregate) — n_total/2 would undersize the slices whenever the
+    # feed is time-skewed toward the live half (the shape of any
+    # growing event log), silently exceeding the per-micro-batch bound
+    # the slicing exists to enforce; single-batch fast path at the
+    # oracle/bench SFs
+    n_live = ev.filter(F.col("ts_us") >= cut_us).count()
+    k = max(1, -(-n_live // STREAM_SLICE_ROWS))
     _stage_events(sf_dir, tmp / "in", time_slices=k, min_ts_us=cut_us)
     stream = running_totals(
         stream_events(

@@ -200,18 +200,35 @@ class JsonlCommitDataSource(DataSource):
     drift tolerated by construction, line-per-record, grep-able).
 
     Exactly-once mechanics, both modes:
-    - every task stages to ``_staging/task-<partition>-<attempt>.jsonl``
-      (attempt id in the name → a retried or speculative task never
-      collides with its sibling);
+    - every task stages to
+      ``_staging/task-<run>-<partition>-<attempt>.jsonl`` — the run
+      uuid disambiguates across applications (taskAttemptId restarts
+      at 0 in every new SparkContext, so appending from a second app
+      must not reuse the first app's names), the attempt id within
+      the run (retried/speculative tasks never collide);
     - nothing is visible until the DRIVER promotes staged files and
       writes the log atomically (temp + ``os.replace``):
-      batch → ``_manifest.json`` (the list of committed files; honors
-      ``overwrite``), streaming → ``_commits/<batchId>.json`` per
-      micro-batch. A replayed batch rewrites ITS OWN log entry whole,
-      so a retry replaces rather than doubles its output — the same
-      per-batch-keyed idempotent-overwrite pattern as
-      ``streaming.continuous_rollup`` and the incremental 990 build;
+      batch → ``_manifest.json`` (the list of committed files),
+      streaming → ``_commits/<batchId>.json`` per micro-batch. A
+      replayed batch rewrites ITS OWN log entry whole and deletes the
+      superseded attempt's files, so a retry replaces rather than
+      doubles its output — the same per-batch-keyed
+      idempotent-overwrite pattern as ``streaming.continuous_rollup``
+      and the incremental 990 build;
+    - batch ``overwrite`` resets the WHOLE sink's visibility — new
+      manifest first (durable), then the streaming commit log and all
+      superseded data files are garbage-collected (a crash mid-GC
+      strands only invisible files);
+    - the streaming writer is APPEND-ONLY: complete/update output
+      modes (truncate-per-batch) raise at construction rather than
+      accumulate N overlapping snapshots in the log;
     - ``abort()`` removes the staged files, leaving the log untouched.
+
+    Long-run caveat: ``_commits/`` grows one small JSON per
+    micro-batch and ``read_jsonl_commit`` lists it driver-side — a
+    production deployment compacts the log periodically (fold old
+    entries into the manifest with a batch overwrite-rewrite), the
+    same maintenance story as Spark's own ``_spark_metadata``.
 
     ``read_jsonl_commit`` is the manifest-gated reader: it lists the
     log driver-side and hands ONLY committed files to the distributed
@@ -232,19 +249,27 @@ class JsonlCommitDataSource(DataSource):
         return JsonlCommitWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "JsonlCommitStreamWriter":
-        return JsonlCommitStreamWriter(self.options)
+        return JsonlCommitStreamWriter(self.options, overwrite)
 
 
-def _stage_rows(path: str, iterator) -> _JsonlCommit:
+def _stage_rows(path: str, run_id: str, iterator) -> _JsonlCommit:
     """Executor side: stream rows to one staged JSONL file; constant
-    memory (line-at-a-time), never a driver round-trip."""
+    memory (line-at-a-time), never a driver round-trip.
+
+    The name carries THREE uniqueness components: ``run_id`` (a fresh
+    uuid per writer instance, minted on the driver and shipped in the
+    pickled writer) disambiguates across applications/restarts —
+    taskAttemptId alone restarts from 0 in every new SparkContext, so
+    a second appending app would otherwise clobber the first app's
+    promoted files; partitionId/taskAttemptId disambiguate within the
+    run (retried and speculative tasks never collide)."""
     import json
     import os
 
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
-    name = f"task-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
+    name = f"task-{run_id}-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
     staging = os.path.join(path, "_staging")
     os.makedirs(staging, exist_ok=True)
     n = 0
@@ -275,6 +300,12 @@ def _promote(path: str, messages, prefix: str = "") -> tuple[list, int]:
     for m in messages:
         if m is None:
             continue
+        if m.rows == 0:
+            # an empty task (common: more partitions than rows) adds
+            # nothing to visibility — drop its staged file instead of
+            # growing the log with zero-row entries
+            _unlink_quiet(os.path.join(path, "_staging", m.file))
+            continue
         final = prefix + m.file
         os.replace(
             os.path.join(path, "_staging", m.file), os.path.join(path, final)
@@ -296,20 +327,55 @@ def _discard_staged(path: str, messages) -> None:
             pass
 
 
+def _committed_names(path: str) -> list[str]:
+    """Every file name currently visible through the manifest and/or
+    the streaming commit log (driver-side log read only)."""
+    import glob as _glob
+    import json
+    import os
+
+    names: list[str] = []
+    manifest = os.path.join(path, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            names += [f["file"] for f in json.load(fh)["files"]]
+    for c in sorted(_glob.glob(os.path.join(path, "_commits", "*.json"))):
+        with open(c, encoding="utf-8") as fh:
+            names += [f["file"] for f in json.load(fh)["files"]]
+    return names
+
+
+def _unlink_quiet(*paths: str) -> None:
+    import os
+
+    for p in paths:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
+
 class JsonlCommitWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlcommit requires a path (save(<dir>))")
         self.overwrite = overwrite
+        self.run_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
-        return _stage_rows(self.path, iterator)
+        return _stage_rows(self.path, self.run_id, iterator)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json
         import os
 
+        # snapshot what the sink shows BEFORE this write becomes
+        # visible — on overwrite these are the files to garbage-collect
+        prev_names = _committed_names(self.path)
         files, total = _promote(self.path, messages)
         manifest = os.path.join(self.path, "_manifest.json")
         if not self.overwrite and os.path.exists(manifest):
@@ -318,30 +384,71 @@ class JsonlCommitWriter(DataSourceWriter):
             files = prev["files"] + files
             total += prev["rows"]
         _atomic_write_json(manifest, {"files": files, "rows": total})
+        if self.overwrite:
+            # overwrite resets the WHOLE sink's visibility, including
+            # batches a streaming writer committed: drop the commit log
+            # and the superseded data files (after the new manifest is
+            # durable, so a crash mid-GC leaves only invisible orphans)
+            _unlink_quiet(
+                *_glob.glob(os.path.join(self.path, "_commits", "*.json"))
+            )
+            keep = {f["file"] for f in files}
+            _unlink_quiet(
+                *(
+                    os.path.join(self.path, n)
+                    for n in prev_names
+                    if n not in keep
+                )
+            )
 
     def abort(self, messages) -> None:
         _discard_staged(self.path, messages)
 
 
 class JsonlCommitStreamWriter(DataSourceStreamWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
+        import uuid
+
+        if overwrite:
+            # complete/update output modes truncate the sink every
+            # micro-batch; this log-structured sink only implements
+            # append visibility — refuse loudly rather than union N
+            # snapshots through the reader
+            raise ValueError(
+                "jsonlcommit streaming sink supports append output mode"
+                " only (got a truncate/overwrite request)"
+            )
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlcommit requires a path option")
+        self.run_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
-        return _stage_rows(self.path, iterator)
+        return _stage_rows(self.path, self.run_id, iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        import json
         import os
 
+        log = os.path.join(self.path, "_commits", f"{batchId}.json")
+        stale: list[str] = []
+        if os.path.exists(log):
+            # replay: this batch already committed once (e.g. restart
+            # between sink commit and offset commit) — the new entry
+            # REPLACES the old, and the old attempt's promoted files
+            # are deleted once the rewrite is durable
+            with open(log, encoding="utf-8") as fh:
+                stale = [f["file"] for f in json.load(fh)["files"]]
         files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
         os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
         # rewrite THIS batch's entry whole: a replayed batch replaces
         # its own output instead of appending a second copy
         _atomic_write_json(
-            os.path.join(self.path, "_commits", f"{batchId}.json"),
-            {"batchId": batchId, "files": files, "rows": total},
+            log, {"batchId": batchId, "files": files, "rows": total}
+        )
+        keep = {f["file"] for f in files}
+        _unlink_quiet(
+            *(os.path.join(self.path, n) for n in stale if n not in keep)
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -355,18 +462,9 @@ def read_jsonl_commit(spark, path: str, schema) -> "DataFrame":
     batch's superseded output are invisible). Listing is one driver-side
     log read; the JSON parse fans out as a normal distributed scan with
     an explicit schema (no sampling pass)."""
-    import glob as _glob
-    import json
     import os
 
-    names: list[str] = []
-    manifest = os.path.join(path, "_manifest.json")
-    if os.path.exists(manifest):
-        with open(manifest, encoding="utf-8") as fh:
-            names += [f["file"] for f in json.load(fh)["files"]]
-    for c in sorted(_glob.glob(os.path.join(path, "_commits", "*.json"))):
-        with open(c, encoding="utf-8") as fh:
-            names += [f["file"] for f in json.load(fh)["files"]]
+    names = _committed_names(path)
     if not names:
         from pyspark.sql.types import StructType
 

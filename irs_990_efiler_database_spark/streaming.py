@@ -729,7 +729,16 @@ def running_totals(
             # one pandas row per seeded key (the seed frame is grouped
             # on the same key as the stream); runs before any
             # handleInputRows, so the first live event already folds
-            # onto the carried-in totals
+            # onto the carried-in totals. The one-row contract is
+            # ENFORCED, not assumed: a non-aggregated seed frame
+            # (duplicate keys) would otherwise silently drop every row
+            # but the first and shift all downstream totals.
+            if len(initialState) != 1:
+                raise ValueError(
+                    f"initial_totals must hold exactly one row per key;"
+                    f" key {key} got {len(initialState)} rows —"
+                    " aggregate the seed frame first"
+                )
             self._state.update(
                 (
                     int(initialState["n0"].iloc[0]),

@@ -137,7 +137,8 @@ def test_jsonlcommit_uncommitted_and_replayed_output_invisible(spark, tmp_path):
     assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 2
 
     # the batch replays (e.g. driver restart before the offset commit):
-    # new attempt stages fresh files, commit REWRITES entry 0
+    # new attempt stages fresh files, commit REWRITES entry 0 and
+    # garbage-collects the superseded attempt's promoted files
     (sink / "_staging" / "task-0-7.jsonl").write_text(
         '{"k": 1, "s": "x", "v": 1.0}\n{"k": 2, "s": "y", "v": 2.0}\n'
     )
@@ -145,9 +146,69 @@ def test_jsonlcommit_uncommitted_and_replayed_output_invisible(spark, tmp_path):
     got = read_jsonl_commit(spark, str(sink), SCHEMA)
     assert got.count() == 2  # replaced, not doubled
     assert {tuple(r) for r in got.collect()} == {(1, "x", 1.0), (2, "y", 2.0)}
+    assert not (sink / "batch-0-task-0-1.jsonl").exists()
+    assert not (sink / "batch-0-task-1-2.jsonl").exists()
 
     # abort: staged files removed, log untouched
     (sink / "_staging" / "task-3-3.jsonl").write_text('{"k": 5}\n')
     w.abort([_JsonlCommit("task-3-3.jsonl", 1)], batchId=1)
     assert not (sink / "_staging" / "task-3-3.jsonl").exists()
     assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 2
+
+
+def test_jsonlcommit_overwrite_resets_streaming_visibility_and_gc(
+    spark, tmp_path
+):
+    """Batch overwrite must reset the WHOLE sink — including batches a
+    streaming writer committed: the _commits log is cleared and every
+    superseded data file deleted (only after the new manifest is
+    durable). Also: the streaming writer refuses truncate semantics
+    (complete/update modes) at construction, and staged names embed a
+    per-writer run id so a second application's append can never
+    clobber a first application's committed files."""
+    import pytest
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+
+    # a streaming batch commits one file
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    (sink / "_staging" / "task-s-0-1.jsonl").write_text(
+        '{"k": 1, "s": "old", "v": 1.0}\n'
+    )
+    w.commit([_JsonlCommit("task-s-0-1.jsonl", 1)], batchId=0)
+    assert read_jsonl_commit(spark, str(sink), SCHEMA).count() == 1
+
+    # batch overwrite: only the new rows remain visible, the commit
+    # log is gone, the old data file is gone
+    df = spark.createDataFrame([(7, "new", 7.0)], SCHEMA)
+    df.write.format("jsonlcommit").mode("overwrite").save(str(sink))
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(7, "new", 7.0)}
+    assert list((sink / "_commits").glob("*.json")) == []
+    assert not (sink / "batch-0-task-s-0-1.jsonl").exists()
+
+    # truncate semantics refused loudly
+    with pytest.raises(ValueError, match="append output mode only"):
+        JsonlCommitStreamWriter({"path": str(sink)}, overwrite=True)
+
+    # two distinct writer instances (= two applications) appending:
+    # run-id-scoped names keep their files disjoint even if Spark's
+    # task attempt counters coincide
+    df.write.format("jsonlcommit").mode("append").save(str(sink))
+    names = [
+        f["file"]
+        for f in __import__("json").loads(
+            (sink / "_manifest.json").read_text()
+        )["files"]
+    ]
+    assert len(names) == len(set(names)) == 2
+    run_ids = {n.split("-")[1] for n in names}
+    assert len(run_ids) == 2  # a fresh run id per writer instance

@@ -1319,3 +1319,65 @@ def test_bootstrap_query_bounded_multibatch_matches_single(
     monkeypatch.setattr(es, "STREAM_SLICE_ROWS", 100)
     sliced = {tuple(r) for r in fn(spark, sf).collect()}
     assert sliced == single and sliced
+
+
+def test_initial_state_rejects_duplicate_seed_keys(spark, tmp_path):
+    """The one-row-per-key seed contract is enforced, not assumed: a
+    non-aggregated seed frame (duplicate user_id rows) must fail the
+    drain loudly instead of silently folding only the first row into
+    the state and shifting every downstream total."""
+    import datetime as dt
+
+    import pytest
+
+    from irs_990_efiler_database_spark.streaming import (
+        run_available_now,
+        running_totals,
+        stream_events,
+    )
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "stage").mkdir()
+    df = spark.createDataFrame(
+        [(10, 7, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "stage" / "b0"))
+    (part,) = (tmp_path / "stage" / "b0").glob("part-*.parquet")
+    part.rename(tmp_path / "in" / "b0.parquet")
+
+    dup_seeds = spark.createDataFrame(
+        [(7, 1, 10), (7, 2, 20)], "user_id LONG, n0 LONG, v0_micros LONG"
+    )
+    with pytest.raises(Exception, match="exactly one row per key"):
+        run_available_now(
+            running_totals(
+                stream_events(spark, str(tmp_path / "in")),
+                initial_totals=dup_seeds,
+            ),
+            "tws_dup_seed_q",
+            str(tmp_path / "ckpt"),
+            output_mode="append",
+            state_partitions=2,
+            state_store="rocksdb",
+        )
+
+
+def test_bootstrap_query_empty_feed_returns_typed_empty(spark, tmp_path):
+    """An empty events table must yield an empty, correctly-typed frame
+    (the empty-source drain contract), not a TypeError from
+    (None + None) // 2 on the min/max midpoint."""
+    from irs_990_efiler_database_spark.queries.events_streaming import (
+        events_stream_running_totals_bootstrap_tws,
+    )
+
+    spark.createDataFrame(
+        [], "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    (part,) = (tmp_path / "stage").glob("part-*.parquet")
+    part.rename(tmp_path / "events.parquet")
+    got = events_stream_running_totals_bootstrap_tws(spark, str(tmp_path))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "user_id", "event_id", "n_cum", "v_cum_micros",
+    ]
