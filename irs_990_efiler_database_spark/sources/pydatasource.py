@@ -224,11 +224,12 @@ class JsonlCommitDataSource(DataSource):
       accumulate N overlapping snapshots in the log;
     - ``abort()`` removes the staged files, leaving the log untouched.
 
-    Long-run caveat: ``_commits/`` grows one small JSON per
-    micro-batch and ``read_jsonl_commit`` lists it driver-side — a
-    production deployment compacts the log periodically (fold old
-    entries into the manifest with a batch overwrite-rewrite), the
-    same maintenance story as Spark's own ``_spark_metadata``.
+    Long-run maintenance: ``_commits/`` grows one small JSON per
+    micro-batch and ``read_jsonl_commit`` lists it driver-side —
+    ``compact_jsonl_commit_log`` folds the per-batch entries into the
+    manifest (run it while the stream is stopped, like any
+    metadata-log maintenance; Spark's own ``_spark_metadata`` has the
+    same story), restoring O(1) listing without moving data files.
 
     ``read_jsonl_commit`` is the manifest-gated reader: it lists the
     log driver-side and hands ONLY committed files to the distributed
@@ -378,12 +379,18 @@ class JsonlCommitWriter(DataSourceWriter):
         prev_names = _committed_names(self.path)
         files, total = _promote(self.path, messages)
         manifest = os.path.join(self.path, "_manifest.json")
+        batches: dict = {}
         if not self.overwrite and os.path.exists(manifest):
             with open(manifest, encoding="utf-8") as fh:
                 prev = json.load(fh)
             files = prev["files"] + files
             total += prev["rows"]
-        _atomic_write_json(manifest, {"files": files, "rows": total})
+            # keep the compaction provenance: a replayed batch must
+            # still find (and evict) its folded entry after appends
+            batches = prev.get("batches", {})
+        _atomic_write_json(
+            manifest, {"files": files, "rows": total, "batches": batches}
+        )
         if self.overwrite:
             # overwrite resets the WHOLE sink's visibility, including
             # batches a streaming writer committed: drop the commit log
@@ -439,6 +446,30 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
             # are deleted once the rewrite is durable
             with open(log, encoding="utf-8") as fh:
                 stale = [f["file"] for f in json.load(fh)["files"]]
+        # a replayed batch may ALSO have been folded into the manifest
+        # by compact_jsonl_commit_log (stop stream after sink commit
+        # but before offset commit, compact, restart → replay): the
+        # manifest records per-batch provenance exactly so the replay
+        # can evict its own folded entry. Manifest-first ordering is
+        # crash-safe — losing visibility of a not-yet-offset-committed
+        # batch is correct (Spark will re-run the commit).
+        manifest = os.path.join(self.path, "_manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                man = json.load(fh)
+            folded = man.get("batches", {}).pop(str(batchId), [])
+            if folded:
+                drop = set(folded)
+                keep = [f for f in man["files"] if f["file"] not in drop]
+                _atomic_write_json(
+                    manifest,
+                    {
+                        "files": keep,
+                        "rows": sum(f["rows"] for f in keep),
+                        "batches": man.get("batches", {}),
+                    },
+                )
+                stale += folded
         files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
         os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
         # rewrite THIS batch's entry whole: a replayed batch replaces
@@ -477,3 +508,60 @@ def read_jsonl_commit(spark, path: str, schema) -> "DataFrame":
     return spark.read.schema(schema).json(
         [os.path.join(path, n) for n in names]
     )
+
+
+def compact_jsonl_commit_log(path: str) -> int:
+    """Fold every streaming ``_commits/<batchId>.json`` entry into the
+    batch manifest and delete the per-batch logs — the maintenance
+    pass that keeps ``read_jsonl_commit``'s driver-side listing O(1)
+    on a long-lived stream (one JSON accumulates per micro-batch
+    otherwise). Data files never move; only log metadata is rewritten,
+    manifest-first (a crash after the manifest write but before the
+    log deletion would double-list a file, so the fold de-duplicates
+    by name and the deletion runs only after the manifest is durable
+    — re-running the compaction is always safe/idempotent).
+
+    Run while the stream is STOPPED (metadata-log maintenance). A
+    restart may still REPLAY the last batch if its offset never
+    committed — the manifest therefore records per-batch provenance
+    (``batches``: batchId → folded file names) so the streaming
+    writer's replay path can evict exactly its own folded entry
+    (property-tested: commit→compact→replay never double-counts).
+    Returns the number of batch entries folded."""
+    import glob as _glob
+    import json
+    import os
+
+    logs = sorted(_glob.glob(os.path.join(path, "_commits", "*.json")))
+    if not logs:
+        return 0
+    manifest = os.path.join(path, "_manifest.json")
+    files: list[dict] = []
+    batches: dict[str, list[str]] = {}
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            man = json.load(fh)
+        files = man["files"]
+        batches = man.get("batches", {})
+    seen = {f["file"] for f in files}
+    for c in logs:
+        with open(c, encoding="utf-8") as fh:
+            entry = json.load(fh)
+        folded = []
+        for f in entry["files"]:
+            if f["file"] not in seen:
+                seen.add(f["file"])
+                files.append(f)
+                folded.append(f["file"])
+        if folded:
+            batches[str(entry["batchId"])] = folded
+    _atomic_write_json(
+        manifest,
+        {
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "batches": batches,
+        },
+    )
+    _unlink_quiet(*logs)
+    return len(logs)

@@ -212,3 +212,109 @@ def test_jsonlcommit_overwrite_resets_streaming_visibility_and_gc(
     assert len(names) == len(set(names)) == 2
     run_ids = {n.split("-")[1] for n in names}
     assert len(run_ids) == 2  # a fresh run id per writer instance
+
+
+def test_jsonlcommit_compaction_folds_log_into_manifest(spark, tmp_path):
+    """compact_jsonl_commit_log folds every per-batch commit entry into
+    the manifest (O(1) listing afterwards), moves no data files, is
+    idempotent, and changes nothing the reader sees."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        compact_jsonl_commit_log,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    for b in range(3):
+        (sink / "_staging" / f"task-c-{b}-0.jsonl").write_text(
+            f'{{"k": {b}, "s": "b{b}", "v": {b}.0}}\n'
+        )
+        w.commit([_JsonlCommit(f"task-c-{b}-0.jsonl", 1)], batchId=b)
+    before = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert len(before) == 3
+
+    assert compact_jsonl_commit_log(str(sink)) == 3
+    assert list((sink / "_commits").glob("*.json")) == []
+    after = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert after == before
+    # idempotent: nothing left to fold, nothing changes
+    assert compact_jsonl_commit_log(str(sink)) == 0
+    assert {
+        tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()
+    } == before
+
+
+def test_jsonlcommit_visibility_state_machine_property(tmp_path):
+    """Property: under ANY sequence of streaming commits, replays
+    (same batchId re-committed with different rows), aborts and
+    compactions, the committed-file listing exposes exactly the LAST
+    committed payload per batchId and nothing else — verified
+    pure-Python (the Spark read path is pinned by the other tests)."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        _committed_names,
+        compact_jsonl_commit_log,
+    )
+
+    op = st.one_of(
+        st.tuples(
+            st.just("commit"),
+            st.integers(min_value=0, max_value=3),
+            st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("abort"),
+            st.integers(min_value=0, max_value=3),
+            st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("compact"), st.just(0), st.just([])),
+    )
+
+    counter = {"n": 0}
+
+    @given(ops=st.lists(op, min_size=1, max_size=12))
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(ops):
+        counter["n"] += 1
+        sink = tmp_path / f"sink{counter['n']}"
+        (sink / "_staging").mkdir(parents=True)
+        w = JsonlCommitStreamWriter({"path": str(sink)})
+        model: dict[int, list[int]] = {}
+        seq = 0
+        for kind, bid, ks in ops:
+            if kind == "compact":
+                compact_jsonl_commit_log(str(sink))
+                continue
+            seq += 1
+            name = f"task-p-{seq}-0.jsonl"
+            (sink / "_staging" / name).write_text(
+                "".join(f'{{"k": {k}}}\n' for k in ks)
+            )
+            msg = [_JsonlCommit(name, len(ks))]
+            if kind == "commit":
+                w.commit(msg, batchId=bid)
+                model[bid] = ks
+            else:
+                w.abort(msg, batchId=bid)
+        visible: list[int] = []
+        for n in _committed_names(str(sink)):
+            with open(sink / n, encoding="utf-8") as fh:
+                visible += [json.loads(line)["k"] for line in fh]
+        want = sorted(k for ks in model.values() for k in ks)
+        assert sorted(visible) == want
+
+    check()
