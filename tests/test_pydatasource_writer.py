@@ -318,3 +318,70 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
         assert sorted(visible) == want
 
     check()
+
+
+def test_arrowcommit_roundtrip_batch_and_stream(spark, tmp_path):
+    """The Arrow-native twin: DataSourceArrowWriter (RecordBatches into
+    IPC stream files, zero per-row Python) shares the row sink's whole
+    commit-log contract, and the manifest-gated Arrow reader yields
+    RecordBatches back — values and schema round-trip exactly, batch
+    and streaming, with schema inference from the IPC header."""
+    import os
+    import time
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        ArrowCommitDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ArrowCommitDataSource)
+    except Exception:
+        pass
+
+    sink = tmp_path / "sink"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)], SCHEMA
+    )
+    df.repartition(2).write.format("arrowcommit").mode("overwrite").save(
+        str(sink)
+    )
+    back = spark.read.format("arrowcommit").load(str(sink))  # inferred
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # append then overwrite behave like the row sink (shared commit code)
+    df.limit(1).write.format("arrowcommit").mode("append").save(str(sink))
+    assert spark.read.format("arrowcommit").load(str(sink)).count() == 4
+    df.limit(1).write.format("arrowcommit").mode("overwrite").save(str(sink))
+    assert spark.read.format("arrowcommit").load(str(sink)).count() == 1
+
+    # streaming drain: per-batch commit entries, exactly-once union
+    land = tmp_path / "land"
+    land.mkdir()
+    ssink = tmp_path / "ssink"
+    ssink.mkdir()
+    now = time.time()
+    for i, rows in enumerate([[(1, "a", 1.0)], [(2, "b", 2.0)]]):
+        out = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(out))
+        (part,) = out.glob("part-*.parquet")
+        dest = land / f"b{i}.parquet"
+        part.rename(dest)
+        os.utime(dest, (now + 10 * i, now + 10 * i))
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+        .writeStream.format("arrowcommit")
+        .option("path", str(ssink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(list((ssink / "_commits").glob("*.json"))) >= 2
+    got = {
+        tuple(r)
+        for r in spark.read.format("arrowcommit").load(str(ssink)).collect()
+    }
+    assert got == {(1, "a", 1.0), (2, "b", 2.0)}
