@@ -328,31 +328,47 @@ def _promote(path: str, messages, prefix: str = "") -> tuple[list, int]:
 def _discard_staged(path: str, messages) -> None:
     import os
 
-    for m in messages:
-        if m is None:
-            continue
-        try:
-            os.remove(os.path.join(path, "_staging", m.file))
-        except FileNotFoundError:
-            pass
+    _unlink_quiet(
+        *(
+            os.path.join(path, "_staging", m.file)
+            for m in messages
+            if m is not None
+        )
+    )
 
 
 def _committed_names(path: str) -> list[str]:
     """Every file name currently visible through the manifest and/or
-    the streaming commit log (driver-side log read only)."""
+    the streaming commit log (driver-side log read only).
+
+    Two crash windows are closed HERE, reader-side, so a half-finished
+    maintenance pass can never change what a reader sees:
+    - names are DE-DUPLICATED (ordered): a compaction that wrote the
+      folded manifest but crashed before deleting the per-batch logs
+      double-lists every folded file — the dedupe keeps each file
+      counted once until the fold is re-run;
+    - commit-log entries whose batchId is in the manifest's
+      ``ignore_commits`` fence are skipped: a batch OVERWRITE that
+      crashed between its manifest write and the commit-log deletion
+      must not resurrect the superseded streaming batches."""
     import glob as _glob
     import json
     import os
 
     names: list[str] = []
+    ignore: set[str] = set()
     manifest = os.path.join(path, "_manifest.json")
     if os.path.exists(manifest):
         with open(manifest, encoding="utf-8") as fh:
-            names += [f["file"] for f in json.load(fh)["files"]]
+            man = json.load(fh)
+        names += [f["file"] for f in man["files"]]
+        ignore = set(man.get("ignore_commits", []))
     for c in sorted(_glob.glob(os.path.join(path, "_commits", "*.json"))):
+        if os.path.splitext(os.path.basename(c))[0] in ignore:
+            continue
         with open(c, encoding="utf-8") as fh:
             names += [f["file"] for f in json.load(fh)["files"]]
-    return names
+    return list(dict.fromkeys(names))
 
 
 def _unlink_quiet(*paths: str) -> None:
@@ -383,31 +399,53 @@ class JsonlCommitWriter(DataSourceWriter):
         import json
         import os
 
-        # snapshot what the sink shows BEFORE this write becomes
-        # visible — on overwrite these are the files to garbage-collect
-        prev_names = _committed_names(self.path)
-        files, total = _promote(self.path, messages)
         manifest = os.path.join(self.path, "_manifest.json")
+        prev_names: list[str] = []
+        commit_logs: list[str] = []
+        if self.overwrite:
+            # snapshot what the sink shows BEFORE this write becomes
+            # visible: the files to garbage-collect and the commit-log
+            # batchIds to FENCE. The fence rides in the manifest itself,
+            # so the overwrite's visibility reset is atomic with the
+            # manifest write — a crash before the log deletion below
+            # cannot resurrect the superseded streaming batches
+            # (_committed_names skips fenced entries). Append commits
+            # skip this snapshot entirely (O(1), no log glob).
+            prev_names = _committed_names(self.path)
+            commit_logs = sorted(
+                _glob.glob(os.path.join(self.path, "_commits", "*.json"))
+            )
+        files, total = _promote(self.path, messages)
         batches: dict = {}
+        ignore: list[str] = []
         if not self.overwrite and os.path.exists(manifest):
             with open(manifest, encoding="utf-8") as fh:
                 prev = json.load(fh)
             files = prev["files"] + files
             total += prev["rows"]
-            # keep the compaction provenance: a replayed batch must
-            # still find (and evict) its folded entry after appends
+            # keep the compaction provenance and the overwrite fence: a
+            # replayed batch must still find (and evict) its folded
+            # entry, and a half-GC'd overwrite must stay fenced
             batches = prev.get("batches", {})
+            ignore = prev.get("ignore_commits", [])
+        else:
+            ignore = [
+                os.path.splitext(os.path.basename(c))[0] for c in commit_logs
+            ]
         _atomic_write_json(
-            manifest, {"files": files, "rows": total, "batches": batches}
+            manifest,
+            {
+                "files": files,
+                "rows": total,
+                "batches": batches,
+                "ignore_commits": ignore,
+            },
         )
         if self.overwrite:
-            # overwrite resets the WHOLE sink's visibility, including
-            # batches a streaming writer committed: drop the commit log
-            # and the superseded data files (after the new manifest is
-            # durable, so a crash mid-GC leaves only invisible orphans)
-            _unlink_quiet(
-                *_glob.glob(os.path.join(self.path, "_commits", "*.json"))
-            )
+            # GC after the fence is durable: drop the commit log and
+            # the superseded data files (a crash mid-GC strands only
+            # fenced/invisible files)
+            _unlink_quiet(*commit_logs)
             keep = {f["file"] for f in files}
             _unlink_quiet(
                 *(
@@ -467,7 +505,9 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
             with open(manifest, encoding="utf-8") as fh:
                 man = json.load(fh)
             folded = man.get("batches", {}).pop(str(batchId), [])
-            if folded:
+            ignore = man.get("ignore_commits", [])
+            unfence = str(batchId) in ignore
+            if folded or unfence:
                 drop = set(folded)
                 keep = [f for f in man["files"] if f["file"] not in drop]
                 _atomic_write_json(
@@ -476,6 +516,13 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
                         "files": keep,
                         "rows": sum(f["rows"] for f in keep),
                         "batches": man.get("batches", {}),
+                        # committing this id again declares NEW
+                        # visibility intent — lift an overwrite fence
+                        # left for it (the fenced files are gone or
+                        # about to be superseded by this rewrite)
+                        "ignore_commits": [
+                            i for i in ignore if i != str(batchId)
+                        ],
                     },
                 )
                 stale += folded
@@ -547,13 +594,35 @@ def compact_jsonl_commit_log(path: str) -> int:
     manifest = os.path.join(path, "_manifest.json")
     files: list[dict] = []
     batches: dict[str, list[str]] = {}
+    ignore: set[str] = set()
     if os.path.exists(manifest):
         with open(manifest, encoding="utf-8") as fh:
             man = json.load(fh)
         files = man["files"]
         batches = man.get("batches", {})
+        ignore = set(man.get("ignore_commits", []))
     seen = {f["file"] for f in files}
+    n_fenced = 0
+    fold_logs: list[str] = []
     for c in logs:
+        if os.path.splitext(os.path.basename(c))[0] in ignore:
+            # a half-GC'd overwrite left this entry fenced: folding it
+            # back would resurrect the superseded batch — instead,
+            # FINISH the overwrite's GC now. Deleting the fenced log
+            # (and its not-otherwise-visible files) BEFORE the manifest
+            # rewrite is safe — the entry is invisible under the
+            # current fence — and it is what makes clearing the fence
+            # below crash-safe (no window where the fence is gone but
+            # the fenced log survives).
+            n_fenced += 1
+            with open(c, encoding="utf-8") as fh:
+                gone = [f["file"] for f in json.load(fh)["files"]]
+            _unlink_quiet(c)
+            _unlink_quiet(
+                *(os.path.join(path, n) for n in gone if n not in seen)
+            )
+            continue
+        fold_logs.append(c)
         with open(c, encoding="utf-8") as fh:
             entry = json.load(fh)
         folded = []
@@ -570,10 +639,14 @@ def compact_jsonl_commit_log(path: str) -> int:
             "files": files,
             "rows": sum(f["rows"] for f in files),
             "batches": batches,
+            "ignore_commits": [],
         },
     )
-    _unlink_quiet(*logs)
-    return len(logs)
+    # crash before this deletion double-lists the folded files in
+    # manifest + log; the reader de-duplicates, and re-running the
+    # compaction converges
+    _unlink_quiet(*fold_logs)
+    return len(fold_logs)
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +761,12 @@ class ArrowCommitReader(DataSourceReader):
     def read(self, partition: _IndexFilePartition):
         import pyarrow as pa
 
+        if partition is None:
+            # an EMPTY sink: pyspark substitutes [None] for an empty
+            # partitions() list and still runs one task — yield nothing
+            # so the read returns a typed empty frame (the jsonl twin's
+            # contract) instead of crashing on partition.path
+            return
         with open(partition.path, "rb") as fh:
             yield from pa.ipc.open_stream(fh)
 

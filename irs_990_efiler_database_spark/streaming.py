@@ -733,10 +733,17 @@ def running_totals(
             # ENFORCED, not assumed: a non-aggregated seed frame
             # (duplicate keys) would otherwise silently drop every row
             # but the first and shift all downstream totals.
-            if len(initialState) != 1:
+            # Spark calls handleInitialState once per ARROW CHUNK of
+            # the key's seed rows, so a duplicate-key seed frame whose
+            # rows straddle a chunk boundary arrives as multiple 1-row
+            # calls — the per-call length check alone can't see that.
+            # State presence is the chunk-count-proof duplicate
+            # detector: these calls run before any input rows, so a
+            # non-empty state here can only mean a second seed chunk.
+            if len(initialState) != 1 or self._state.get() is not None:
                 raise ValueError(
                     f"initial_totals must hold exactly one row per key;"
-                    f" key {key} got {len(initialState)} rows —"
+                    f" key {key} got {max(len(initialState), 2)} rows —"
                     " aggregate the seed frame first"
                 )
             self._state.update(

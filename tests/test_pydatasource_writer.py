@@ -278,6 +278,16 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
             st.lists(st.integers(0, 99), min_size=1, max_size=3),
         ),
         st.tuples(st.just("compact"), st.just(0), st.just([])),
+        st.tuples(
+            st.just("append"),
+            st.just(0),
+            st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("overwrite"),
+            st.just(0),
+            st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        ),
     )
 
     counter = {"n": 0}
@@ -290,10 +300,15 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
     )
     def check(ops):
         counter["n"] += 1
+        from irs_990_efiler_database_spark.sources.pydatasource import (
+            JsonlCommitWriter,
+        )
+
         sink = tmp_path / f"sink{counter['n']}"
         (sink / "_staging").mkdir(parents=True)
         w = JsonlCommitStreamWriter({"path": str(sink)})
-        model: dict[int, list[int]] = {}
+        model: dict[int, list[int]] = {}  # streaming: last commit per id
+        bmodel: list[list[int]] = []  # batch appends since last overwrite
         seq = 0
         for kind, bid, ks in ops:
             if kind == "compact":
@@ -308,13 +323,27 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
             if kind == "commit":
                 w.commit(msg, batchId=bid)
                 model[bid] = ks
-            else:
+            elif kind == "abort":
                 w.abort(msg, batchId=bid)
+            elif kind == "append":
+                JsonlCommitWriter({"path": str(sink)}, overwrite=False).commit(
+                    msg
+                )
+                bmodel.append(ks)
+            else:  # overwrite: whole-sink visibility reset
+                JsonlCommitWriter({"path": str(sink)}, overwrite=True).commit(
+                    msg
+                )
+                bmodel = [ks]
+                model = {}
         visible: list[int] = []
         for n in _committed_names(str(sink)):
             with open(sink / n, encoding="utf-8") as fh:
                 visible += [json.loads(line)["k"] for line in fh]
-        want = sorted(k for ks in model.values() for k in ks)
+        want = sorted(
+            [k for ks in model.values() for k in ks]
+            + [k for ks in bmodel for k in ks]
+        )
         assert sorted(visible) == want
 
     check()
@@ -385,3 +414,87 @@ def test_arrowcommit_roundtrip_batch_and_stream(spark, tmp_path):
         for r in spark.read.format("arrowcommit").load(str(ssink)).collect()
     }
     assert got == {(1, "a", 1.0), (2, "b", 2.0)}
+
+
+def test_jsonlcommit_overwrite_crash_window_is_fenced(spark, tmp_path):
+    """The overwrite's crash window (new manifest written, commit-log
+    deletion never ran): the manifest's ignore_commits fence makes the
+    visibility reset ATOMIC with the manifest write — a surviving stale
+    commit-log entry must stay invisible, a later compaction finishes
+    the GC and clears the fence, and a LATER streaming commit of the
+    same batchId lifts its fence (new visibility intent)."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        compact_jsonl_commit_log,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    (sink / "_staging" / "task-f-0-1.jsonl").write_text(
+        '{"k": 1, "s": "old", "v": 1.0}\n'
+    )
+    w.commit([_JsonlCommit("task-f-0-1.jsonl", 1)], batchId=0)
+    stale_log = (sink / "_commits" / "0.json").read_text()
+    stale_data = (sink / "batch-0-task-f-0-1.jsonl").read_text()
+
+    spark.createDataFrame([(7, "new", 7.0)], SCHEMA).coalesce(1).write.format(
+        "jsonlcommit"
+    ).mode("overwrite").save(str(sink))
+
+    # simulate the crash: the GC'd log + data file come back
+    (sink / "_commits").mkdir(exist_ok=True)
+    (sink / "_commits" / "0.json").write_text(stale_log)
+    (sink / "batch-0-task-f-0-1.jsonl").write_text(stale_data)
+
+    # fenced: the resurrected entry is invisible
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(7, "new", 7.0)}
+
+    # compaction finishes the GC: fenced log + its file removed, fence
+    # cleared, visibility unchanged (0 entries folded)
+    assert compact_jsonl_commit_log(str(sink)) == 0
+    assert not (sink / "_commits" / "0.json").exists()
+    assert not (sink / "batch-0-task-f-0-1.jsonl").exists()
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(7, "new", 7.0)}
+
+    # a NEW streaming commit of batch 0 (fresh fence scenario) is
+    # visible again: re-fence, then commit id 0
+    spark.createDataFrame([(8, "new2", 8.0)], SCHEMA).coalesce(1).write.format(
+        "jsonlcommit"
+    ).mode("overwrite").save(str(sink))
+    (sink / "_staging" / "task-f-0-9.jsonl").write_text(
+        '{"k": 2, "s": "fresh", "v": 2.0}\n'
+    )
+    (sink / "_commits").mkdir(exist_ok=True)
+    (sink / "_commits" / "0.json").write_text(stale_log)  # crash again
+    w.commit([_JsonlCommit("task-f-0-9.jsonl", 1)], batchId=0)
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(8, "new2", 8.0), (2, "fresh", 2.0)}
+
+
+def test_arrowcommit_empty_sink_reads_as_typed_empty(spark, tmp_path):
+    """An arrowcommit sink whose manifest lists no files must read back
+    as an empty frame under an explicit schema (pyspark runs one task
+    with a None partition for an empty partitions() list) — the same
+    contract as the jsonl twin."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        ArrowCommitDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ArrowCommitDataSource)
+    except Exception:
+        pass
+    sink = tmp_path / "sink"
+    spark.createDataFrame([], SCHEMA).write.format("arrowcommit").mode(
+        "overwrite"
+    ).save(str(sink))
+    got = spark.read.format("arrowcommit").schema(SCHEMA).load(str(sink))
+    assert got.count() == 0
+    assert dict(got.dtypes) == {"k": "bigint", "s": "string", "v": "double"}
