@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -37,6 +38,21 @@ from .index import INDEX_ENTRY
 class _IndexFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _index_rows(path: str):
+    """Parse one yearly index file into schema-ordered tuples — the
+    shared kernel of all three read paths (batch partitions, stream
+    partitions, simple driver-side stream)."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        wrapped = json.load(fh)
+    fields = [f.name for f in INDEX_ENTRY.fields]
+    # the wrapping key varies per year ({"Filings2015": [...]})
+    for entries in wrapped.values():
+        for e in entries:
+            yield tuple(e.get(name) for name in fields)
 
 
 class Irs990IndexReader(DataSourceReader):
@@ -57,15 +73,7 @@ class Irs990IndexReader(DataSourceReader):
         return [_IndexFilePartition(p) for p in paths]
 
     def read(self, partition: _IndexFilePartition):
-        import json
-
-        with open(partition.path, encoding="utf-8") as fh:
-            wrapped = json.load(fh)
-        fields = [f.name for f in INDEX_ENTRY.fields]
-        # the wrapping key varies per year ({"Filings2015": [...]})
-        for entries in wrapped.values():
-            for e in entries:
-                yield tuple(e.get(name) for name in fields)
+        yield from _index_rows(partition.path)
 
 
 class Irs990IndexDataSource(DataSource):
@@ -80,7 +88,20 @@ class Irs990IndexDataSource(DataSource):
         return Irs990IndexReader(self.options)
 
     def streamReader(self, schema) -> "Irs990IndexStreamReader":
+        if self.options.get("simple", "").lower() == "true":
+            # opt into the SimpleDataSourceStreamReader path: pyspark
+            # falls back to simpleStreamReader() exactly when
+            # streamReader() raises PySparkNotImplementedError
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simple mode)"},
+            )
         return Irs990IndexStreamReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "Irs990IndexSimpleStreamReader":
+        return Irs990IndexSimpleStreamReader(self.options)
 
 
 class Irs990IndexStreamReader(DataSourceStreamReader):
@@ -166,19 +187,58 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
         return [_IndexFilePartition(p) for p in files]
 
     def read(self, partition: _IndexFilePartition):
-        import json
-
-        with open(partition.path, encoding="utf-8") as fh:
-            wrapped = json.load(fh)
-        fields = [f.name for f in INDEX_ENTRY.fields]
-        for entries in wrapped.values():
-            for e in entries:
-                yield tuple(e.get(name) for name in fields)
+        yield from _index_rows(partition.path)
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint offset log; nothing to
         # acknowledge source-side (files are immutable once landed)
         return None
+
+
+class Irs990IndexSimpleStreamReader(SimpleDataSourceStreamReader):
+    """The third streaming-read shape of the Spark-4 Python DataSource
+    API (``.option("simple", "true")``): no partition planning — the
+    DRIVER reads each micro-batch's rows itself and pyspark's wrapper
+    prefetches/caches them against the offset log. Right for
+    low-volume control feeds (a REST catalog page, a config poll)
+    where a per-file executor task costs more than the read; the
+    partition-planned ``Irs990IndexStreamReader`` remains the
+    data-volume path. Offsets are the same lexicographic filename
+    high-water marks, so the exactly-once story is unchanged — without
+    the full reader's in-run out-of-order tripwire (same monotonic
+    arrival assumption; this mode trades that guard for zero planning
+    overhead)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("irs990index requires a path (load(<glob>))")
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"hwm": ""}
+
+    def read(self, start: dict):
+        hwm = start.get("hwm", "")
+        new = [f for f in self._files() if f > hwm]
+        end = {"hwm": new[-1] if new else hwm}
+        # materialized list, not a generator: pyspark's prefetch wrapper
+        # PICKLES the returned iterator to ship the cached batch to
+        # executors — driver-side materialization is this API's whole
+        # trade (hence "low-volume control feeds" above)
+        return iter([r for f in new for r in _index_rows(f)]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = start.get("hwm", ""), end.get("hwm", "")
+        # replay: files are immutable and monotonic, so the name-range
+        # filter reproduces the committed batch exactly
+        return iter(
+            [r for f in self._files() if s < f <= e for r in _index_rows(f)]
+        )
 
 
 # ---------------------------------------------------------------------------

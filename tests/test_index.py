@@ -274,3 +274,59 @@ def test_s3a_config_contract(spark, monkeypatch):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.endpoint") == "http://127.0.0.1:9000"
     assert hconf.get("fs.s3a.committer.name") == "magic"
+
+
+def test_simple_stream_reader_exactly_once(spark, tmp_path):
+    """The SimpleDataSourceStreamReader path (.option("simple","true")
+    routes through pyspark's streamReader->simpleStreamReader fallback):
+    driver-side micro-batch reads with the same filename-hwm offsets —
+    an availableNow run ingests everything, a later file is picked up
+    from the same checkpoint without re-reading the old ones, and the
+    total equals the batch read (exactly-once)."""
+    import glob
+    import shutil
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+    )
+
+    src_files = sorted(glob.glob(_GLOB))
+    assert len(src_files) >= 3
+    land = tmp_path / "landing"
+    land.mkdir()
+    for f in src_files[:2]:
+        shutil.copy(f, land)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+
+    def run_once():
+        q = (
+            spark.readStream.format("irs990index")
+            .option("simple", "true")
+            .load(str(land / "*.json"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == spark.read.format("irs990index").load(
+        str(land / "*.json")
+    ).count()
+
+    shutil.copy(src_files[2], land)
+    run_once()
+    got = spark.read.parquet(out)
+    want = spark.read.format("irs990index").load(str(land / "*.json"))
+    assert got.count() == want.count()
+    key = lambda r: (r["ObjectId"], r["URL"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
