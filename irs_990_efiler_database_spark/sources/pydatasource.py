@@ -104,7 +104,26 @@ class Irs990IndexDataSource(DataSource):
         return Irs990IndexSimpleStreamReader(self.options)
 
 
-class Irs990IndexStreamReader(DataSourceStreamReader):
+class _IndexStreamBase:
+    """Shared members of the two index stream readers: the path-option
+    contract, the sorted listing (ONE place to swap glob for an
+    object-store SDK), and the empty high-water-mark origin."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("irs990index requires a path (load(<glob>))")
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"hwm": ""}
+
+
+class Irs990IndexStreamReader(_IndexStreamBase, DataSourceStreamReader):
     """Streaming variant of the index connector: the landing prefix is
     watched and each micro-batch reads exactly the files that arrived
     since the last committed offset — the connector-surface analog of
@@ -133,22 +152,12 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
     detectable — re-land it under a name above the mark.)"""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("irs990index requires a path (load(<glob>))")
+        super().__init__(options)
         self._hwm_listed = ""  # largest name this run has offered
         self._names_listed: set[str] = set()
         # snapshot of the listing behind the most recent latestOffset(),
         # so partitions() never re-globs a moving directory mid-batch
         self._snapshot: tuple[str, list[str]] | None = None
-
-    def _files(self) -> list[str]:
-        import glob as _glob
-
-        return sorted(_glob.glob(self.path))
-
-    def initialOffset(self) -> dict:
-        return {"hwm": ""}
 
     def latestOffset(self) -> dict:
         files = self._files()
@@ -195,7 +204,7 @@ class Irs990IndexStreamReader(DataSourceStreamReader):
         return None
 
 
-class Irs990IndexSimpleStreamReader(SimpleDataSourceStreamReader):
+class Irs990IndexSimpleStreamReader(_IndexStreamBase, SimpleDataSourceStreamReader):
     """The third streaming-read shape of the Spark-4 Python DataSource
     API (``.option("simple", "true")``): no partition planning — the
     DRIVER reads each micro-batch's rows itself and pyspark's wrapper
@@ -208,19 +217,6 @@ class Irs990IndexSimpleStreamReader(SimpleDataSourceStreamReader):
     the full reader's in-run out-of-order tripwire (same monotonic
     arrival assumption; this mode trades that guard for zero planning
     overhead)."""
-
-    def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("irs990index requires a path (load(<glob>))")
-
-    def _files(self) -> list[str]:
-        import glob as _glob
-
-        return sorted(_glob.glob(self.path))
-
-    def initialOffset(self) -> dict:
-        return {"hwm": ""}
 
     def read(self, start: dict):
         hwm = start.get("hwm", "")
@@ -463,18 +459,27 @@ class JsonlCommitWriter(DataSourceWriter):
         prev_names: list[str] = []
         commit_logs: list[str] = []
         if self.overwrite:
-            # snapshot what the sink shows BEFORE this write becomes
-            # visible: the files to garbage-collect and the commit-log
-            # batchIds to FENCE. The fence rides in the manifest itself,
-            # so the overwrite's visibility reset is atomic with the
-            # manifest write — a crash before the log deletion below
-            # cannot resurrect the superseded streaming batches
-            # (_committed_names skips fenced entries). Append commits
+            # snapshot everything the sink HOLDS (not just what it
+            # shows) before this write becomes visible: the files to
+            # garbage-collect — including files referenced only by a
+            # FENCED log a previous half-GC'd overwrite left behind,
+            # which _committed_names would skip but which must not be
+            # stranded forever — and the commit-log batchIds to fence.
+            # The fence rides in the manifest itself, so the visibility
+            # reset is atomic with the manifest write. Append commits
             # skip this snapshot entirely (O(1), no log glob).
-            prev_names = _committed_names(self.path)
+            if os.path.exists(manifest):
+                with open(manifest, encoding="utf-8") as fh:
+                    prev_names += [
+                        f["file"] for f in json.load(fh)["files"]
+                    ]
             commit_logs = sorted(
                 _glob.glob(os.path.join(self.path, "_commits", "*.json"))
             )
+            for c in commit_logs:
+                with open(c, encoding="utf-8") as fh:
+                    prev_names += [f["file"] for f in json.load(fh)["files"]]
+            prev_names = list(dict.fromkeys(prev_names))
         files, total = _promote(self.path, messages)
         batches: dict = {}
         ignore: list[str] = []
@@ -558,41 +563,46 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
         # but before offset commit, compact, restart → replay): the
         # manifest records per-batch provenance exactly so the replay
         # can evict its own folded entry. Manifest-first ordering is
-        # crash-safe — losing visibility of a not-yet-offset-committed
-        # batch is correct (Spark will re-run the commit).
+        # crash-safe for THIS eviction — losing visibility of a
+        # not-yet-offset-committed batch is correct (Spark will re-run
+        # the commit). The overwrite FENCE is the opposite case and is
+        # lifted only AFTER the new log is durable, below.
         manifest = os.path.join(self.path, "_manifest.json")
+        man = None
         if os.path.exists(manifest):
             with open(manifest, encoding="utf-8") as fh:
                 man = json.load(fh)
             folded = man.get("batches", {}).pop(str(batchId), [])
-            ignore = man.get("ignore_commits", [])
-            unfence = str(batchId) in ignore
-            if folded or unfence:
+            if folded:
                 drop = set(folded)
-                keep = [f for f in man["files"] if f["file"] not in drop]
-                _atomic_write_json(
-                    manifest,
-                    {
-                        "files": keep,
-                        "rows": sum(f["rows"] for f in keep),
-                        "batches": man.get("batches", {}),
-                        # committing this id again declares NEW
-                        # visibility intent — lift an overwrite fence
-                        # left for it (the fenced files are gone or
-                        # about to be superseded by this rewrite)
-                        "ignore_commits": [
-                            i for i in ignore if i != str(batchId)
-                        ],
-                    },
-                )
+                man["files"] = [
+                    f for f in man["files"] if f["file"] not in drop
+                ]
+                man["rows"] = sum(f["rows"] for f in man["files"])
+                _atomic_write_json(manifest, man)
                 stale += folded
         files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
         os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
         # rewrite THIS batch's entry whole: a replayed batch replaces
-        # its own output instead of appending a second copy
+        # its own output instead of appending a second copy. If the id
+        # is fenced (half-GC'd overwrite), the new entry is written
+        # INVISIBLE first — the fence lift below is then the atomic
+        # visibility flip. A crash before the lift leaves the batch
+        # uncommitted-and-invisible (Spark retries); lifting BEFORE the
+        # log write would open a window where the stale pre-overwrite
+        # entry resurrects.
         _atomic_write_json(
             log, {"batchId": batchId, "files": files, "rows": total}
         )
+        if man is not None and str(batchId) in man.get("ignore_commits", []):
+            # committing this id again declares NEW visibility intent —
+            # lift its overwrite fence now that the new log (which
+            # atomically replaced any stale fenced content at the same
+            # path) is durable
+            man["ignore_commits"] = [
+                i for i in man["ignore_commits"] if i != str(batchId)
+            ]
+            _atomic_write_json(manifest, man)
         keep = {f["file"] for f in files}
         _unlink_quiet(
             *(os.path.join(self.path, n) for n in stale if n not in keep)

@@ -498,3 +498,46 @@ def test_arrowcommit_empty_sink_reads_as_typed_empty(spark, tmp_path):
     got = spark.read.format("arrowcommit").schema(SCHEMA).load(str(sink))
     assert got.count() == 0
     assert dict(got.dtypes) == {"k": "bigint", "s": "string", "v": "double"}
+
+
+def test_jsonlcommit_second_overwrite_collects_fenced_strays(spark, tmp_path):
+    """A fenced commit log left by a half-GC'd overwrite references
+    data files _committed_names hides; a SECOND overwrite must delete
+    those files too (snapshotting what the sink HOLDS, not just what it
+    shows) — otherwise invisible orphans accumulate across
+    crash+overwrite cycles."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    (sink / "_staging" / "task-g-0-1.jsonl").write_text(
+        '{"k": 1, "s": "old", "v": 1.0}\n'
+    )
+    w.commit([_JsonlCommit("task-g-0-1.jsonl", 1)], batchId=0)
+    stale_log = (sink / "_commits" / "0.json").read_text()
+    stale_data = (sink / "batch-0-task-g-0-1.jsonl").read_text()
+
+    # overwrite #1 "crashes" mid-GC: log + data resurrected under fence
+    spark.createDataFrame([(7, "a", 7.0)], SCHEMA).coalesce(1).write.format(
+        "jsonlcommit"
+    ).mode("overwrite").save(str(sink))
+    (sink / "_commits").mkdir(exist_ok=True)
+    (sink / "_commits" / "0.json").write_text(stale_log)
+    (sink / "batch-0-task-g-0-1.jsonl").write_text(stale_data)
+
+    # overwrite #2 runs to completion: the fenced stray's log AND its
+    # data file are gone, and only the new rows are visible
+    spark.createDataFrame([(8, "b", 8.0)], SCHEMA).coalesce(1).write.format(
+        "jsonlcommit"
+    ).mode("overwrite").save(str(sink))
+    assert not (sink / "batch-0-task-g-0-1.jsonl").exists()
+    assert list((sink / "_commits").glob("*.json")) == []
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(8, "b", 8.0)}
