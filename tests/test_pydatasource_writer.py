@@ -541,3 +541,74 @@ def test_jsonlcommit_second_overwrite_collects_fenced_strays(spark, tmp_path):
     assert list((sink / "_commits").glob("*.json")) == []
     got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
     assert got == {(8, "b", 8.0)}
+
+
+def test_jsonlcommit_crash_before_unfence_stays_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection for the unfence ordering: a replayed commit of a
+    FENCED batchId that dies after writing its new per-batch log but
+    before lifting the fence must leave the batch invisible (Spark
+    retries an uncommitted batch) — and the retry then converges to
+    exactly-once visibility. This is the window the fence-lift-last
+    ordering exists for: lifting first would resurrect the stale
+    pre-overwrite entry instead."""
+    from irs_990_efiler_database_spark.sources import pydatasource as pds
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+
+    # leave a fence for batch 0: overwrite after a streaming commit
+    w = pds.JsonlCommitStreamWriter({"path": str(sink)})
+    (sink / "_staging" / "task-x-0-1.jsonl").write_text(
+        '{"k": 1, "s": "old", "v": 1.0}\n'
+    )
+    w.commit([pds._JsonlCommit("task-x-0-1.jsonl", 1)], batchId=0)
+    spark.createDataFrame([(7, "kept", 7.0)], SCHEMA).coalesce(1).write.format(
+        "jsonlcommit"
+    ).mode("overwrite").save(str(sink))
+    # simulate the overwrite's own crash window: stale log survives
+    (sink / "_commits").mkdir(exist_ok=True)
+    (sink / "_commits" / "0.json").write_text(
+        '{"batchId": 0, "files": [{"file": "ghost.jsonl", "rows": 1}],'
+        ' "rows": 1}'
+    )
+
+    # retry batch 0 — crash exactly on the UNFENCE manifest write
+    real = pds._atomic_write_json
+
+    def crashing(dest, payload):
+        if dest.endswith("_manifest.json"):
+            raise OSError("injected crash before unfence")
+        real(dest, payload)
+
+    (sink / "_staging" / "task-x-0-9.jsonl").write_text(
+        '{"k": 2, "s": "new", "v": 2.0}\n'
+    )
+    monkeypatch.setattr(pds, "_atomic_write_json", crashing)
+    import pytest
+
+    with pytest.raises(OSError, match="injected crash"):
+        w.commit([pds._JsonlCommit("task-x-0-9.jsonl", 1)], batchId=0)
+    monkeypatch.setattr(pds, "_atomic_write_json", real)
+
+    # the half-committed batch is INVISIBLE (its new log exists but the
+    # fence still hides it); the overwrite's rows are untouched
+    got = {
+        tuple(r)
+        for r in pds.read_jsonl_commit(spark, str(sink), SCHEMA).collect()
+    }
+    assert got == {(7, "kept", 7.0)}
+
+    # Spark retries the uncommitted batch: same id, fresh stage file —
+    # converges to exactly-once visibility, fence lifted
+    (sink / "_staging" / "task-x-0-11.jsonl").write_text(
+        '{"k": 2, "s": "new", "v": 2.0}\n'
+    )
+    w.commit([pds._JsonlCommit("task-x-0-11.jsonl", 1)], batchId=0)
+    got = {
+        tuple(r)
+        for r in pds.read_jsonl_commit(spark, str(sink), SCHEMA).collect()
+    }
+    assert got == {(7, "kept", 7.0), (2, "new", 2.0)}
