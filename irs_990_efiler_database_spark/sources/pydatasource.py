@@ -213,14 +213,38 @@ class Irs990IndexSimpleStreamReader(_IndexStreamBase, SimpleDataSourceStreamRead
     where a per-file executor task costs more than the read; the
     partition-planned ``Irs990IndexStreamReader`` remains the
     data-volume path. Offsets are the same lexicographic filename
-    high-water marks, so the exactly-once story is unchanged — without
-    the full reader's in-run out-of-order tripwire (same monotonic
-    arrival assumption; this mode trades that guard for zero planning
-    overhead)."""
+    high-water marks, so the exactly-once story is unchanged —
+    including the full reader's in-run out-of-order tripwire: a name
+    backfilled at or below the mark mid-run raises instead of being
+    silently and permanently skipped (the ledger is driver-side here
+    too, so the check is free; across a restart the ledger is gone and
+    the full reader's caveat applies — re-land under a higher name)."""
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self._hwm_listed = ""  # largest name this run has offered
+        self._names_listed: set[str] = set()
 
     def read(self, start: dict):
         hwm = start.get("hwm", "")
-        new = [f for f in self._files() if f > hwm]
+        files = self._files()
+        late = [
+            f
+            for f in files
+            if f <= self._hwm_listed and f not in self._names_listed
+        ]
+        if late:
+            raise RuntimeError(
+                "irs990index simple stream: out-of-order arrival — "
+                f"{late} sort at or below the high-water mark "
+                f"{self._hwm_listed!r} and would be silently skipped. "
+                "Names must arrive in ascending sort order; re-land "
+                "the file under a name above the mark."
+            )
+        self._names_listed.update(files)
+        if files:
+            self._hwm_listed = max(self._hwm_listed, files[-1])
+        new = [f for f in files if f > hwm]
         end = {"hwm": new[-1] if new else hwm}
         # materialized list, not a generator: pyspark's prefetch wrapper
         # PICKLES the returned iterator to ship the cached batch to
@@ -437,6 +461,66 @@ def _unlink_quiet(*paths: str) -> None:
             pass
 
 
+#: names this sink ever promotes into its root: task-<run>-<part>-<attempt>
+#: with an optional per-batch prefix. The orphan sweep deletes ONLY names
+#: matching this shape, so foreign files a user drops in the directory
+#: (_SUCCESS markers, READMEs) are never touched.
+_DATA_FILE_RE = None
+
+
+def _is_sink_data_file(name: str) -> bool:
+    global _DATA_FILE_RE
+    if _DATA_FILE_RE is None:
+        import re
+
+        _DATA_FILE_RE = re.compile(
+            r"^(batch-\d+-)?task-[0-9a-f]{12}-\d+-\d+\.(jsonl|arrow)$"
+        )
+    return bool(_DATA_FILE_RE.match(name))
+
+
+def _sweep_orphans(path: str, referenced: set[str]) -> None:
+    """Maintenance-barrier garbage collection for the two stranding
+    classes the per-commit cleanup can't see:
+
+    - ``_staging/`` entries from failed/killed task attempts — abort()
+      only receives messages from COMPLETED tasks, so a retried run's
+      dead attempts otherwise accumulate invisible-but-permanent files
+      (deleting a file a zombie attempt is still writing is safe on
+      POSIX: the writer keeps its inode, the name disappears);
+    - sink-root data files referenced by NEITHER the manifest nor any
+      commit log — a crash in streaming commit() after the
+      manifest-eviction write (or after fence-era promotion) but before
+      the final stale-file deletion strands the superseded attempt's
+      promoted files outside every log, where the overwrite GC's
+      referenced-names snapshot can never find them.
+
+    Runs only at natural write barriers (batch OVERWRITE commit,
+    compaction-while-stopped) — never per micro-batch, where a
+    not-yet-logged promotion from the in-flight commit would be live.
+    Only names matching the sink's own naming contract are deleted."""
+    import os
+
+    staging = os.path.join(path, "_staging")
+    try:
+        _unlink_quiet(
+            *(os.path.join(staging, n) for n in os.listdir(staging))
+        )
+    except FileNotFoundError:
+        pass
+    try:
+        root = os.listdir(path)
+    except FileNotFoundError:
+        return
+    _unlink_quiet(
+        *(
+            os.path.join(path, n)
+            for n in root
+            if n not in referenced and _is_sink_data_file(n)
+        )
+    )
+
+
 class JsonlCommitWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         import uuid
@@ -519,6 +603,11 @@ class JsonlCommitWriter(DataSourceWriter):
                     if n not in keep
                 )
             )
+            # ... then sweep what no log ever referenced: dead staged
+            # attempts and data files stranded by a crash between a
+            # prior commit's promotion and its log write. An overwrite
+            # is a write barrier — everything visible is in `keep`.
+            _sweep_orphans(self.path, keep)
 
     def abort(self, messages) -> None:
         _discard_staged(self.path, messages)
@@ -659,9 +748,14 @@ def compact_jsonl_commit_log(path: str) -> int:
     import os
 
     logs = sorted(_glob.glob(os.path.join(path, "_commits", "*.json")))
-    if not logs:
-        return 0
     manifest = os.path.join(path, "_manifest.json")
+    if not logs:
+        # nothing to fold, but the orphan sweep is still this pass's
+        # job: a sink whose only state is the manifest can still hold
+        # dead staged attempts / crash-stranded promoted files
+        if os.path.exists(manifest):
+            _sweep_orphans(path, set(_committed_names(path)))
+        return 0
     files: list[dict] = []
     batches: dict[str, list[str]] = {}
     ignore: set[str] = set()
@@ -716,6 +810,13 @@ def compact_jsonl_commit_log(path: str) -> int:
     # manifest + log; the reader de-duplicates, and re-running the
     # compaction converges
     _unlink_quiet(*fold_logs)
+    # stopped-stream barrier: with every surviving log folded, the
+    # manifest is the complete visibility set — sweep dead staged
+    # attempts and never-referenced promoted strays (a batch whose
+    # commit crashed between promotion and its log write will REPLAY
+    # from fresh staged files under a new run_id, so deleting its
+    # orphans loses nothing)
+    _sweep_orphans(path, seen)
     return len(fold_logs)
 
 

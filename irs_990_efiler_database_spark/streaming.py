@@ -740,10 +740,20 @@ def running_totals(
             # State presence is the chunk-count-proof duplicate
             # detector: these calls run before any input rows, so a
             # non-empty state here can only mean a second seed chunk.
-            if len(initialState) != 1 or self._state.get() is not None:
+            if self._state.get() is not None:
+                # duplicate seed rows that straddled arrow chunks: the
+                # true row count is unknowable here (each chunk arrives
+                # as its own call), so say what was actually observed
+                # instead of fabricating a count
                 raise ValueError(
                     f"initial_totals must hold exactly one row per key;"
-                    f" key {key} got {max(len(initialState), 2)} rows —"
+                    f" key {key}: multiple seed chunks detected —"
+                    " aggregate the seed frame first"
+                )
+            if len(initialState) != 1:
+                raise ValueError(
+                    f"initial_totals must hold exactly one row per key;"
+                    f" key {key} got {len(initialState)} rows —"
                     " aggregate the seed frame first"
                 )
             self._state.update(

@@ -330,3 +330,37 @@ def test_simple_stream_reader_exactly_once(spark, tmp_path):
     assert got.count() == want.count()
     key = lambda r: (r["ObjectId"], r["URL"])  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_simple_stream_reader_out_of_order_tripwire(tmp_path):
+    """The simple (driver-read) stream reader keeps the full reader's
+    in-run out-of-order guard: a name backfilled at or below the
+    high-water mark raises loudly instead of being silently and
+    permanently skipped (it would fall inside an already-committed
+    offset interval)."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexSimpleStreamReader,
+    )
+
+    src = sorted(glob.glob(_GLOB))
+    assert len(src) >= 3
+    land = tmp_path / "landing"
+    land.mkdir()
+    for f in src[1:3]:
+        shutil.copy(f, land)
+    r = Irs990IndexSimpleStreamReader({"path": str(land / "*.json")})
+    rows, end = r.read(r.initialOffset())
+    assert len(list(rows)) > 0 and end["hwm"]
+    # idle tick advances nothing and does not trip
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
+    # backfill below the mark → loud error, not silent data loss
+    shutil.copy(src[0], land)
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        r.read(end)

@@ -612,3 +612,85 @@ def test_jsonlcommit_crash_before_unfence_stays_invisible(
         for r in pds.read_jsonl_commit(spark, str(sink), SCHEMA).collect()
     }
     assert got == {(7, "kept", 7.0), (2, "new", 2.0)}
+
+
+def test_jsonlcommit_overwrite_sweeps_dead_attempts_and_strays(spark, tmp_path):
+    """Orphan GC at the overwrite barrier: staged files from
+    failed/killed task attempts (abort() never sees them) and promoted
+    data files referenced by no log (a crash between promotion and the
+    commit-log write) are collected by the next overwrite — while
+    foreign files in the sink directory are never touched."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    df1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    df1.write.format("jsonlcommit").mode("overwrite").save(str(sink))
+
+    # a dead attempt's staged file (valid task-attempt name shape, but
+    # its task never completed so no commit message ever named it)
+    dead = sink / "_staging" / "task-deadbeef0123-0-99.jsonl"
+    dead.write_text('{"k": 9, "s": "dead", "v": 9.0}\n')
+    # a crash-stranded promoted stray: commit() promoted it, then died
+    # before the batch's log write — referenced by nothing
+    stray = sink / "batch-7-task-deadbeef0123-0-1.jsonl"
+    stray.write_text('{"k": 8, "s": "stray", "v": 8.0}\n')
+    # foreign files: not this sink's naming contract → never swept
+    (sink / "_SUCCESS").write_text("")
+    (sink / "notes.txt").write_text("keep me")
+
+    df2 = spark.createDataFrame([(2, "b", 2.0)], SCHEMA)
+    df2.write.format("jsonlcommit").mode("overwrite").save(str(sink))
+
+    assert not dead.exists() and list((sink / "_staging").iterdir()) == []
+    assert not stray.exists()
+    assert (sink / "_SUCCESS").exists() and (sink / "notes.txt").exists()
+    got = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert got == {(2, "b", 2.0)}
+
+
+def test_jsonlcommit_compaction_sweeps_orphans(spark, tmp_path):
+    """Orphan GC at the stopped-stream barrier: compaction collects
+    dead staged attempts and never-referenced promoted strays — even
+    when there are no logs left to fold (the no-op fold still runs the
+    sweep) — and the visible row set is unchanged either way."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+        compact_jsonl_commit_log,
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    sink = tmp_path / "sink"
+    (sink / "_staging").mkdir(parents=True)
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    for b in range(2):
+        name = f"task-aabbccdd00{b}0-{b}-0.jsonl"
+        (sink / "_staging" / name).write_text(
+            f'{{"k": {b}, "s": "b{b}", "v": {b}.0}}\n'
+        )
+        w.commit([_JsonlCommit(name, 1)], batchId=b)
+
+    dead = sink / "_staging" / "task-deadbeef0123-1-77.jsonl"
+    dead.write_text('{"k": 9, "s": "dead", "v": 9.0}\n')
+    stray = sink / "batch-9-task-deadbeef0123-0-2.jsonl"
+    stray.write_text('{"k": 8, "s": "stray", "v": 8.0}\n')
+
+    before = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert compact_jsonl_commit_log(str(sink)) == 2
+    assert not dead.exists() and not stray.exists()
+    after = {tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()}
+    assert after == before
+
+    # no-logs branch: everything already folded, but the sweep is
+    # still this pass's job
+    dead.write_text('{"k": 9, "s": "dead", "v": 9.0}\n')
+    stray.write_text('{"k": 8, "s": "stray", "v": 8.0}\n')
+    assert compact_jsonl_commit_log(str(sink)) == 0
+    assert not dead.exists() and not stray.exists()
+    assert {
+        tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()
+    } == before
