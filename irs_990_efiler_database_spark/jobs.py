@@ -95,6 +95,7 @@ def build_database(
     tables: list[str] | None = None,
     csv: bool = False,
     write_partitions: int | None = 8,
+    write_concurrency: int | None = None,
 ) -> BuildResult:
     """Run the full build: source → parse → N tables → sinks.
 
@@ -115,6 +116,11 @@ def build_database(
     the extraction projection's parallelism at the same count —
     acceptable because extraction over the cached parse is cheap and
     N tables write concurrently.
+
+    ``write_concurrency``: cap on concurrently submitted table writes
+    (None = min(8, #tables)). 1 serializes the writes — the A/B knob
+    tools/extract_scale.py uses to measure what the overlap is worth
+    at a given corpus size.
     """
     if (xml_glob is None) == (bundle_path is None):
         raise ValueError("exactly one of xml_glob / bundle_path required")
@@ -200,7 +206,8 @@ def build_database(
         from concurrent.futures import as_completed
 
         failures: dict[str, Exception] = {}
-        with ThreadPoolExecutor(max_workers=min(8, len(selected) or 1)) as ex:
+        workers = write_concurrency or min(8, len(selected) or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = {ex.submit(write_one, name): name for name in selected}
             for fut in as_completed(futs):
                 if fut.cancelled():

@@ -1131,3 +1131,50 @@ def test_fetch_to_bundle_https_tls_object_store(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_gen_bundle_distributed_parity_and_dirty_corpus(spark, tmp_path):
+    """The executor-side corpus generator (mapInPandas path used above
+    ~10k docs) emits byte-identical rows to the driver-side list path,
+    and the corrupt_every knob injects exactly-counted truncated docs
+    that build_database dead-letters while every clean doc still lands
+    in CORE."""
+    from tools.gen_xml_corpus import gen_bundle, gen_rows
+
+    d = tmp_path / "dist"
+    gen_bundle(spark, str(d), 120, partitions=8, distributed=True)
+    got = {
+        (r["url"], r["xml"]) for r in spark.read.parquet(str(d)).collect()
+    }
+    assert got == set(gen_rows(120))
+
+    from irs_990_efiler_database_spark.jobs import build_database
+
+    dirty = tmp_path / "dirty"
+    gen_bundle(
+        spark, str(dirty), 120, partitions=4, corrupt_every=40,
+        distributed=True,
+    )
+    res = build_database(spark, str(tmp_path / "out"), bundle_path=str(dirty))
+    assert res.dead_rows == 3  # docs 39, 79, 119
+    assert res.rows["CORE"] == 117
+    # the dead-letter sink preserves (url, xml) for replay
+    dl = spark.read.parquet(res.dead_letter_path)
+    assert dl.count() == 3
+    assert {r["reason"] for r in dl.collect()} == {"xml_parse_error"}
+
+
+def test_build_database_write_concurrency_serial_matches(spark, tmp_path):
+    """write_concurrency=1 (the extract_scale A/B knob) produces the
+    identical per-table row counts as the default overlapped writes."""
+    from tools.gen_xml_corpus import gen_bundle
+
+    from irs_990_efiler_database_spark.jobs import build_database
+
+    b = tmp_path / "bundle"
+    gen_bundle(spark, str(b), 60, partitions=4)
+    r1 = build_database(spark, str(tmp_path / "o1"), bundle_path=str(b))
+    r2 = build_database(
+        spark, str(tmp_path / "o2"), bundle_path=str(b), write_concurrency=1
+    )
+    assert r1.rows == r2.rows and r1.dead_rows == r2.dead_rows == 0

@@ -16,21 +16,92 @@ sys.path.insert(0, str(REPO))
 FIXTURES = sorted((REPO / "tests" / "fixtures").glob("*.xml"))
 
 
-def gen_rows(n_docs: int) -> list[tuple[str, str]]:
-    rows = []
+def _make_doc(
+    i: int, texts: list[str], corrupt_every: int | None = None
+) -> tuple[str, str]:
+    """One synthetic filing: fixture i%13 (round-robin preserves the
+    vintage/form mix at every corpus size) with a fresh unique EIN and
+    ObjectId. ``corrupt_every``: every k-th doc is truncated mid-element
+    (an unclosed tag the PERMISSIVE parser must dead-letter) — the
+    deterministic dirty-corpus knob for measuring the dead-letter path
+    at size."""
+    xml = texts[i % len(texts)]
+    ein = f"{500000000 + i}"
+    obj = f"2014{700000000 + i}"
+    xml = re.sub(r"<EIN>1000000\d\d</EIN>", f"<EIN>{ein}</EIN>", xml, count=1)
+    if corrupt_every and i % corrupt_every == corrupt_every - 1:
+        xml = xml[: max(1, int(len(xml) * 0.6))]
+    return (f"file:///synthetic/{obj}_public.xml", xml)
+
+
+def gen_rows(
+    n_docs: int, corrupt_every: int | None = None
+) -> list[tuple[str, str]]:
     texts = [p.read_text() for p in FIXTURES]
-    for i in range(n_docs):
-        xml = texts[i % len(texts)]
-        ein = f"{500000000 + i}"
-        obj = f"2014{700000000 + i}"
-        xml = re.sub(r"<EIN>1000000\d\d</EIN>", f"<EIN>{ein}</EIN>", xml, count=1)
-        rows.append((f"file:///synthetic/{obj}_public.xml", xml))
-    return rows
+    return [_make_doc(i, texts, corrupt_every) for i in range(n_docs)]
 
 
-def gen_bundle(spark, out_path: str, n_docs: int, partitions: int = 32) -> None:
-    df = spark.createDataFrame(gen_rows(n_docs), ["url", "xml"])
-    df.repartition(partitions).write.mode("overwrite").parquet(out_path)
+def gen_bundle(
+    spark,
+    out_path: str,
+    n_docs: int,
+    partitions: int = 32,
+    corrupt_every: int | None = None,
+    distributed: bool | None = None,
+) -> None:
+    """Write the (url, xml) parquet bundle. Above ~10k docs the corpus
+    is generated ON THE EXECUTORS (spark.range → mapInPandas with the
+    88 KB fixture pack in the closure) instead of a driver-side list —
+    at a filing-year's 300-470k docs the driver would otherwise
+    materialize and pickle-ship the whole corpus. Both paths emit
+    byte-identical rows (parity-tested)."""
+    if distributed is None:
+        distributed = n_docs > 10_000
+    if not distributed:
+        df = spark.createDataFrame(
+            gen_rows(n_docs, corrupt_every), ["url", "xml"]
+        )
+        df.repartition(partitions).write.mode("overwrite").parquet(out_path)
+        return
+    texts = [p.read_text() for p in FIXTURES]
+    k = corrupt_every
+
+    # self-contained closure: captures only plain data (texts, k) — the
+    # tools/ scripts are not an importable package on the workers, so a
+    # by-reference pickle of a module-level helper would fail there
+    def make(batches):
+        import re as _re
+
+        import pandas as pd
+
+        for pdf in batches:
+            docs = []
+            for i in pdf["id"]:
+                i = int(i)
+                xml = texts[i % len(texts)]
+                xml = _re.sub(
+                    r"<EIN>1000000\d\d</EIN>",
+                    f"<EIN>{500000000 + i}</EIN>",
+                    xml,
+                    count=1,
+                )
+                if k and i % k == k - 1:
+                    xml = xml[: max(1, int(len(xml) * 0.6))]
+                docs.append(
+                    (
+                        f"file:///synthetic/2014{700000000 + i}_public.xml",
+                        xml,
+                    )
+                )
+            yield pd.DataFrame(docs, columns=["url", "xml"])
+
+    (
+        spark.range(n_docs)
+        .repartition(partitions)
+        .mapInPandas(make, "url string, xml string")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
 
 
 def gen_arm_docs() -> list[tuple[str, str]]:
