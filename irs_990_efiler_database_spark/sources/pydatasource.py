@@ -751,10 +751,9 @@ def compact_jsonl_commit_log(path: str) -> int:
     manifest = os.path.join(path, "_manifest.json")
     if not logs:
         # nothing to fold, but the orphan sweep is still this pass's
-        # job: a sink whose only state is the manifest can still hold
+        # job: a sink with no (or only-manifest) state can still hold
         # dead staged attempts / crash-stranded promoted files
-        if os.path.exists(manifest):
-            _sweep_orphans(path, set(_committed_names(path)))
+        _sweep_orphans(path, set(_committed_names(path)))
         return 0
     files: list[dict] = []
     batches: dict[str, list[str]] = {}

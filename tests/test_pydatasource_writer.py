@@ -288,6 +288,12 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
             st.just(0),
             st.lists(st.integers(0, 99), min_size=1, max_size=3),
         ),
+        # round-11 orphan classes: a dead staged attempt (task died, no
+        # commit message) and a crash-stranded promoted file (promoted,
+        # then crash before the log write). Neither may EVER become
+        # visible, and the maintenance barriers (overwrite/compact)
+        # sweep them.
+        st.tuples(st.just("strand"), st.just(0), st.just([])),
     )
 
     counter = {"n": 0}
@@ -309,10 +315,23 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
         w = JsonlCommitStreamWriter({"path": str(sink)})
         model: dict[int, list[int]] = {}  # streaming: last commit per id
         bmodel: list[list[int]] = []  # batch appends since last overwrite
+        strays: list = []  # orphans planted; must never become visible
         seq = 0
         for kind, bid, ks in ops:
+            if kind == "strand":
+                seq += 1
+                run = f"{seq:012x}"
+                dead = sink / "_staging" / f"task-{run}-0-9.jsonl"
+                dead.write_text('{"k": -1}\n')
+                stray = sink / f"batch-8-task-{run}-0-1.jsonl"
+                stray.write_text('{"k": -2}\n')
+                strays += [dead, stray]
+                continue
             if kind == "compact":
                 compact_jsonl_commit_log(str(sink))
+                # the stopped-stream barrier swept every orphan
+                assert not any(p.exists() for p in strays)
+                strays = []
                 continue
             seq += 1
             name = f"task-p-{seq}-0.jsonl"
@@ -336,6 +355,9 @@ def test_jsonlcommit_visibility_state_machine_property(tmp_path):
                 )
                 bmodel = [ks]
                 model = {}
+                # the overwrite barrier swept every planted orphan
+                assert not any(p.exists() for p in strays)
+                strays = []
         visible: list[int] = []
         for n in _committed_names(str(sink)):
             with open(sink / n, encoding="utf-8") as fh:
