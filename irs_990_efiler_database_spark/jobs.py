@@ -206,7 +206,11 @@ def build_database(
         from concurrent.futures import as_completed
 
         failures: dict[str, Exception] = {}
-        workers = write_concurrency or min(8, len(selected) or 1)
+        workers = (
+            write_concurrency
+            if write_concurrency is not None
+            else min(8, len(selected) or 1)
+        )
         with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = {ex.submit(write_one, name): name for name in selected}
             for fut in as_completed(futs):

@@ -18,7 +18,7 @@ from ..caching import tracked_persist
 from ..catalog import load_table
 from ..operators.dedup import minhash_lsh_pairs
 from . import register
-from .dedup_ops import (
+from .dedup_shared import (
     _K,
     _NORM,
     _SQL_BANDS,
@@ -27,7 +27,6 @@ from .dedup_ops import (
     _SQL_SHINGLES,
     _SQL_SIG,
     _augmented,
-    fdedup_minhash_pairs,
 )
 
 def _sweep_band_sql(bands: int, rows: int) -> str:
@@ -416,6 +415,8 @@ def fdedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); split labels are pure md5 expressions on the pair ids —
     no join against a split table — and the output aggregates to at
     most 6 split-pair rows."""
+    from .dedup_ops import fdedup_minhash_pairs  # lazy: sibling module
+
     pairs = fdedup_minhash_pairs(spark, sf_dir)
 
     def split_of(c: F.Column) -> F.Column:

@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from .relational import win_scd2_order_history
 
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -153,6 +152,8 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open [valid_from, valid_to) convention makes the predicate a
     pair of string comparisons the scan can push down; at scale this
     is the standard bitemporal snapshot read over an SCD2 table."""
+    from .relational import win_scd2_order_history  # lazy: sibling module
+
     hist = win_scd2_order_history(spark, sf_dir)
     as_of = "1995-06-01"
     return hist.filter(

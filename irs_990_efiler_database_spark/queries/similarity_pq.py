@@ -4,9 +4,10 @@ carries PQ-ADC top-k, PQ recall audit, IVF-PQ, embedding MMD drift,
 the IVF nprobe S-curve sweep and hard-negative mining. similarity_ops
 keeps the cosine/LSH/IVF/semantic-dedup/quantize/RRF surface and
 re-exports this module, so registered names and import paths are
-unchanged. The shared IVF SQL template is imported from
-similarity_ops — safe because similarity_ops imports this module at
-its END, after that name exists.)"""
+unchanged. The shared IVF SQL template lives in
+similarity_shared, so there is no module-level edge back to
+similarity_ops and either sub-family module imports cleanly in any
+order.)"""
 
 from __future__ import annotations
 
@@ -15,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from .similarity_ops import _SQL_IVF
+from .similarity_shared import _SQL_IVF
 
 _SQL_PQ = """
   cb AS (

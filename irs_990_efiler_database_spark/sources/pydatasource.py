@@ -107,17 +107,45 @@ class Irs990IndexDataSource(DataSource):
 class _IndexStreamBase:
     """Shared members of the two index stream readers: the path-option
     contract, the sorted listing (ONE place to swap glob for an
-    object-store SDK), and the empty high-water-mark origin."""
+    object-store SDK), the empty high-water-mark origin, and the
+    in-run out-of-order tripwire (ONE place for the monotonic-arrival
+    guard — the two readers must never diverge on it)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("irs990index requires a path (load(<glob>))")
+        self._hwm_listed = ""  # largest name this run has offered
+        self._names_listed: set[str] = set()
 
     def _files(self) -> list[str]:
         import glob as _glob
 
         return sorted(_glob.glob(self.path))
+
+    def _guard_monotonic(self, files: list[str]) -> None:
+        """Raise on a name backfilled at or below the in-run high-water
+        mark (it falls inside an already-committed offset interval and
+        would otherwise be silently and permanently skipped), then fold
+        the listing into the run ledger. Across a driver restart the
+        ledger is gone; a file backfilled while the stream was down is
+        not detectable — re-land it under a name above the mark."""
+        late = [
+            f
+            for f in files
+            if f <= self._hwm_listed and f not in self._names_listed
+        ]
+        if late:
+            raise RuntimeError(
+                "irs990index stream: out-of-order arrival — "
+                f"{late} sort at or below the high-water mark "
+                f"{self._hwm_listed!r} and would be silently skipped. "
+                "Names must arrive in ascending sort order; re-land the "
+                "file under a name above the mark."
+            )
+        self._names_listed.update(files)
+        if files:
+            self._hwm_listed = max(self._hwm_listed, files[-1])
 
     def initialOffset(self) -> dict:
         return {"hwm": ""}
@@ -153,30 +181,13 @@ class Irs990IndexStreamReader(_IndexStreamBase, DataSourceStreamReader):
 
     def __init__(self, options: dict):
         super().__init__(options)
-        self._hwm_listed = ""  # largest name this run has offered
-        self._names_listed: set[str] = set()
         # snapshot of the listing behind the most recent latestOffset(),
         # so partitions() never re-globs a moving directory mid-batch
         self._snapshot: tuple[str, list[str]] | None = None
 
     def latestOffset(self) -> dict:
         files = self._files()
-        late = [
-            f
-            for f in files
-            if f <= self._hwm_listed and f not in self._names_listed
-        ]
-        if late:
-            raise RuntimeError(
-                "irs990index stream: out-of-order arrival — "
-                f"{late} sort at or below the high-water mark "
-                f"{self._hwm_listed!r} and would be silently skipped. "
-                "Names must arrive in ascending sort order; re-land the "
-                "file under a name above the mark."
-            )
-        self._names_listed.update(files)
-        if files:
-            self._hwm_listed = max(self._hwm_listed, files[-1])
+        self._guard_monotonic(files)
         self._snapshot = (self._hwm_listed, files)
         return {"hwm": self._hwm_listed}
 
@@ -214,36 +225,17 @@ class Irs990IndexSimpleStreamReader(_IndexStreamBase, SimpleDataSourceStreamRead
     partition-planned ``Irs990IndexStreamReader`` remains the
     data-volume path. Offsets are the same lexicographic filename
     high-water marks, so the exactly-once story is unchanged —
-    including the full reader's in-run out-of-order tripwire: a name
-    backfilled at or below the mark mid-run raises instead of being
-    silently and permanently skipped (the ledger is driver-side here
-    too, so the check is free; across a restart the ledger is gone and
-    the full reader's caveat applies — re-land under a higher name)."""
-
-    def __init__(self, options: dict):
-        super().__init__(options)
-        self._hwm_listed = ""  # largest name this run has offered
-        self._names_listed: set[str] = set()
+    including the full reader's in-run out-of-order tripwire
+    (``_guard_monotonic``, shared on the base class so the two readers
+    can never diverge on it): a name backfilled at or below the mark
+    mid-run raises instead of being silently and permanently skipped;
+    across a restart the ledger is gone and the full reader's caveat
+    applies — re-land under a higher name."""
 
     def read(self, start: dict):
         hwm = start.get("hwm", "")
         files = self._files()
-        late = [
-            f
-            for f in files
-            if f <= self._hwm_listed and f not in self._names_listed
-        ]
-        if late:
-            raise RuntimeError(
-                "irs990index simple stream: out-of-order arrival — "
-                f"{late} sort at or below the high-water mark "
-                f"{self._hwm_listed!r} and would be silently skipped. "
-                "Names must arrive in ascending sort order; re-land "
-                "the file under a name above the mark."
-            )
-        self._names_listed.update(files)
-        if files:
-            self._hwm_listed = max(self._hwm_listed, files[-1])
+        self._guard_monotonic(files)
         new = [f for f in files if f > hwm]
         end = {"hwm": new[-1] if new else hwm}
         # materialized list, not a generator: pyspark's prefetch wrapper
@@ -498,27 +490,39 @@ def _sweep_orphans(path: str, referenced: set[str]) -> None:
     Runs only at natural write barriers (batch OVERWRITE commit,
     compaction-while-stopped) — never per micro-batch, where a
     not-yet-logged promotion from the in-flight commit would be live.
-    Only names matching the sink's own naming contract are deleted."""
+    Both barriers assume NO concurrent writer on the sink: the same
+    single-writer contract the manifest rewrite itself already
+    requires (a concurrent append racing an overwrite could lose its
+    manifest update to the overwrite's last-write-wins regardless of
+    this sweep). Only names matching the sink's own task-attempt
+    naming contract are deleted — foreign files survive in both
+    directories — and each removal is individually best-effort (an
+    undeletable or non-regular entry is skipped, never allowed to fail
+    a commit whose manifest is already durable; a skipped orphan is
+    simply collected by the next barrier)."""
     import os
+
+    def _best_effort_remove(p: str) -> None:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
 
     staging = os.path.join(path, "_staging")
     try:
-        _unlink_quiet(
-            *(os.path.join(staging, n) for n in os.listdir(staging))
-        )
-    except FileNotFoundError:
-        pass
+        staged = os.listdir(staging)
+    except OSError:
+        staged = []
+    for n in staged:
+        if _is_sink_data_file(n):
+            _best_effort_remove(os.path.join(staging, n))
     try:
         root = os.listdir(path)
-    except FileNotFoundError:
+    except OSError:
         return
-    _unlink_quiet(
-        *(
-            os.path.join(path, n)
-            for n in root
-            if n not in referenced and _is_sink_data_file(n)
-        )
-    )
+    for n in root:
+        if n not in referenced and _is_sink_data_file(n):
+            _best_effort_remove(os.path.join(path, n))
 
 
 class JsonlCommitWriter(DataSourceWriter):

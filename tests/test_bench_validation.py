@@ -8,7 +8,6 @@ from __future__ import annotations
 import pytest
 
 from bench import (
-    EXTRACT_FLOOR_SEC_PER_DOC,
     EXTRACT_MIN_NONEMPTY_TABLES,
     _validate_extract_run,
 )

@@ -78,16 +78,15 @@ def _timed_build(
         t0 = time.perf_counter()
         result = build_database(spark, f"{out}{i}", bundle_path=bundle, **kw)
         dt = time.perf_counter() - t0
-        _validate_extract_rows(
-            result.rows,
-            result.dead_rows - expect_dead,
-            n_docs - expect_dead,
-        )
+        # dead-letter equality FIRST (the bench validator's own message
+        # assumes a clean corpus, so a dirty-run mismatch must get the
+        # specific diagnosis, not 'corpus is clean')
         if result.dead_rows != expect_dead:
             raise RuntimeError(
                 f"dead-letter capture mismatch: {result.dead_rows} != "
                 f"{expect_dead} injected"
             )
+        _validate_extract_rows(result.rows, 0, n_docs - expect_dead)
         dead = result.dead_rows
         if dt >= extract_floor_sec(n_docs):
             valid.append(dt)
@@ -180,8 +179,13 @@ def main() -> None:
     for p in points:
         print(f"| {p['docs']:,} | {p['sec']} | {p['spread']} | "
               f"{p['docs_per_sec']} |")
+    marg_str = (
+        f"(marginal {1 / marginal:.0f} docs/s)"
+        if marginal > 0
+        else "(non-positive slope — points too noisy/close to fit)"
+    )
     print(f"\nfit: wall = {fixed:.2f}s fixed + {marginal * 1000:.3f} ms/doc "
-          f"(marginal {1 / marginal:.0f} docs/s)"
+          + marg_str
           + (f"; midpoint residual {resid:+.1%}" if resid is not None else ""))
     print(f"overlap A/B at {probe_n:,} docs: concurrent "
           f"{(mid or points[-1])['sec']}s vs serial {serial_best:.2f}s "
@@ -195,7 +199,9 @@ def main() -> None:
         "points": points,
         "fixed_sec": round(fixed, 3),
         "marginal_ms_per_doc": round(marginal * 1000, 4),
-        "marginal_docs_per_sec": round(1 / marginal, 1) if marginal else None,
+        "marginal_docs_per_sec": (
+            round(1 / marginal, 1) if marginal > 0 else None
+        ),
         "midpoint_residual": resid,
         "overlap_ab": {
             "docs": probe_n,
