@@ -375,3 +375,79 @@ def x990_pf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((a - l - n) == 0).alias("balances"),
         )
     )
+
+
+def _dirty_corpus() -> list[tuple[str, str]]:
+    """The fixture matrix + deterministic corruption classes modeled on
+    the reference's per-URL try() failures (FAIL_LIST.csv, reference
+    build_efile_database_functions.R:5012-5017, :5047-5101): every
+    fixture both intact and truncated mid-element, plus a non-XML
+    payload, an unterminated attribute, mismatched tags and an empty
+    document. Deterministic by construction (pure text transforms of
+    committed fixtures), so the ElementTree golden below is stable."""
+    docs: list[tuple[str, str]] = []
+    for p in sorted(fixtures_dir().glob("*.xml")):
+        text = p.read_text()
+        docs.append((f"file:///dirty/{p.stem}_ok.xml", text))
+        docs.append(
+            (f"file:///dirty/{p.stem}_trunc.xml", text[: int(len(text) * 0.6)])
+        )
+    docs.append(("file:///dirty/not_xml.txt", "plain text, no xml here"))
+    docs.append(
+        (
+            "file:///dirty/open_attr.xml",
+            '<Return xmlns="http://www.irs.gov/efile">'
+            '<ReturnHeader TaxYr="2014></ReturnHeader></Return>',
+        )
+    )
+    docs.append(
+        ("file:///dirty/mismatched.xml", "<Return><ReturnHeader></Return></ReturnHeader>")
+    )
+    docs.append(("file:///dirty/empty.xml", ""))
+    return docs
+
+
+def _dead_letter_golden_sql() -> str:
+    """Literal VALUES oracle: per-document parse verdicts from the
+    INDEPENDENT parser (ElementTree), the same source of truth as
+    every other golden in this module — a divergence means Spark's
+    PERMISSIVE from_xml accepted a document expat rejects (or vice
+    versa), exactly the split_corrupt contract under test."""
+    import xml.etree.ElementTree as ET
+
+    rows = []
+    for url, text in _dirty_corpus():
+        try:
+            ET.fromstring(text)
+            status = "parsed"
+        except ET.ParseError:
+            status = "dead_letter"
+        rows.append(f"('{url}', '{status}')")
+    return (
+        "SELECT url, status FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, status)"
+    )
+
+
+@register("x990_dead_letter_split", oracle=_dead_letter_golden_sql())
+def x990_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-document capture (S3, SURVEY §2.1) under the
+    oracle gate: the real parse path (``with_parsed_return`` →
+    ``split_corrupt``) over the fixture matrix plus four deterministic
+    corruption classes, checked verdict-for-verdict against
+    ElementTree. Pins the dead-letter CONTRACT, not just a count: a
+    clean doc misrouted to the dead-letter sink (data loss for
+    downstream replay) or a corrupt doc leaking into the parse (null
+    cascade through 237 columns) each flips a row. The same capture
+    path dead-letters exactly 4,700/4,700 injected documents at
+    filing-year scale (BENCH_NOTES r11)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.xml_source import split_corrupt, with_parsed_return
+
+    df = spark.createDataFrame(_dirty_corpus(), "url string, xml string")
+    ok, dead = split_corrupt(with_parsed_return(df))
+    return ok.select("url", F.lit("parsed").alias("status")).unionByName(
+        dead.select("url", F.lit("dead_letter").alias("status"))
+    )
