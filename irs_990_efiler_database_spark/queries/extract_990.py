@@ -19,10 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..extract.core_builder import build_core
 from ..extract.golden import (
+    fixture_files,
     fixtures_dir,
     golden_core_sql,
     golden_rdb_sql,
     golden_schedn_sql,
+    typed_values_sql,
 )
 from ..extract.rdb_builder import build_rdb_table
 from ..extract.schedn_builder import build_schedn_table, schedn_table_names
@@ -386,7 +388,7 @@ def _dirty_corpus() -> list[tuple[str, str]]:
     document. Deterministic by construction (pure text transforms of
     committed fixtures), so the ElementTree golden below is stable."""
     docs: list[tuple[str, str]] = []
-    for p in sorted(fixtures_dir().glob("*.xml")):
+    for p in fixture_files():
         text = p.read_text()
         docs.append((f"file:///dirty/{p.stem}_ok.xml", text))
         docs.append(
@@ -422,12 +424,8 @@ def _dead_letter_golden_sql() -> str:
             status = "parsed"
         except ET.ParseError:
             status = "dead_letter"
-        rows.append(f"('{url}', '{status}')")
-    return (
-        "SELECT url, status FROM (VALUES "
-        + ", ".join(rows)
-        + ") AS t(url, status)"
-    )
+        rows.append({"url": url, "status": status})
+    return typed_values_sql(["url", "status"], rows, {})
 
 
 @register("x990_dead_letter_split", oracle=_dead_letter_golden_sql())
