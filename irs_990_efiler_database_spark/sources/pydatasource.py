@@ -315,7 +315,11 @@ class JsonlCommitDataSource(DataSource):
     (BENCH_NOTES round 10). Right for low-volume audit/dead-letter
     feeds where grep-able JSONL is the point; a data-volume connector
     takes the Arrow shape instead (``ArrowCommitDataSource``, 1.2x
-    parquet, same commit-log machinery).
+    parquet, same commit-log machinery). The mis-use is loud, not
+    just documented: a commit moving more than
+    ``ROW_SINK_VOLUME_WARN`` rows emits a RuntimeWarning naming the
+    Arrow sink (round 11 — the VERDICT r10 watch-item that a future
+    high-volume caller silently picks the row path).
 
     Registration:
         spark.dataSource.register(JsonlCommitDataSource)
@@ -525,7 +529,31 @@ def _sweep_orphans(path: str, referenced: set[str]) -> None:
             _best_effort_remove(os.path.join(path, n))
 
 
+#: rows per commit above which the ROW-path sink warns (the Arrow twin
+#: moves data ~10-13x faster; BENCH_NOTES round 10 measured the gap at
+#: 600k rows, so the warning fires well before the measured pain point)
+ROW_SINK_VOLUME_WARN = 100_000
+
+
+def _warn_row_volume(rows: int) -> None:
+    if rows > ROW_SINK_VOLUME_WARN:
+        import warnings
+
+        warnings.warn(
+            f"jsonlcommit moved {rows:,} rows in one commit — this is the"
+            " per-row audit/dead-letter path (Row->dict->json.dumps,"
+            " 12-16x slower than parquet). Use format('arrowcommit') for"
+            " data volume (same commit-log guarantees, Arrow IPC data"
+            " path).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 class JsonlCommitWriter(DataSourceWriter):
+    #: Arrow subclasses flip this off — only the row path warns
+    _ROW_PATH = True
+
     def __init__(self, options: dict, overwrite: bool):
         import uuid
 
@@ -569,6 +597,8 @@ class JsonlCommitWriter(DataSourceWriter):
                     prev_names += [f["file"] for f in json.load(fh)["files"]]
             prev_names = list(dict.fromkeys(prev_names))
         files, total = _promote(self.path, messages)
+        if self._ROW_PATH:
+            _warn_row_volume(total)
         batches: dict = {}
         ignore: list[str] = []
         if not self.overwrite and os.path.exists(manifest):
@@ -618,6 +648,8 @@ class JsonlCommitWriter(DataSourceWriter):
 
 
 class JsonlCommitStreamWriter(DataSourceStreamWriter):
+    _ROW_PATH = True
+
     def __init__(self, options: dict, overwrite: bool = False):
         import uuid
 
@@ -675,6 +707,8 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
                 _atomic_write_json(manifest, man)
                 stale += folded
         files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
+        if self._ROW_PATH:
+            _warn_row_volume(total)
         os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
         # rewrite THIS batch's entry whole: a replayed batch replaces
         # its own output instead of appending a second copy. If the id
@@ -949,6 +983,8 @@ class ArrowCommitWriter(DataSourceArrowWriter, JsonlCommitWriter):
     """commit/abort (manifest, overwrite GC) inherited from the row
     sink; only the staging format differs."""
 
+    _ROW_PATH = False  # this IS the data path — no volume warning
+
     def write(self, iterator) -> _JsonlCommit:
         return _stage_batches(self.path, self.run_id, iterator)
 
@@ -956,6 +992,8 @@ class ArrowCommitWriter(DataSourceArrowWriter, JsonlCommitWriter):
 class ArrowCommitStreamWriter(DataSourceStreamArrowWriter, JsonlCommitStreamWriter):
     """Per-batch commit log, replay replacement and append-only
     enforcement inherited from the row stream sink."""
+
+    _ROW_PATH = False  # this IS the data path — no volume warning
 
     def write(self, iterator) -> _JsonlCommit:
         return _stage_batches(self.path, self.run_id, iterator)

@@ -716,3 +716,37 @@ def test_jsonlcommit_compaction_sweeps_orphans(spark, tmp_path):
     assert {
         tuple(r) for r in read_jsonl_commit(spark, str(sink), SCHEMA).collect()
     } == before
+
+
+def test_row_sink_volume_warning_fires_only_on_row_path(tmp_path):
+    """The VERDICT r10 watch-item made loud: a commit moving more than
+    ROW_SINK_VOLUME_WARN rows through the per-row JSONL path warns and
+    names the Arrow sink; the Arrow twin commits the same volume
+    silently (it IS the data path)."""
+    import warnings
+
+    import pytest
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        ROW_SINK_VOLUME_WARN,
+        ArrowCommitStreamWriter,
+        JsonlCommitStreamWriter,
+        _JsonlCommit,
+    )
+
+    big = ROW_SINK_VOLUME_WARN + 1
+
+    sink = tmp_path / "row"
+    (sink / "_staging").mkdir(parents=True)
+    (sink / "_staging" / "task-aaaabbbbcccc-0-0.jsonl").write_text('{"k":1}\n')
+    w = JsonlCommitStreamWriter({"path": str(sink)})
+    with pytest.warns(RuntimeWarning, match="arrowcommit"):
+        w.commit([_JsonlCommit("task-aaaabbbbcccc-0-0.jsonl", big)], batchId=0)
+
+    arrow = tmp_path / "arrow"
+    (arrow / "_staging").mkdir(parents=True)
+    (arrow / "_staging" / "task-aaaabbbbcccc-0-1.arrow").write_bytes(b"")
+    aw = ArrowCommitStreamWriter({"path": str(arrow)}, overwrite=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        aw.commit([_JsonlCommit("task-aaaabbbbcccc-0-1.arrow", big)], batchId=0)
