@@ -364,3 +364,40 @@ def test_simple_stream_reader_out_of_order_tripwire(tmp_path):
     shutil.copy(src[0], land)
     with pytest.raises(RuntimeError, match="out-of-order"):
         r.read(end)
+
+
+def test_simple_stream_reader_replay_reproduces_committed_batch(tmp_path):
+    """readBetweenOffsets (the replay path pyspark's prefetch wrapper
+    calls after a restart) must reproduce exactly the committed
+    interval's rows — no re-read of earlier files, no pull-forward of
+    later ones — because files are immutable and names monotonic."""
+    import glob
+    import shutil
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexSimpleStreamReader,
+        _index_rows,
+    )
+
+    src = sorted(glob.glob(_GLOB))
+    assert len(src) >= 3
+    land = tmp_path / "landing"
+    land.mkdir()
+    shutil.copy(src[0], land)
+    r = Irs990IndexSimpleStreamReader({"path": str(land / "*.json")})
+    rows0, o1 = r.read(r.initialOffset())
+    n0 = len(list(rows0))
+    shutil.copy(src[1], land)
+    rows1, o2 = r.read(o1)
+    batch1 = sorted(rows1)  # _index_rows yields plain tuples
+    shutil.copy(src[2], land)
+
+    # replay the committed (o1, o2] interval on a FRESH reader (driver
+    # restart: in-run ledger gone) — identical rows despite the later
+    # file now being present
+    r2 = Irs990IndexSimpleStreamReader({"path": str(land / "*.json")})
+    replay = sorted(r2.readBetweenOffsets(o1, o2))
+    assert replay == batch1 and len(replay) > 0
+    # and the (origin, o1] interval reproduces the first batch's size
+    assert len(list(r2.readBetweenOffsets(r2.initialOffset(), o1))) == n0
