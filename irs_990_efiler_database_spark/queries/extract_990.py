@@ -432,7 +432,7 @@ def _dead_letter_golden_sql() -> str:
 def x990_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE corrupt-document capture (S3, SURVEY §2.1) under the
     oracle gate: the real parse path (``with_parsed_return`` →
-    ``split_corrupt``) over the fixture matrix plus four deterministic
+    ``split_corrupt``) over the fixture matrix plus five deterministic
     corruption classes, checked verdict-for-verdict against
     ElementTree. Pins the dead-letter CONTRACT, not just a count: a
     clean doc misrouted to the dead-letter sink (data loss for

@@ -536,18 +536,27 @@ ROW_SINK_VOLUME_WARN = 100_000
 
 
 def _warn_row_volume(rows: int) -> None:
+    """Advisory only — must NEVER affect commit outcome. Callers invoke
+    it after their durable log/manifest write, and any raise from the
+    warning machinery itself (warnings-as-errors: PYTHONWARNINGS=error,
+    -W error, strict CI filters) is swallowed: an advisory that can
+    fail an otherwise-committed batch would turn a perf hint into an
+    unrecoverable replay loop."""
     if rows > ROW_SINK_VOLUME_WARN:
         import warnings
 
-        warnings.warn(
-            f"jsonlcommit moved {rows:,} rows in one commit — this is the"
-            " per-row audit/dead-letter path (Row->dict->json.dumps,"
-            " 12-16x slower than parquet). Use format('arrowcommit') for"
-            " data volume (same commit-log guarantees, Arrow IPC data"
-            " path).",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+        try:
+            warnings.warn(
+                f"jsonlcommit moved {rows:,} rows in one commit — this is"
+                " the per-row audit/dead-letter path"
+                " (Row->dict->json.dumps, 12-16x slower than parquet)."
+                " Use format('arrowcommit') for data volume (same"
+                " commit-log guarantees, Arrow IPC data path).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        except Exception:
+            pass
 
 
 class JsonlCommitWriter(DataSourceWriter):
@@ -597,8 +606,7 @@ class JsonlCommitWriter(DataSourceWriter):
                     prev_names += [f["file"] for f in json.load(fh)["files"]]
             prev_names = list(dict.fromkeys(prev_names))
         files, total = _promote(self.path, messages)
-        if self._ROW_PATH:
-            _warn_row_volume(total)
+        new_rows = total  # this write's own volume, pre-manifest-merge
         batches: dict = {}
         ignore: list[str] = []
         if not self.overwrite and os.path.exists(manifest):
@@ -642,6 +650,12 @@ class JsonlCommitWriter(DataSourceWriter):
             # prior commit's promotion and its log write. An overwrite
             # is a write barrier — everything visible is in `keep`.
             _sweep_orphans(self.path, keep)
+        # advisory AFTER the manifest is durable: it must never sit in
+        # the commit critical section (review r11 — warnings-as-errors
+        # would otherwise fail a batch whose files were already
+        # promoted but not yet logged)
+        if self._ROW_PATH:
+            _warn_row_volume(new_rows)
 
     def abort(self, messages) -> None:
         _discard_staged(self.path, messages)
@@ -707,8 +721,6 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
                 _atomic_write_json(manifest, man)
                 stale += folded
         files, total = _promote(self.path, messages, prefix=f"batch-{batchId}-")
-        if self._ROW_PATH:
-            _warn_row_volume(total)
         os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
         # rewrite THIS batch's entry whole: a replayed batch replaces
         # its own output instead of appending a second copy. If the id
@@ -734,6 +746,9 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
         _unlink_quiet(
             *(os.path.join(self.path, n) for n in stale if n not in keep)
         )
+        # advisory AFTER the batch log is durable (see the batch writer)
+        if self._ROW_PATH:
+            _warn_row_volume(total)
 
     def abort(self, messages, batchId: int) -> None:
         _discard_staged(self.path, messages)

@@ -750,3 +750,38 @@ def test_row_sink_volume_warning_fires_only_on_row_path(tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any warning -> test failure
         aw.commit([_JsonlCommit("task-aaaabbbbcccc-0-1.arrow", big)], batchId=0)
+
+    # same contract on the BATCH writers (the warn call sits in the
+    # most-rewritten method in this file — pin both paths)
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        ArrowCommitWriter,
+        JsonlCommitWriter,
+    )
+
+    bsink = tmp_path / "brow"
+    (bsink / "_staging").mkdir(parents=True)
+    (bsink / "_staging" / "task-aaaabbbbcccc-1-0.jsonl").write_text('{"k":2}\n')
+    bw = JsonlCommitWriter({"path": str(bsink)}, overwrite=False)
+    with pytest.warns(RuntimeWarning, match="arrowcommit"):
+        bw.commit([_JsonlCommit("task-aaaabbbbcccc-1-0.jsonl", big)])
+
+    barrow = tmp_path / "barrow"
+    (barrow / "_staging").mkdir(parents=True)
+    (barrow / "_staging" / "task-aaaabbbbcccc-1-1.arrow").write_bytes(b"")
+    baw = ArrowCommitWriter({"path": str(barrow)}, overwrite=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        baw.commit([_JsonlCommit("task-aaaabbbbcccc-1-1.arrow", big)])
+
+    # the advisory must NEVER affect commit outcome: under
+    # warnings-as-errors the row-path commit still completes and its
+    # log is durable (the warn fires after durability and swallows the
+    # raise)
+    sink2 = tmp_path / "row2"
+    (sink2 / "_staging").mkdir(parents=True)
+    (sink2 / "_staging" / "task-aaaabbbbcccc-2-0.jsonl").write_text('{"k":3}\n')
+    w2 = JsonlCommitStreamWriter({"path": str(sink2)})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w2.commit([_JsonlCommit("task-aaaabbbbcccc-2-0.jsonl", big)], batchId=0)
+    assert (sink2 / "_commits" / "0.json").exists()
