@@ -76,6 +76,119 @@ class Irs990IndexReader(DataSourceReader):
         yield from _index_rows(partition.path)
 
 
+class Irs990IndexPushdownReader(Irs990IndexReader):
+    """FILTER-PUSHDOWN variant of the batch reader (Spark 4.1
+    ``DataSourceReader.pushFilters``), opted into with
+    ``.option("pushdown", "true")`` — implementing ``pushFilters`` on
+    the default reader would make every existing read raise
+    DATA_SOURCE_PUSHDOWN_DISABLED unless the session sets
+    ``spark.sql.python.filterPushdown.enabled``, so the plain reader
+    stays pushdown-free and this one is explicit opt-in (enable the
+    conf alongside the option).
+
+    Accepted (everything else is returned to Spark, which keeps a
+    Filter node for it): EqualTo / In / IsNotNull / StringStartsWith
+    on top-level columns. Accepted filters are REMOVED from Spark's
+    plan, so ``read()`` applies them exactly, row-by-row during the
+    executor-side parse — rows drop before Arrow serialization to the
+    JVM instead of after.
+
+    File-level pruning: index files follow ``index_<year>.json`` and
+    every row's ObjectId begins with that year, so an accepted
+    ObjectId prefix constraint (StringStartsWith with >=4 chars, or
+    EqualTo) prunes whole files from ``partitions()`` — a filtered
+    read opens only the matching year's file (the connector analog of
+    parquet partition pruning; unknown-named files are conservatively
+    kept)."""
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringStartsWith,
+        )
+
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, In, IsNotNull, StringStartsWith))
+                and len(f.attribute) == 1
+            ):
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported: Spark keeps its Filter node
+
+    def _object_id_years(self) -> set[str] | None:
+        """Filing years constrained by an accepted ObjectId prefix
+        filter (None = unconstrained)."""
+        from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+        years: set[str] | None = None
+        for f in self._pushed:
+            if f.attribute != ("ObjectId",):
+                continue
+            if isinstance(f, StringStartsWith) and len(f.value) >= 4:
+                ys = {f.value[:4]}
+            elif isinstance(f, EqualTo) and isinstance(f.value, str):
+                ys = {f.value[:4]}
+            else:
+                continue
+            years = ys if years is None else (years & ys)
+        return years
+
+    def partitions(self) -> list[InputPartition]:
+        import os
+        import re
+
+        parts = super().partitions()
+        years = self._object_id_years()
+        if years is None:
+            return parts
+        kept = []
+        for p in parts:
+            m = re.fullmatch(r"index_(\d{4})\.json", os.path.basename(p.path))
+            # prune only files whose name PROVES their year; keep the
+            # rest (row-level filters below stay correct regardless)
+            if m is None or m.group(1) in years:
+                kept.append(p)
+        return kept
+
+    def read(self, partition: _IndexFilePartition):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringStartsWith,
+        )
+
+        idx = {f.name: i for i, f in enumerate(INDEX_ENTRY.fields)}
+
+        def keep(row) -> bool:
+            for f in self._pushed:
+                v = row[idx[f.attribute[0]]]
+                if isinstance(f, EqualTo):
+                    if v is None or v != f.value:
+                        return False
+                elif isinstance(f, In):
+                    if v is None or v not in f.value:
+                        return False
+                elif isinstance(f, IsNotNull):
+                    if v is None:
+                        return False
+                elif isinstance(f, StringStartsWith):
+                    if not (isinstance(v, str) and v.startswith(f.value)):
+                        return False
+            return True
+
+        for row in _index_rows(partition.path):
+            if keep(row):
+                yield row
+
+
 class Irs990IndexDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,6 +198,8 @@ class Irs990IndexDataSource(DataSource):
         return INDEX_ENTRY
 
     def reader(self, schema) -> Irs990IndexReader:
+        if self.options.get("pushdown", "").lower() == "true":
+            return Irs990IndexPushdownReader(self.options)
         return Irs990IndexReader(self.options)
 
     def streamReader(self, schema) -> "Irs990IndexStreamReader":

@@ -401,3 +401,71 @@ def test_simple_stream_reader_replay_reproduces_committed_batch(tmp_path):
     assert replay == batch1 and len(replay) > 0
     # and the (origin, o1] interval reproduces the first batch's size
     assert len(list(r2.readBetweenOffsets(r2.initialOffset(), o1))) == n0
+
+
+def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
+    """Spark-4.1 Python DataSource FILTER PUSHDOWN (opt-in
+    .option("pushdown","true") + spark.sql.python.filterPushdown.enabled):
+
+    1. parity — pushdown read == plain read under the same filters;
+    2. file-level pruning is REAL — with a non-matching year's index
+       file corrupted on disk, the pruned read succeeds (that file is
+       never opened) while the plain reader fails on it;
+    3. an unsupported predicate (GreaterThan) is returned to Spark and
+       still applied (results stay correct)."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from irs_990_efiler_database_spark.queries.index_ops import _GLOB
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+    )
+
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        land = tmp_path / "idx"
+        land.mkdir()
+        for f in sorted(glob.glob(_GLOB)):
+            shutil.copy(f, land)
+        pat = str(land / "index_*.json")
+
+        def rd(pushdown: bool):
+            r = spark.read.format("irs990index")
+            if pushdown:
+                r = r.option("pushdown", "true")
+            return r.load(pat)
+
+        # 1. parity under supported + unsupported predicates
+        from pyspark.sql import functions as F
+
+        cond = (
+            (F.col("FormType") == "990")
+            & F.col("ObjectId").startswith("2014")
+            & F.col("IsAvailable").isNotNull()
+            & (F.col("TaxPeriod") > "200000")  # GreaterThan: NOT pushed
+        )
+        want = sorted(map(tuple, rd(False).filter(cond).collect()))
+        got = sorted(map(tuple, rd(True).filter(cond).collect()))
+        assert got == want and len(got) > 0
+
+        # 2. pruning proof: corrupt a non-matching year's file — the
+        # pushdown read never opens it; the plain read dies on it
+        (land / "index_2013.json").write_text("{ this is not json")
+        pruned = rd(True).filter(F.col("ObjectId").startswith("2014"))
+        rows_2014 = pruned.collect()
+        assert len(rows_2014) > 0
+        assert all(r["ObjectId"].startswith("2014") for r in rows_2014)
+        with pytest.raises(Exception):
+            rd(False).filter(F.col("ObjectId").startswith("2014")).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
