@@ -446,7 +446,7 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
         from pyspark.sql import functions as F
 
         cond = (
-            (F.col("FormType") == "990")
+            F.col("FormType").isin("990", "990EZ")  # In: pushed
             & F.col("ObjectId").startswith("2014")
             & F.col("IsAvailable").isNotNull()
             & (F.col("TaxPeriod") > "200000")  # GreaterThan: NOT pushed
@@ -454,6 +454,31 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
         want = sorted(map(tuple, rd(False).filter(cond).collect()))
         got = sorted(map(tuple, rd(True).filter(cond).collect()))
         assert got == want and len(got) > 0
+
+        # the accept/reject split itself (parity alone can't tell a
+        # pushed filter from one Spark re-applied)
+        from pyspark.sql.datasource import GreaterThan
+        from pyspark.sql.datasource import In as DSIn
+
+        from irs_990_efiler_database_spark.sources.pydatasource import (
+            Irs990IndexPushdownReader,
+        )
+
+        r = Irs990IndexPushdownReader({"path": pat})
+        rejected = list(
+            r.pushFilters(
+                [
+                    DSIn(("FormType",), ("990", "990EZ")),
+                    GreaterThan(("TaxPeriod",), "200000"),
+                ]
+            )
+        )
+        assert [type(f).__name__ for f in rejected] == ["GreaterThan"]
+        assert [type(f).__name__ for f in r._pushed] == ["In"]
+        # and the accepted In really drops rows during read()
+        part = r.partitions()[0]
+        forms = {row[3] for row in r.read(part)}  # FormType is field 3
+        assert forms and forms <= {"990", "990EZ"}
 
         # 2. pruning proof: corrupt a non-matching year's file — the
         # pushdown read never opens it; the plain read dies on it
