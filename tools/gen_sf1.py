@@ -7,10 +7,21 @@ cheapest).
 Upsampling preserves each family's workload SHAPE, which naive
 replication would not:
 
-- documents: every token gets a replica-unique suffix, so replicas
-  share NO n-grams/shingles with the original — near-dup and LM
-  workloads keep their within-corpus pair structure instead of gaining
-  10x cross-replica duplicate pairs; doc ids offset per replica.
+- documents, DEFAULT mode: every token gets a replica-unique suffix —
+  replicas share no WORD n-grams (LM workloads keep their pair
+  structure), but round 11 measured that CHARACTER 5-shingles survive
+  inside every token, so cross-replica jaccard stays >=0.5 and the
+  corpus gains ~10.6M true near-dup pairs (vs 283 at sf0.1): the
+  minhash family's sf1 cost in this mode is dominated by GENUINE pair
+  volume, not engine overhead. Kept as the default for cross-round
+  comparability of the committed capacity tables.
+- documents, --dedup-safe mode: replica k's text is Caesar-shifted by
+  k over [a-zA-Z] (F.translate) — a per-replica bijection on
+  characters, so WITHIN-replica near-dup structure is preserved
+  exactly (jaccard is permutation-invariant) while cross-replica
+  shingle overlap drops to punctuation/digit noise. Use this corpus to
+  measure candidate-generation engine cost at scale with pair density
+  held at the sf0.1 level.
 - embeddings: a small deterministic sin() perturbation per
   (replica, vec_id, dim) — keeps the cluster geometry IVF/PQ training
   sees while breaking exact-duplicate cosine structure.
@@ -37,7 +48,11 @@ REPLICAS = 10
 OFFSET = 10_000_000
 
 
-def gen_sf1(spark, out_dir: str, replicas: int = REPLICAS) -> None:
+def gen_sf1(
+    spark, out_dir: str, replicas: int = REPLICAS, dedup_safe: bool = False
+) -> None:
+    import string
+
     from pyspark.sql import functions as F
 
     from irs_990_efiler_database_spark.catalog import load_table
@@ -51,17 +66,29 @@ def gen_sf1(spark, out_dir: str, replicas: int = REPLICAS) -> None:
         if k == 0:
             parts.append(docs)
             continue
-        def tag(k):
-            # factory, not a default arg: pyspark counts lambda params
-            # (defaults included) to pick the (element[, index]) form
-            return lambda w: F.concat(w, F.lit(f"_{k}"))
+        if dedup_safe:
+            # Caesar-shift by k: length/token/zipf shape identical,
+            # within-replica jaccard EXACTLY preserved (bijection on
+            # chars), cross-replica char-shingle overlap destroyed
+            lo, up = string.ascii_lowercase, string.ascii_uppercase
+            s = k % 25 + 1  # 1..25, never the identity
+            text = F.translate(
+                F.col("text"), lo + up, lo[s:] + lo[:s] + up[s:] + up[:s]
+            )
+        else:
+            def tag(k):
+                # factory, not a default arg: pyspark counts lambda
+                # params (defaults included) to pick the
+                # (element[, index]) form
+                return lambda w: F.concat(w, F.lit(f"_{k}"))
 
+            text = F.array_join(
+                F.transform(F.split("text", " "), tag(k)), " "
+            )
         parts.append(
             docs.select(
                 (F.col("doc_id") + k * OFFSET).alias("doc_id"),
-                F.array_join(
-                    F.transform(F.split("text", " "), tag(k)), " "
-                ).alias("text"),
+                text.alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -134,6 +161,9 @@ def _union(frames):
 if __name__ == "__main__":
     from irs_990_efiler_database_spark.session import get_spark
 
-    target = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    gen_sf1(get_spark("gen-sf1"), target)
-    print(f"wrote sf1 upsample to {target}")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    target = args[0] if args else "/tmp/sf1"
+    safe = "--dedup-safe" in sys.argv
+    gen_sf1(get_spark("gen-sf1"), target, dedup_safe=safe)
+    mode = "dedup-safe " if safe else ""
+    print(f"wrote {mode}sf1 upsample to {target}")
