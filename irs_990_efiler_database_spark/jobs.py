@@ -206,6 +206,11 @@ def build_database(
         from concurrent.futures import as_completed
 
         failures: dict[str, Exception] = {}
+        if write_concurrency is not None and write_concurrency < 1:
+            raise ValueError(
+                "write_concurrency must be >= 1 (or None for the "
+                f"auto default), got {write_concurrency}"
+            )
         workers = (
             write_concurrency
             if write_concurrency is not None

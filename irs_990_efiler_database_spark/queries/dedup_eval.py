@@ -5,9 +5,11 @@ reweighting, ExactSubstr spans, cross-split leakage audit and the
 Fellegi-Sunter linkage model. dedup_ops keeps the candidate-generation
 / clustering / canonicalization surface and re-exports this module, so
 registered names and import paths are unchanged. The shared synthetic
-near-dup corpus + MinHash SQL templates are imported from dedup_ops —
-safe because dedup_ops imports this module at its END, after those
-names exist.)"""
+near-dup corpus + MinHash SQL templates live in ``dedup_shared`` and
+are imported from there; neither sub-family module imports the other
+at module top — the layering ``test_module_imports`` guards, because a
+tail star-import of a partially-initialized sibling binds nothing,
+silently.)"""
 
 from __future__ import annotations
 

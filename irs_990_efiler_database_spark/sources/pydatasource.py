@@ -55,6 +55,50 @@ def _index_rows(path: str):
             yield tuple(e.get(name) for name in fields)
 
 
+PREFIX_MANIFEST = "_objectid_prefixes.json"
+
+
+def write_objectid_prefix_manifest(path_glob: str) -> str:
+    """Scan every index file matching ``path_glob`` and record the set
+    of 4-char ObjectId prefixes each file actually CONTAINS into a
+    ``_objectid_prefixes.json`` sidecar in the same directory.
+
+    This is the one-time verification step that makes pushdown
+    file-level pruning safe on real IRS data: the reference documents
+    ObjectId only as "Tax Period + DLN (sortof)"
+    (Build-Efiler-Index.md:16), so a yearly file may legally hold a
+    cross-year ObjectId prefix — pruning by FILENAME would then drop
+    matching rows silently. Run this when the index is built/fetched
+    (it is one sequential pass over data the build already reads);
+    ``Irs990IndexPushdownReader`` prunes from the manifest whenever it
+    exists and otherwise keeps every file.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    paths = sorted(_glob.glob(path_glob))
+    if not paths:
+        raise FileNotFoundError(path_glob)
+    oid_i = next(
+        i for i, f in enumerate(INDEX_ENTRY.fields) if f.name == "ObjectId"
+    )
+    manifest: dict[str, list[str]] = {}
+    for p in paths:
+        prefixes = {
+            row[oid_i][:4]
+            for row in _index_rows(p)
+            if isinstance(row[oid_i], str) and len(row[oid_i]) >= 4
+        }
+        manifest[os.path.basename(p)] = sorted(prefixes)
+    out = os.path.join(os.path.dirname(paths[0]), PREFIX_MANIFEST)
+    tmp = out + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, out)
+    return out
+
+
 class Irs990IndexReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -66,8 +110,15 @@ class Irs990IndexReader(DataSourceReader):
         # executors. glob covers local/NFS test paths; a cloud
         # deployment would list via its object-store SDK here.
         import glob as _glob
+        import os
 
-        paths = sorted(_glob.glob(self.path))
+        # _-prefixed basenames are metadata sidecars (the Spark/Hadoop
+        # hidden-file convention), e.g. _objectid_prefixes.json
+        paths = sorted(
+            p
+            for p in _glob.glob(self.path)
+            if not os.path.basename(p).startswith("_")
+        )
         if not paths:
             raise FileNotFoundError(self.path)
         return [_IndexFilePartition(p) for p in paths]
@@ -93,31 +144,61 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
     executor-side parse — rows drop before Arrow serialization to the
     JVM instead of after.
 
-    File-level pruning: index files follow ``index_<year>.json`` and
-    every row's ObjectId begins with that year, so an accepted
-    ObjectId prefix constraint (StringStartsWith with >=4 chars, or
-    EqualTo) prunes whole files from ``partitions()`` — a filtered
-    read opens only the matching year's file (the connector analog of
-    parquet partition pruning; unknown-named files are conservatively
-    kept)."""
+    File-level pruning (the connector analog of parquet partition
+    pruning): an accepted ObjectId prefix constraint
+    (StringStartsWith with >=4 chars, or EqualTo) can skip whole files
+    in ``partitions()``. Because the reference documents ObjectId only
+    as "Tax Period + DLN (sortof)" (Build-Efiler-Index.md:16) — i.e. a
+    yearly ``index_<year>.json`` file is NOT guaranteed to hold only
+    <year>-prefixed ObjectIds on real data — pruning is evidence-based
+    by default: it uses the VERIFIED per-file prefix sets from the
+    ``_objectid_prefixes.json`` sidecar (written once at index
+    build/fetch time by :func:`write_objectid_prefix_manifest`); with
+    no manifest present, no file is skipped (row-level pushdown stays
+    exact either way). ``.option("prune_files", "filename")`` opts
+    into the filename-implies-prefix heuristic for corpora known to
+    satisfy it; ``"off"`` disables pruning entirely."""
 
     def __init__(self, options: dict):
         super().__init__(options)
         self._pushed: list = []
+        self._prune_mode = options.get("prune_files", "manifest").lower()
+        if self._prune_mode not in ("manifest", "filename", "off"):
+            raise ValueError(
+                "prune_files must be one of manifest|filename|off, got "
+                f"{self._prune_mode!r}"
+            )
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
             EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
             In,
             IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
             StringStartsWith,
         )
 
+        supported = (
+            EqualTo,
+            In,
+            IsNotNull,
+            IsNull,
+            StringStartsWith,
+            StringEndsWith,
+            StringContains,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
         for f in filters:
-            if (
-                isinstance(f, (EqualTo, In, IsNotNull, StringStartsWith))
-                and len(f.attribute) == 1
-            ):
+            if isinstance(f, supported) and len(f.attribute) == 1:
                 self._pushed.append(f)
             else:
                 yield f  # unsupported: Spark keeps its Filter node
@@ -140,47 +221,153 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
             years = ys if years is None else (years & ys)
         return years
 
+    def _object_id_prefix_bounds(self) -> tuple[str | None, str | None]:
+        """(lo, hi) INCLUSIVE bounds on a row's 4-char ObjectId prefix
+        implied by accepted range filters. Sound because string order
+        is lexicographic: ``oid >= V`` (or ``>``) forces
+        ``oid[:4] >= V[:4]`` and ``oid <= V`` (or ``<``) forces
+        ``oid[:4] <= V[:4]`` — a prefix strictly outside the bound
+        decides the whole comparison at its first differing char."""
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        lo: str | None = None
+        hi: str | None = None
+        ranges = (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in self._pushed:
+            if (
+                f.attribute != ("ObjectId",)
+                or not isinstance(f, ranges)
+                or not isinstance(f.value, str)
+            ):
+                continue
+            p = f.value[:4]
+            if len(p) < 4:
+                continue
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = p if lo is None or p > lo else lo
+            else:
+                hi = p if hi is None or p < hi else hi
+        return lo, hi
+
     def partitions(self) -> list[InputPartition]:
+        import json
         import os
         import re
 
         parts = super().partitions()
         years = self._object_id_years()
-        if years is None:
+        lo, hi = self._object_id_prefix_bounds()
+        if (
+            years is None and lo is None and hi is None
+        ) or self._prune_mode == "off":
             return parts
+
+        def prefix_may_match(pre: str) -> bool:
+            if years is not None and pre not in years:
+                return False
+            if lo is not None and pre < lo:
+                return False
+            if hi is not None and pre > hi:
+                return False
+            return True
+
+        if self._prune_mode == "filename":
+            kept = []
+            for p in parts:
+                m = re.fullmatch(
+                    r"index_(\d{4})\.json", os.path.basename(p.path)
+                )
+                # prune only files whose name claims a year; keep the
+                # rest (row-level filters stay correct regardless)
+                if m is None or prefix_may_match(m.group(1)):
+                    kept.append(p)
+            return kept
+        # manifest mode: prune only with per-file EVIDENCE — the
+        # verified prefix sets recorded at index build/fetch time.
+        # Missing manifest, or a file absent from it, => keep.
+        manifests: dict[str, dict | None] = {}
         kept = []
         for p in parts:
-            m = re.fullmatch(r"index_(\d{4})\.json", os.path.basename(p.path))
-            # prune only files whose name PROVES their year; keep the
-            # rest (row-level filters below stay correct regardless)
-            if m is None or m.group(1) in years:
+            d = os.path.dirname(p.path)
+            if d not in manifests:
+                mpath = os.path.join(d, PREFIX_MANIFEST)
+                try:
+                    with open(mpath, encoding="utf-8") as fh:
+                        manifests[d] = json.load(fh)
+                except (OSError, ValueError):
+                    manifests[d] = None
+            man = manifests[d]
+            prefixes = (
+                man.get(os.path.basename(p.path)) if man is not None else None
+            )
+            if prefixes is None or any(prefix_may_match(x) for x in prefixes):
                 kept.append(p)
         return kept
 
     def read(self, partition: _IndexFilePartition):
         from pyspark.sql.datasource import (
             EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
             In,
             IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            StringContains,
+            StringEndsWith,
             StringStartsWith,
         )
+
+        # pruned-to-empty partitions(): Spark still schedules one task
+        # and passes partition=None — an empty result, not an error
+        if partition is None:
+            return
 
         idx = {f.name: i for i, f in enumerate(INDEX_ENTRY.fields)}
 
         def keep(row) -> bool:
+            # SQL comparison semantics: NULL fails every predicate
+            # except IsNull; string order is lexicographic in both
+            # Spark (UTF8_BINARY) and Python.
             for f in self._pushed:
                 v = row[idx[f.attribute[0]]]
-                if isinstance(f, EqualTo):
-                    if v is None or v != f.value:
+                if isinstance(f, IsNull):
+                    if v is not None:
+                        return False
+                elif v is None:
+                    return False
+                elif isinstance(f, EqualTo):
+                    if v != f.value:
                         return False
                 elif isinstance(f, In):
-                    if v is None or v not in f.value:
-                        return False
-                elif isinstance(f, IsNotNull):
-                    if v is None:
+                    if v not in f.value:
                         return False
                 elif isinstance(f, StringStartsWith):
                     if not (isinstance(v, str) and v.startswith(f.value)):
+                        return False
+                elif isinstance(f, StringEndsWith):
+                    if not (isinstance(v, str) and v.endswith(f.value)):
+                        return False
+                elif isinstance(f, StringContains):
+                    if not (isinstance(v, str) and f.value in v):
+                        return False
+                elif isinstance(f, GreaterThan):
+                    if not v > f.value:
+                        return False
+                elif isinstance(f, GreaterThanOrEqual):
+                    if not v >= f.value:
+                        return False
+                elif isinstance(f, LessThan):
+                    if not v < f.value:
+                        return False
+                elif isinstance(f, LessThanOrEqual):
+                    if not v <= f.value:
                         return False
             return True
 

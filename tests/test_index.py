@@ -407,12 +407,16 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
     """Spark-4.1 Python DataSource FILTER PUSHDOWN (opt-in
     .option("pushdown","true") + spark.sql.python.filterPushdown.enabled):
 
-    1. parity — pushdown read == plain read under the same filters;
-    2. file-level pruning is REAL — with a non-matching year's index
-       file corrupted on disk, the pruned read succeeds (that file is
-       never opened) while the plain reader fails on it;
-    3. an unsupported predicate (GreaterThan) is returned to Spark and
-       still applied (results stay correct)."""
+    1. parity — pushdown read == plain read under the same filters
+       (incl. range predicates, now pushed);
+    2. file-level pruning is evidence-based — with the verified
+       ``_objectid_prefixes.json`` manifest present and a non-matching
+       year's index file corrupted on disk, the pruned read succeeds
+       (that file is never opened) while the plain reader fails on it;
+       WITHOUT the manifest the default mode conservatively opens
+       every file (no silent filename-trust);
+    3. an unsupported predicate (Not) is returned to Spark and still
+       applied (results stay correct)."""
     import glob
     import shutil
 
@@ -421,6 +425,7 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
     from irs_990_efiler_database_spark.queries.index_ops import _GLOB
     from irs_990_efiler_database_spark.sources.pydatasource import (
         Irs990IndexDataSource,
+        write_objectid_prefix_manifest,
     )
 
     try:
@@ -436,10 +441,12 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
             shutil.copy(f, land)
         pat = str(land / "index_*.json")
 
-        def rd(pushdown: bool):
+        def rd(pushdown: bool, **opts):
             r = spark.read.format("irs990index")
             if pushdown:
                 r = r.option("pushdown", "true")
+            for k, v in opts.items():
+                r = r.option(k, v)
             return r.load(pat)
 
         # 1. parity under supported + unsupported predicates
@@ -449,7 +456,8 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
             F.col("FormType").isin("990", "990EZ")  # In: pushed
             & F.col("ObjectId").startswith("2014")
             & F.col("IsAvailable").isNotNull()
-            & (F.col("TaxPeriod") > "200000")  # GreaterThan: NOT pushed
+            & (F.col("TaxPeriod") > "200000")  # GreaterThan: pushed
+            & ~F.col("OrganizationName").startswith("\x00")  # Not: kept
         )
         want = sorted(map(tuple, rd(False).filter(cond).collect()))
         got = sorted(map(tuple, rd(True).filter(cond).collect()))
@@ -459,6 +467,7 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
         # pushed filter from one Spark re-applied)
         from pyspark.sql.datasource import GreaterThan
         from pyspark.sql.datasource import In as DSIn
+        from pyspark.sql.datasource import Not, StringStartsWith
 
         from irs_990_efiler_database_spark.sources.pydatasource import (
             Irs990IndexPushdownReader,
@@ -470,25 +479,131 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
                 [
                     DSIn(("FormType",), ("990", "990EZ")),
                     GreaterThan(("TaxPeriod",), "200000"),
+                    Not(StringStartsWith(("OrganizationName",), "\x00")),
                 ]
             )
         )
-        assert [type(f).__name__ for f in rejected] == ["GreaterThan"]
-        assert [type(f).__name__ for f in r._pushed] == ["In"]
-        # and the accepted In really drops rows during read()
+        assert [type(f).__name__ for f in rejected] == ["Not"]
+        assert sorted(type(f).__name__ for f in r._pushed) == [
+            "GreaterThan",
+            "In",
+        ]
+        # and the accepted filters really drop rows during read()
         part = r.partitions()[0]
-        forms = {row[3] for row in r.read(part)}  # FormType is field 3
+        kept_rows = list(r.read(part))
+        forms = {row[3] for row in kept_rows}  # FormType is field 3
         assert forms and forms <= {"990", "990EZ"}
+        assert all(row[1] > "200000" for row in kept_rows)  # TaxPeriod
 
-        # 2. pruning proof: corrupt a non-matching year's file — the
-        # pushdown read never opens it; the plain read dies on it
+        # 2a. default (manifest) mode without a manifest: NO pruning —
+        # the corrupted non-matching file is still opened, loudly
         (land / "index_2013.json").write_text("{ this is not json")
+        with pytest.raises(Exception):
+            rd(True).filter(F.col("ObjectId").startswith("2014")).collect()
+        # restore, write the verified manifest, re-corrupt
+        shutil.copy(
+            sorted(glob.glob(_GLOB))[0], land / "index_2013.json"
+        )
+        write_objectid_prefix_manifest(pat)
+        (land / "index_2013.json").write_text("{ this is not json")
+
+        # 2b. manifest-verified pruning: the pushdown read never opens
+        # the corrupt file; the plain read dies on it
         pruned = rd(True).filter(F.col("ObjectId").startswith("2014"))
         rows_2014 = pruned.collect()
         assert len(rows_2014) > 0
         assert all(r["ObjectId"].startswith("2014") for r in rows_2014)
         with pytest.raises(Exception):
             rd(False).filter(F.col("ObjectId").startswith("2014")).collect()
+
+        # 2c. range-predicate pruning via verified prefix BOUNDS:
+        # ObjectId >= "2015" skips both earlier years' files (2014's
+        # is corrupted too, and never opened)
+        (land / "index_2014.json").write_text("{ not json either")
+        hi = rd(True).filter(F.col("ObjectId") >= "2015").collect()
+        assert len(hi) > 0
+        assert all(r["ObjectId"] >= "2015" for r in hi)
+
+        # 2d. filename heuristic mode still available as explicit
+        # opt-in (documented invariant: filename year == prefix)
+        fn = rd(True, prune_files="filename").filter(
+            F.col("ObjectId").startswith("2015")
+        )
+        assert fn.count() > 0
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_pushdown_manifest_pruning_survives_cross_year_objectid(
+    spark, tmp_path
+):
+    """The ADVICE r11 medium: the reference documents ObjectId only as
+    'Tax Period + DLN (sortof)' (Build-Efiler-Index.md:16), so a
+    yearly index file may hold a CROSS-YEAR ObjectId prefix. Filename
+    pruning would silently drop such rows; manifest pruning records
+    what each file actually contains and must return them."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+        write_objectid_prefix_manifest,
+    )
+
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        land = tmp_path / "idx"
+        land.mkdir()
+        row = {
+            "EIN": "100000099",
+            "TaxPeriod": "201312",
+            "DLN": "93490000099",
+            "FormType": "990",
+            "URL": "https://example.invalid/201499999_public.xml",
+            "OrganizationName": "LATE PROCESSED ORG",
+            "SubmittedOn": "2014-02-01",
+            # 2014-prefixed ObjectId INSIDE the 2013 file
+            "ObjectId": "201499999",
+            "LastUpdated": "2014-03-01",
+            "IsElectronic": True,
+            "IsAvailable": True,
+        }
+        (land / "index_2013.json").write_text(
+            json.dumps({"Filings2013": [row]})
+        )
+        pat = str(land / "index_*.json")
+        write_objectid_prefix_manifest(pat)
+        man = json.loads((land / "_objectid_prefixes.json").read_text())
+        assert man["index_2013.json"] == ["2014"]
+
+        def rd(**opts):
+            r = spark.read.format("irs990index").option("pushdown", "true")
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load(pat)
+
+        q = F.col("ObjectId").startswith("2014")
+        # manifest mode (default): the cross-year row IS returned
+        assert rd().filter(q).count() == 1
+        # filename heuristic: silently drops it — exactly the failure
+        # mode the manifest exists to prevent (pinned so the contrast
+        # stays documented)
+        assert rd(prune_files="filename").filter(q).count() == 0
+        # prune_files=off sanity + invalid option is loud
+        assert rd(prune_files="off").filter(q).count() == 1
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            rd(prune_files="bogus").filter(q).count()
     finally:
         if old is None:
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")

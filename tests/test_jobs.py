@@ -1178,3 +1178,15 @@ def test_build_database_write_concurrency_serial_matches(spark, tmp_path):
         spark, str(tmp_path / "o2"), bundle_path=str(b), write_concurrency=1
     )
     assert r1.rows == r2.rows and r1.dead_rows == r2.dead_rows == 0
+    # invalid explicit concurrency is a clear argument error, not an
+    # opaque ThreadPoolExecutor ValueError (ADVICE r11)
+    import pytest
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="write_concurrency"):
+            build_database(
+                spark,
+                str(tmp_path / "o3"),
+                bundle_path=str(b),
+                write_concurrency=bad,
+            )

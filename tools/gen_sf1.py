@@ -57,6 +57,14 @@ def gen_sf1(
 
     from irs_990_efiler_database_spark.catalog import load_table
 
+    if dedup_safe and replicas > 26:
+        # the Caesar shift 'k % 25 + 1' repeats with period 25: replica
+        # pairs 25 apart would be byte-IDENTICAL, silently reintroducing
+        # the cross-replica pair inflation this mode exists to remove
+        raise ValueError(
+            "dedup_safe supports at most 26 replicas (shift alphabet has "
+            f"25 non-identity rotations), got {replicas}"
+        )
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
