@@ -313,6 +313,22 @@ def main() -> None:
         (REPO / "bench_full.json").write_text(json.dumps(payload) + "\n")
     except OSError as e:  # read-only checkout must not void the bench
         print(f"# bench_full.json not written: {e}", file=sys.stderr)
+    # append-only cross-round history (VERDICT r10 #7 / r11 #2):
+    # bench_full.json is overwritten per run, so round-over-round
+    # per-entry comparison used to need git archaeology. Every run
+    # appends its full per-entry record here; tools/bench_summary.py
+    # reads it back for the median-ratio / movers analysis.
+    try:
+        import os as _os
+        import time as _time
+
+        line = dict(payload)
+        line["ts"] = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+        line["label"] = _os.environ.get("SPARK_GRAFT_BENCH_LABEL", "")
+        with open(REPO / "BENCH_SUMMARY.jsonl", "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(line) + "\n")
+    except OSError as e:
+        print(f"# BENCH_SUMMARY.jsonl not appended: {e}", file=sys.stderr)
     # pad so the driver's 2000-char tail window holds ONLY whitespace
     # + the digest — json.loads on the raw tail then succeeds (leading
     # whitespace is legal JSON), as does any last-line strategy

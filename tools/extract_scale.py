@@ -26,6 +26,16 @@ Usage:
   python tools/extract_scale.py                   # 2k/20k/100k, best-of-2
   python tools/extract_scale.py --quick           # one run per point
   python tools/extract_scale.py --docs 2000,20000 # custom points
+  python tools/extract_scale.py --realistic       # 50-250 KB docs, per-BYTE fit
+
+``--realistic`` (VERDICT r11 #1): the default corpus replicates the
+2.3 KB handcrafted fixtures, so its fit prices a *doc*, not a *byte* —
+and real e-file 990s run 50-250+ KB with most bytes in repeating
+groups and narrative text. This mode generates the inflated corpus
+(gen_xml_corpus realistic_size: Part VII/Schedule J groups at 5-40
+cardinality + Schedule O narrative to a 50-250 KB per-doc target),
+fits wall = fixed + marginal*GB, and reports the per-byte marginal
+the 100-TB arithmetic actually needs.
 
 Prints a markdown table (paste into BENCH_NOTES.md) + one JSON line.
 """
@@ -98,10 +108,14 @@ def _timed_build(
     return min(valid), max(valid), dead
 
 
+REALISTIC_DOCS = [1_000, 5_000, 20_000]  # ~150 MB / 750 MB / 2.9 GB XML
+
+
 def main() -> None:
     argv = sys.argv[1:]
     runs = 1 if "--quick" in argv else 2
-    docs = DEFAULT_DOCS
+    realistic = "--realistic" in argv
+    docs = REALISTIC_DOCS if realistic else DEFAULT_DOCS
     if "--docs" in argv:
         docs = [int(x) for x in argv[argv.index("--docs") + 1].split(",")]
     docs = sorted(docs)
@@ -119,31 +133,51 @@ def main() -> None:
         # untimed warmup build: the session's first build pays one-off
         # JIT/codegen/broadcast warmup that would otherwise inflate the
         # smallest point's fixed cost (observed: 2x on a 200-doc probe)
-        gen_bundle(spark, f"{tmp}/warm", 200)
+        gen_bundle(spark, f"{tmp}/warm", 200, realistic_size=realistic)
         _timed_build(spark, f"{tmp}/warm", f"{tmp}/warm_out_", 1, 200)
+
+        def bundle_mb(path: str) -> float:
+            from pyspark.sql import functions as F
+
+            return (
+                spark.read.parquet(path)
+                .agg(F.sum(F.length("xml")).alias("b"))
+                .collect()[0]["b"]
+                / 1e6
+            )
 
         for n in docs:
             bundle = f"{tmp}/bundle_{n}"
-            gen_bundle(spark, bundle, n)  # prep, untimed
+            gen_bundle(spark, bundle, n, realistic_size=realistic)  # untimed
+            mb = bundle_mb(bundle)
             best, worst, _ = _timed_build(
                 spark, bundle, f"{tmp}/out_{n}_", runs, n
             )
             points.append(
                 {
                     "docs": n,
+                    "mb": round(mb, 1),
                     "sec": round(best, 3),
                     "spread": round(worst - best, 3),
                     "docs_per_sec": round(n / best, 1),
+                    "mb_per_sec": round(mb / best, 1),
                 }
             )
-            print(f"# {n} docs: {best:.2f}s ({n / best:.0f} docs/s)",
-                  file=sys.stderr)
+            print(
+                f"# {n} docs ({mb:.0f} MB): {best:.2f}s "
+                f"({n / best:.0f} docs/s, {mb / best:.0f} MB/s)",
+                file=sys.stderr,
+            )
 
         # fit wall = fixed + marginal*docs over all points; residual at
-        # the middle point is the linearity test
+        # the middle point is the linearity test. In realistic mode
+        # docs and bytes are proportional by construction (uniform
+        # 50-250 KB target over doc index), so the doc fit stands and
+        # the per-BYTE marginal is derived alongside it.
         xs = [float(p["docs"]) for p in points]
         ys = [p["sec"] for p in points]
         fixed, marginal = _fit_line(xs, ys)
+        _, marginal_mb = _fit_line([float(p["mb"]) for p in points], ys)
         mid = points[len(points) // 2] if len(points) >= 3 else None
         resid = None
         if mid is not None:
@@ -157,7 +191,13 @@ def main() -> None:
             spark, bundle, f"{tmp}/ser_", runs, probe_n, write_concurrency=1
         )
         dirty_bundle = f"{tmp}/dirty_{probe_n}"
-        gen_bundle(spark, dirty_bundle, probe_n, corrupt_every=100)
+        gen_bundle(
+            spark,
+            dirty_bundle,
+            probe_n,
+            corrupt_every=100,
+            realistic_size=realistic,
+        )
         n_corrupt = probe_n // 100
         dirty_best, _, dirty_dead = _timed_build(
             spark,
@@ -174,11 +214,11 @@ def main() -> None:
     calib_mc = _cpu_calibration_mc()
     contention = round(calib_mc / min(calib0, calib1), 2) if calib_mc > 0 else -1.0
 
-    print("\n| docs | wall s | spread | docs/s |")
-    print("|---|---|---|---|")
+    print("\n| docs | MB | wall s | spread | docs/s | MB/s |")
+    print("|---|---|---|---|---|---|")
     for p in points:
-        print(f"| {p['docs']:,} | {p['sec']} | {p['spread']} | "
-              f"{p['docs_per_sec']} |")
+        print(f"| {p['docs']:,} | {p['mb']} | {p['sec']} | {p['spread']} | "
+              f"{p['docs_per_sec']} | {p['mb_per_sec']} |")
     marg_str = (
         f"(marginal {1 / marginal:.0f} docs/s)"
         if marginal > 0
@@ -187,6 +227,18 @@ def main() -> None:
     print(f"\nfit: wall = {fixed:.2f}s fixed + {marginal * 1000:.3f} ms/doc "
           + marg_str
           + (f"; midpoint residual {resid:+.1%}" if resid is not None else ""))
+    if marginal_mb > 0:
+        tb100_core_h = marginal_mb * 1e8 / 3600  # this box, 32 cores
+        print(
+            f"per-byte fit: {marginal_mb * 1000:.2f} ms/MB "
+            f"({1 / marginal_mb:.0f} MB/s marginal on one 32-core box) "
+            f"=> 100 TB ≈ {tb100_core_h:,.1f} box-hours "
+            f"(÷N boxes on a cluster; corpus: "
+            + ("realistic 50-250 KB docs" if realistic else
+               "2.3 KB fixture docs — per-byte number does NOT "
+               "transfer to real filings, use --realistic")
+            + ")"
+        )
     print(f"overlap A/B at {probe_n:,} docs: concurrent "
           f"{(mid or points[-1])['sec']}s vs serial {serial_best:.2f}s "
           f"({serial_best / (mid or points[-1])['sec']:.2f}x)")
@@ -195,12 +247,22 @@ def main() -> None:
           f"({dirty_best / (mid or points[-1])['sec']:.2f}x clean)")
 
     print(json.dumps({
-        "metric": "extract_scale_fit",
+        "metric": (
+            "extract_scale_fit_realistic" if realistic
+            else "extract_scale_fit"
+        ),
+        "realistic_corpus": realistic,
         "points": points,
         "fixed_sec": round(fixed, 3),
         "marginal_ms_per_doc": round(marginal * 1000, 4),
         "marginal_docs_per_sec": (
             round(1 / marginal, 1) if marginal > 0 else None
+        ),
+        "marginal_ms_per_mb": (
+            round(marginal_mb * 1000, 4) if marginal_mb > 0 else None
+        ),
+        "marginal_mb_per_sec": (
+            round(1 / marginal_mb, 1) if marginal_mb > 0 else None
         ),
         "midpoint_residual": resid,
         "overlap_ab": {
