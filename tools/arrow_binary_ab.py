@@ -135,11 +135,15 @@ def main() -> None:
                 raise RuntimeError(
                     f"{name} round-trip corrupted payloads: {got} != {want}"
                 )
+            disk = sum(
+                f.stat().st_size for f in Path(path).rglob("*") if f.is_file()
+            )
             legs[name] = {
                 "write_sec": round(tw, 3),
                 "read_sec": round(tr, 3),
                 "write_mb_s": round(mb / tw, 1),
                 "read_mb_s": round(mb / tr, 1),
+                "disk_mb": round(disk / 1e6, 1),
             }
             print(f"# {name}: write {tw:.2f}s read {tr:.2f}s", file=sys.stderr)
 
@@ -172,12 +176,12 @@ def main() -> None:
         df.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
-    print(f"\n| sink | write s | read s | write MB/s | read MB/s |")
-    print("|---|---|---|---|---|")
+    print("\n| sink | write s | read s | write MB/s | read MB/s | disk MB |")
+    print("|---|---|---|---|---|---|")
     for name, leg in legs.items():
         print(
             f"| {name} | {leg['write_sec']} | {leg['read_sec']} | "
-            f"{leg['write_mb_s']} | {leg['read_mb_s']} |"
+            f"{leg['write_mb_s']} | {leg['read_mb_s']} | {leg['disk_mb']} |"
         )
     arrow, pq = legs["arrowcommit"], legs["parquet"]
     print(
