@@ -124,8 +124,21 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """Host 1/5/15-min load — the probes sample an instant, loadavg
+    integrates the minute; a quiet probe pair bracketing a loaded run
+    (observed r12: probes 1.49 while entries ran 1.12x the quiet ref)
+    shows up here."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     _calib_start = _cpu_calibration()
+    _load_start = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
@@ -302,6 +315,8 @@ def main() -> None:
                 # marks a run whose totals are NOT cross-round
                 # comparable.
                 "cpu_calibration_mc_sec": calib_mc,
+                "loadavg_start": _load_start,
+                "loadavg_end": _loadavg(),
                 "extract": extract_stats,
             }
     payload.update(
