@@ -319,9 +319,7 @@ def main() -> None:
                 "loadavg_end": _loadavg(),
                 "extract": extract_stats,
             }
-    payload.update(
-        _vs_quietest_reference(timings, contention, payload["sf"])
-    )
+    payload.update(_vs_quietest_reference(timings, payload["sf"]))
     print(json.dumps(payload))
     # full record also persisted next to the repo — the driver's tail
     # capture (below) only carries the compact summary, so the complete
@@ -355,9 +353,7 @@ def main() -> None:
     spark.stop()
 
 
-def _vs_quietest_reference(
-    timings: dict[str, float], contention: float, sf
-) -> dict:
+def _vs_quietest_reference(timings: dict[str, float], sf) -> dict:
     """Mechanical round-over-round check (VERDICT r11 'what's wrong'
     #1): the single-thread contention probe understated a co-tenant
     multi-core load in r11 — the driver stamped 1.77 while 94 unchanged
@@ -370,16 +366,31 @@ def _vs_quietest_reference(
     normalize instead of diagnosing a phantom regression."""
     import statistics
 
+    # advisory metadata only: ANY failure (malformed history line,
+    # non-dict JSON, zero-division on a degenerate reference) must
+    # return {} rather than crash main() after every query already ran
+    # — the same end-of-run-crash class the calibration min() guards
     try:
-        lines = [
-            json.loads(ln)
-            for ln in (REPO / "BENCH_SUMMARY.jsonl").read_text().splitlines()
-            if ln.strip()
-        ]
-    except (OSError, ValueError):
+        return _vs_quietest_reference_inner(timings, sf, statistics)
+    except FileNotFoundError:
+        return {}  # no history yet — the normal first-run case
+    except Exception as e:
+        print(f"# quietest-reference comparison skipped: {e}", file=sys.stderr)
         return {}
+
+
+def _vs_quietest_reference_inner(
+    timings: dict[str, float], sf, statistics
+) -> dict:
+    lines = [
+        json.loads(ln)
+        for ln in (REPO / "BENCH_SUMMARY.jsonl").read_text().splitlines()
+        if ln.strip()
+    ]
     best: dict | None = None
     for rec in lines:
+        if not isinstance(rec, dict):
+            continue
         q = rec.get("queries") or {}
         c = rec.get("contention_ratio")
         if rec.get("sf") != sf:  # sf0.001 probe runs are not comparable

@@ -124,6 +124,11 @@ def build_database(
     """
     if (xml_glob is None) == (bundle_path is None):
         raise ValueError("exactly one of xml_glob / bundle_path required")
+    if write_concurrency is not None and write_concurrency < 1:
+        raise ValueError(
+            "write_concurrency must be >= 1 (or None for the "
+            f"auto default), got {write_concurrency}"
+        )
     builders = _all_builders()
     selected = tables if tables is not None else _default_tables()
     # auto-register BEFORE the source read: a requested table that is
@@ -206,11 +211,6 @@ def build_database(
         from concurrent.futures import as_completed
 
         failures: dict[str, Exception] = {}
-        if write_concurrency is not None and write_concurrency < 1:
-            raise ValueError(
-                "write_concurrency must be >= 1 (or None for the "
-                f"auto default), got {write_concurrency}"
-            )
         workers = (
             write_concurrency
             if write_concurrency is not None

@@ -58,7 +58,7 @@ def _index_rows(path: str):
 PREFIX_MANIFEST = "_objectid_prefixes.json"
 
 
-def write_objectid_prefix_manifest(path_glob: str) -> str:
+def write_objectid_prefix_manifest(path_glob: str) -> list[str]:
     """Scan every index file matching ``path_glob`` and record the set
     of 4-char ObjectId prefixes each file actually CONTAINS into a
     ``_objectid_prefixes.json`` sidecar in the same directory.
@@ -72,10 +72,17 @@ def write_objectid_prefix_manifest(path_glob: str) -> str:
     (it is one sequential pass over data the build already reads);
     ``Irs990IndexPushdownReader`` prunes from the manifest whenever it
     exists and otherwise keeps every file.
-    """
+
+    Returns the list of manifest paths written — ONE PER DIRECTORY
+    (each manifest describes only its own directory's files, so a
+    multi-directory glob with colliding basenames can never record one
+    file's evidence under another's name). A file containing any row
+    whose ObjectId is missing, non-string or shorter than 4 chars is
+    recorded as ``null`` = "no pruning evidence, always keep"."""
     import glob as _glob
     import json
     import os
+    from collections import defaultdict
 
     paths = sorted(_glob.glob(path_glob))
     if not paths:
@@ -83,20 +90,28 @@ def write_objectid_prefix_manifest(path_glob: str) -> str:
     oid_i = next(
         i for i, f in enumerate(INDEX_ENTRY.fields) if f.name == "ObjectId"
     )
-    manifest: dict[str, list[str]] = {}
+    by_dir: dict[str, dict[str, list[str] | None]] = defaultdict(dict)
     for p in paths:
-        prefixes = {
-            row[oid_i][:4]
-            for row in _index_rows(p)
-            if isinstance(row[oid_i], str) and len(row[oid_i]) >= 4
-        }
-        manifest[os.path.basename(p)] = sorted(prefixes)
-    out = os.path.join(os.path.dirname(paths[0]), PREFIX_MANIFEST)
-    tmp = out + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, out)
-    return out
+        prefixes: set[str] | None = set()
+        for row in _index_rows(p):
+            v = row[oid_i]
+            if isinstance(v, str) and len(v) >= 4:
+                prefixes.add(v[:4])
+            else:
+                prefixes = None  # un-prefixed row: file is unprunable
+                break
+        by_dir[os.path.dirname(p)][os.path.basename(p)] = (
+            sorted(prefixes) if prefixes is not None else None
+        )
+    written = []
+    for d, manifest in by_dir.items():
+        out = os.path.join(d, PREFIX_MANIFEST)
+        tmp = out + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, out)
+        written.append(out)
+    return written
 
 
 class Irs990IndexReader(DataSourceReader):
@@ -212,9 +227,16 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
         for f in self._pushed:
             if f.attribute != ("ObjectId",):
                 continue
-            if isinstance(f, StringStartsWith) and len(f.value) >= 4:
-                ys = {f.value[:4]}
-            elif isinstance(f, EqualTo) and isinstance(f.value, str):
+            # a constraint shorter than 4 chars pins no full year —
+            # e.g. EqualTo('20') can only match a SHORT ObjectId, and
+            # files holding those are marked unprunable in the
+            # manifest, so deriving {'20'} here would wrongly prune
+            # every normally-prefixed file
+            if (
+                isinstance(f, (StringStartsWith, EqualTo))
+                and isinstance(f.value, str)
+                and len(f.value) >= 4
+            ):
                 ys = {f.value[:4]}
             else:
                 continue
@@ -315,7 +337,6 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
-            IsNotNull,
             IsNull,
             LessThan,
             LessThanOrEqual,
@@ -324,6 +345,8 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
             StringStartsWith,
         )
 
+        # (IsNotNull needs no branch below: any non-IsNull predicate
+        # already rejects v is None, and a non-null value passes it)
         # pruned-to-empty partitions(): Spark still schedules one task
         # and passes partition=None — an empty result, not an error
         if partition is None:

@@ -609,3 +609,83 @@ def test_pushdown_manifest_pruning_survives_cross_year_objectid(
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_pushdown_manifest_multi_dir_and_short_objectid(spark, tmp_path):
+    """Two pruning-evidence edge cases (r12 review findings): (1) a
+    multi-directory glob with COLLIDING basenames — each directory gets
+    its own manifest describing only its own files, so one dir's
+    evidence can never prune the other's; (2) a file holding a row
+    whose ObjectId is shorter than 4 chars is recorded as null =
+    unprunable, and a short EqualTo constraint derives no year at all
+    — in every mode the row survives."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+        write_objectid_prefix_manifest,
+    )
+
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        def row(oid):
+            return {
+                "EIN": "100000001", "TaxPeriod": "201312",
+                "DLN": "1", "FormType": "990",
+                "URL": "u", "OrganizationName": "O",
+                "SubmittedOn": "2014-01-01", "ObjectId": oid,
+                "LastUpdated": "2014-01-01",
+                "IsElectronic": True, "IsAvailable": True,
+            }
+
+        for sub, oid in (("a", "2013000001"), ("b", "2015000001")):
+            d = tmp_path / sub
+            d.mkdir()
+            (d / "index_2013.json").write_text(
+                json.dumps({"Filings2013": [row(oid)]})
+            )
+        # plus a SHORT-ObjectId file in dir a
+        (tmp_path / "a" / "index_1999.json").write_text(
+            json.dumps({"Filings1999": [row("20")]})
+        )
+        pat = str(tmp_path / "*" / "index_*.json")
+        written = write_objectid_prefix_manifest(pat)
+        assert len(written) == 2  # one manifest PER directory
+        man_a = json.loads((tmp_path / "a" / "_objectid_prefixes.json").read_text())
+        man_b = json.loads((tmp_path / "b" / "_objectid_prefixes.json").read_text())
+        assert man_a["index_2013.json"] == ["2013"]
+        assert man_a["index_1999.json"] is None  # unprunable evidence
+        assert man_b["index_2013.json"] == ["2015"]
+
+        def rd(**opts):
+            r = spark.read.format("irs990index").option("pushdown", "true")
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load(pat)
+
+        # (1) basename collision: dir b's 2015 row found via ITS OWN
+        # manifest even though dir a's same-named file says 2013
+        got = rd().filter(F.col("ObjectId").startswith("2015")).collect()
+        assert [r["ObjectId"] for r in got] == ["2015000001"]
+
+        # (2) short ObjectId survives every mode and constraint shape
+        q = F.col("ObjectId") == "20"
+        assert rd().filter(q).count() == 1
+        assert rd(prune_files="filename").filter(q).count() == 1
+        assert rd(prune_files="off").filter(q).count() == 1
+        # and a <=-range that covers it doesn't prune its file
+        assert (
+            rd().filter(F.col("ObjectId") <= "2014").count() == 2
+        )  # the '20' row + the 2013 row
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)

@@ -116,9 +116,9 @@ def backfill() -> None:
     print(f"wrote {len(lines)} records to {SUMMARY.name}")
 
 
-def _full_runs(lines: list[dict]) -> list[dict]:
-    """Runs with a full per-entry table (>= 20 entries)."""
-    return [x for x in lines if len(x.get("queries", {})) >= 20]
+def _is_full(rec: dict) -> bool:
+    """A run with a full per-entry table (>= 20 entries)."""
+    return len(rec.get("queries", {})) >= 20
 
 
 def table() -> None:
@@ -126,26 +126,60 @@ def table() -> None:
     if not lines:
         print("no BENCH_SUMMARY.jsonl — run `backfill` first")
         return
-    print("| # | ts | label | entries | total s | contention |")
-    print("|---|---|---|---|---|---|")
-    fulls = _full_runs(lines)
+    print("| # | ts | label | sf | entries | total s | contention |")
+    print("|---|---|---|---|---|---|---|")
     for i, x in enumerate(lines):
-        mark = "*" if x in fulls else " "
+        mark = "*" if _is_full(x) else " "
         print(
             f"| {i}{mark} | {x.get('ts', '')[:19]} | "
-            f"{x.get('label', '')[:48]} | {len(x.get('queries', {}))} | "
+            f"{x.get('label', '')[:48]} | {x.get('sf')} | "
+            f"{len(x.get('queries', {}))} | "
             f"{x.get('value')} | {x.get('contention_ratio')} |"
         )
-    print("\n(* = full per-entry record, usable by `compare`)")
+    print(
+        "\n(* = full per-entry record; pass these GLOBAL indices to"
+        " `compare i j` — same-sf pairs only)"
+    )
 
 
 def compare(ia: int | None = None, ib: int | None = None) -> None:
-    fulls = _full_runs(load_lines())
-    if len(fulls) < 2:
-        print("need >= 2 full runs; run `backfill` first")
-        return
-    a = fulls[ia if ia is not None else -2]
-    b = fulls[ib if ib is not None else -1]
+    """Default: the latest full run vs the previous full run AT THE
+    SAME scale factor (an sf0.001 probe vs an sf0.1 run is the exact
+    cross-sf incomparability _vs_quietest_reference excludes).
+    Explicit indices are the GLOBAL row numbers `table()` prints."""
+    lines = load_lines()
+    if ia is not None or ib is not None:
+        a, b = lines[ia], lines[ib]
+        for rec, i in ((a, ia), (b, ib)):
+            if not _is_full(rec):
+                raise SystemExit(
+                    f"record #{i} ({rec.get('label', '')!r}) has no full "
+                    "per-entry table — pick a *-marked row"
+                )
+        if a.get("sf") != b.get("sf"):
+            raise SystemExit(
+                f"records #{ia} (sf {a.get('sf')}) and #{ib} "
+                f"(sf {b.get('sf')}) ran at different scale factors — "
+                "per-entry ratios across sf are meaningless"
+            )
+    else:
+        # backfilled driver DIGESTS carry no timestamp and append after
+        # the chronological git records, so they would masquerade as
+        # "latest"; the default pairing uses real full runs only
+        fulls = [
+            x
+            for x in lines
+            if _is_full(x) and x.get("source") != "driver-digest"
+        ]
+        if not fulls:
+            print("no full runs; run `backfill` first")
+            return
+        b = fulls[-1]
+        prior = [x for x in fulls[:-1] if x.get("sf") == b.get("sf")]
+        if not prior:
+            print(f"no earlier full run at sf {b.get('sf')} to compare")
+            return
+        a = prior[-1]
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb))
     ratios = {k: qb[k] / qa[k] for k in shared if qa[k] > 0}

@@ -55,7 +55,9 @@ def gen_bundle(
     88 KB fixture pack in the closure) instead of a driver-side list —
     at a filing-year's 300-470k docs the driver would otherwise
     materialize and pickle-ship the whole corpus. Both paths emit
-    byte-identical rows (parity-tested).
+    byte-identical rows (parity-tested) — in default (fixture-size)
+    mode only; realistic mode exists solely on the distributed path
+    and rejects an explicit distributed=False.
 
     ``realistic_size`` (VERDICT r11 #1): the handcrafted fixtures
     average 2.3 KB while real e-file 990s run 50-250+ KB, so a
@@ -72,6 +74,14 @@ def gen_bundle(
     generated on executors (a realistic corpus is ~65x the fixture
     bytes)."""
     if realistic_size:
+        if distributed is False:
+            # the inflation kernel lives only in the executor-side
+            # closure; honoring the driver path would silently produce
+            # an uninflated corpus
+            raise ValueError(
+                "realistic_size=True requires the distributed path "
+                "(omit distributed or pass distributed=True)"
+            )
         distributed = True
     if distributed is None:
         distributed = n_docs > 10_000
