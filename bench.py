@@ -320,6 +320,10 @@ def main() -> None:
                 "extract": extract_stats,
             }
     payload.update(_vs_quietest_reference(timings, payload["sf"]))
+    if payload.get("best_known_mc_sec") and calib_mc > 0:
+        payload["mc_vs_best_known"] = round(
+            calib_mc / payload["best_known_mc_sec"], 2
+        )
     print(json.dumps(payload))
     # full record also persisted next to the repo — the driver's tail
     # capture (below) only carries the compact summary, so the complete
@@ -408,6 +412,21 @@ def _vs_quietest_reference_inner(
         timings[k] / qa[k] for k in set(qa) & set(timings) if qa[k] > 0
     ]
     med = statistics.median(ratios)
+    # mc/single has a HARDWARE floor (~1.6 on this 32-core host: all-core
+    # turbo downclock + memory bandwidth, measured at loadavg<1), so the
+    # ratio can never reach the old <=1.2 quiet target; the ABSOLUTE mc
+    # probe value against the best ever recorded cancels the floor and
+    # is the honest co-tenant signal
+    best_mc = min(
+        (
+            rec["cpu_calibration_mc_sec"]
+            for rec in lines
+            if isinstance(rec, dict)
+            and isinstance(rec.get("cpu_calibration_mc_sec"), (int, float))
+            and rec["cpu_calibration_mc_sec"] > 0
+        ),
+        default=None,
+    )
     return {
         "median_entry_ratio_vs_quietest": round(med, 4),
         "quietest_ref": {
@@ -415,6 +434,7 @@ def _vs_quietest_reference_inner(
             "value": best.get("value"),
             "contention_ratio": best.get("contention_ratio"),
         },
+        "best_known_mc_sec": best_mc,
         "contention_suspect": med >= 1.15,
     }
 
