@@ -127,6 +127,13 @@ def gen_bundle(
                     f"</Form990PartVIISectionAGrp>"
                     for j in range(npart)
                 )
+                # a filing with an inflated Part VII realistically
+                # flags its Schedule O continuation (feeds the
+                # F9-P07-TABLE-03-SCHED-O-REPORT MANY slice)
+                rows += (
+                    "<InfoInScheduleOPartVIIInd>X"
+                    "</InfoInScheduleOPartVIIInd>"
+                )
                 xml = xml.replace("</IRS990>", rows + "</IRS990>", 1)
             if "</IRS990ScheduleJ>" in xml:
                 rows = "".join(
