@@ -188,8 +188,53 @@ def read_return_xml_files(
     return with_parsed_return(raw)
 
 
+def _bundle_columnar_batch_size(bundle_path: str) -> int | None:
+    """Adaptive vectorized-reader batch size for LARGE-cell bundles.
+
+    Spark's parquet reader materializes ``columnarReaderBatchSize``
+    (default 4096) rows per column batch in one contiguous buffer; at
+    realistic filing sizes (50-250 KB of XML per row) that is ~600 MB
+    per task — 32 concurrent scan tasks OOM a 128 GB heap before the
+    parse even starts (measured r12: "Cannot reserve additional
+    contiguous bytes (requested 441126829)"). Target ~32 MB of cell
+    bytes per batch from the first local part-file's footer
+    (uncompressed size / rows); None = footer unreadable (object
+    store / layout change) = leave Spark's default alone."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        parts = sorted(
+            _glob.glob(f"{bundle_path.rstrip('/')}/part-*.parquet")
+        ) or sorted(_glob.glob(f"{bundle_path.rstrip('/')}/*.parquet"))
+        if not parts:
+            return None
+        meta = pq.ParquetFile(parts[0]).metadata
+        rows = meta.num_rows
+        raw = sum(
+            meta.row_group(g).total_byte_size
+            for g in range(meta.num_row_groups)
+        )
+        if rows <= 0 or raw <= 0:
+            return None
+        per_row = raw / rows
+        return max(64, min(4096, int(32 * 1024 * 1024 / per_row)))
+    except Exception:
+        return None
+
+
 def read_return_bundle(spark: SparkSession, bundle_path: str) -> DataFrame:
-    """Scale source: parquet bundles of (url, xml)."""
+    """Scale source: parquet bundles of (url, xml). Sets the session's
+    vectorized-reader batch size from the bundle's measured row width
+    (see :func:`_bundle_columnar_batch_size`) — the conf is consulted
+    at scan execution, and the build jobs execute their reads promptly,
+    so the adaptive value governs this bundle's scan."""
+    batch = _bundle_columnar_batch_size(bundle_path)
+    if batch is not None:
+        # always set (4096 restores the default after a large-cell
+        # bundle shrank it earlier in the session)
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", batch)
     return with_parsed_return(spark.read.parquet(bundle_path))
 
 

@@ -1234,3 +1234,44 @@ def test_realistic_size_corpus_inflates_and_extracts(spark, tmp_path):
     )
     resd = build_database(spark, str(tmp_path / "od"), bundle_path=b + "d")
     assert resd.dead_rows == n // 13 and resd.rows["CORE"] == n - n // 13
+
+
+def test_bundle_columnar_batch_size_adapts_to_cell_width(spark, tmp_path):
+    """Large-cell bundle OOM guard (r12 scale finding): Spark's
+    vectorized parquet reader reserves batchSize x cell-bytes
+    contiguously per scan task — 4096 x 150 KB x 32 tasks blew a
+    128 GB heap on the 100k realistic corpus before the parse began.
+    read_return_bundle sizes the batch from the bundle's measured row
+    width (~32 MB target) and restores the 4096 default for
+    small-cell bundles."""
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        _bundle_columnar_batch_size,
+        read_return_bundle,
+    )
+    from tools.gen_xml_corpus import gen_bundle
+
+    small = str(tmp_path / "small")
+    gen_bundle(spark, small, 26, partitions=2)
+    assert _bundle_columnar_batch_size(small) == 4096  # clamped default
+
+    big = str(tmp_path / "big")
+    gen_bundle(spark, big, 26, partitions=2, realistic_size=True)
+    b = _bundle_columnar_batch_size(big)
+    # ~32 MB / ~144 KB-per-row ≈ low hundreds; must be well under 4096
+    assert 64 <= b < 1024
+
+    # nonexistent path: leave Spark's conf alone
+    assert _bundle_columnar_batch_size(str(tmp_path / "nope")) is None
+
+    # the reader actually applies it, and a later small-cell read
+    # restores the default
+    read_return_bundle(spark, big)
+    assert (
+        spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
+        == str(b)
+    )
+    read_return_bundle(spark, small)
+    assert (
+        spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
+        == "4096"
+    )
