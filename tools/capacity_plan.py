@@ -118,6 +118,24 @@ def main() -> None:
     sf1_dir = None
     if "--three" in sys.argv[1:]:
         sf1_dir = sys.argv[sys.argv.index("--three") + 1]
+    families = dict(FAMILIES)
+    if "--families" in sys.argv[1:]:
+        # comma-separated case-insensitive substrings of family labels
+        # (e.g. --families minhash,substring) — re-measure just the
+        # families a corpus change touches instead of the full sweep
+        pats = [
+            p.strip().lower()
+            for p in sys.argv[sys.argv.index("--families") + 1].split(",")
+        ]
+        families = {
+            k: v
+            for k, v in FAMILIES.items()
+            if any(p in k.lower() for p in pats)
+        }
+        if not families:
+            raise SystemExit(
+                f"--families matched nothing; labels: {list(FAMILIES)}"
+            )
     reps = 1 if quick else 2
     from irs_990_efiler_database_spark.caching import release_cached
     from irs_990_efiler_database_spark.plans.metrics import (
@@ -131,7 +149,7 @@ def main() -> None:
     rows = []
     out = {}
     sf_dirs = [SF_SMALL, SF_BIG] + ([sf1_dir] if sf1_dir else [])
-    for label, (qname, tables) in FAMILIES.items():
+    for label, (qname, tables) in families.items():
         fn = qs[qname]
         _time_query(spark, fn, SF_SMALL)  # warm codegen/JIT once
         times = {d: float("inf") for d in sf_dirs}
