@@ -1100,6 +1100,131 @@ def fdedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # round-11 split: the evaluation/linkage-model sub-family moved to
+@register(
+    "fdedup_repetition_removal",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+               j -> array_to_string(toks[j*10+1 : j*10+10], ' ')) AS ps
+      FROM w
+    ),
+    aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN list_append(ps, ps[1])
+                  ELSE ps END AS ps
+      FROM pr
+    ),
+    ex AS (
+      SELECT doc_id, i - 1 AS para_ix, md5(ps[i]) AS pmd5
+      FROM aug, unnest(generate_series(1, len(ps))) AS g(i)
+    ),
+    marked AS (
+      SELECT doc_id, para_ix, pmd5,
+             row_number() OVER (PARTITION BY doc_id, pmd5
+                                ORDER BY para_ix) AS rn
+      FROM ex
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(string_agg(CASE WHEN rn = 1 THEN pmd5 END, chr(10)
+                          ORDER BY para_ix)) AS cleaned_fp,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rep_ratio
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def fdedup_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal — the intra-doc complement of
+    the cross-doc dedup family (boilerplate paragraphs, scraper echo,
+    chorus/header repeats): segment each doc into 10-token paragraphs,
+    drop every paragraph already seen earlier in the SAME doc (keep
+    first occurrence, preserve order), and emit per-doc metrics plus a
+    fingerprint of the cleaned sequence. The fixture corpus has no
+    organic intra-doc repeats at small SF, so docs with doc_id % 5 == 0
+    get their first paragraph re-appended (same augmentation in the
+    oracle) — those must come back with n_removed >= 1 and a cleaned_fp
+    equal to the unaugmented sequence's.
+
+    Scale shape: paragraph construction is row-local HOFs; the
+    keep-first decision shuffles (doc_id, md5(paragraph)) digests —
+    never text — partitioned by a key that embeds doc_id, so no hot
+    key can exist; the rebuild groups by doc_id carrying 32-char
+    digests. cleaned_fp is the md5 over KEPT paragraph digests in
+    order (digest-of-digests), so no stage rematerializes document
+    text. Reference analog: none (the R pipeline has no intra-doc
+    text hygiene); modeled on the paragraph-dedup stage of public LLM
+    corpus pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    tk = F.col("toks")
+    # tk is referenced both in the sequence bound and the lambda, so
+    # CollapseProject cannot inline the split into the HOF body (the
+    # plan-audit recompute gate enforces this; same shape as
+    # text_retrieval.text_chunk_fixed)
+    n_paras = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda j: F.concat_ws(" ", F.slice(tk, j * 10 + 1, 10)),
+    )
+    p0 = w.select("doc_id", F.posexplode(paras).alias("para_ix", "para"))
+    # fixture augmentation only (not part of the operator): re-append
+    # paragraph 0 as an extra exploded ROW — array surgery on the
+    # paras expression would chain projections that Catalyst collapses
+    # into the lambda, re-evaluating the split per element
+    inject = w.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        n_paras.alias("para_ix"),
+        F.concat_ws(" ", F.slice(tk, 1, 10)).alias("para"),
+    )
+    p = p0.unionByName(inject).select(
+        "doc_id", "para_ix", F.md5("para").alias("pmd5")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "pmd5").orderBy("para_ix")
+    )
+    marked = p.withColumn("rn", rn)
+    kept_fp = F.md5(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("para_ix", "pmd5")
+                        )
+                    )
+                ),
+                lambda s: s["pmd5"],
+            ),
+        )
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        kept_fp.alias("cleaned_fp"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_removed",
+        "cleaned_fp",
+        (F.col("n_removed").cast("double") / F.col("n_paras")).alias(
+            "rep_ratio"
+        ),
+    )
+
+
 # dedup_eval — re-exported here so import paths and registered names
 # are unchanged (this import runs LAST so the shared corpus/SQL
 # helpers above already exist when dedup_eval imports them back)

@@ -132,6 +132,61 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_overlap",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_ix,
+           CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+           CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[i*48+1 : i*48+64], ' ')) AS chunk_md5
+    FROM c, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (strided) chunking — the RAG / long-context variant
+    of ``text_chunk_fixed``: 64-token windows advancing by a 48-token
+    stride, so consecutive chunks share a 16-token overlap and no
+    retrieval boundary can split an answer span. The final window is
+    truncated at the document end but always reaches it (its width is
+    16..64; a doc at or under one window emits exactly one chunk), so
+    every token is covered. Like the fixed
+    chunker this is built row-locally (sequence+transform+slice, then
+    one posexplode): a shuffle-free scan whose output carries md5
+    digests, never chunk text — at 100 TB the chunk table is what a
+    vector-index build consumes, and it streams map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    tk = F.col("toks")
+    n = F.size(tk)
+    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(64)) / F.lit(48.0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i * 48 + 1, 64)),
+    )
+    c = w.select("doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        (F.col("chunk_ix") * 48 + 1).cast("long").alias("start_tok"),
+        F.size(F.split("chunk", r"\s+")).cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+@register(
     "text_conjunctive_search",
     oracle=r"""
     WITH toks AS (

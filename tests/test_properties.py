@@ -501,3 +501,113 @@ def test_time_sliced_staging_partitions_exactly(tmp_path_factory, rows, k):
     )
     assert allk == want  # nothing lost, nothing duplicated
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+
+# ---- overlapping chunker / repetition removal ----------------------
+
+
+@given(_texts)
+@SETTINGS
+def test_overlap_chunker_covers_every_token(spark, texts):
+    """Strided chunking (64-token windows, 48-token stride) must cover
+    the token stream exactly: chunk_ix contiguous from 0, start_tok on
+    the stride grid, each window holding the actual slice (md5-checked),
+    consecutive windows sharing 16 tokens, and the last window reaching
+    the final token."""
+    import hashlib
+    import re
+
+    import irs_990_efiler_database_spark.queries.text_retrieval as tr
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig_load = tr.load_table
+    tr.load_table = lambda _s, _d, _n: df
+    try:
+        out = tr.text_chunk_overlap(spark, "unused").collect()
+    finally:
+        tr.load_table = orig_load
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_ix"])
+        assert [r["chunk_ix"] for r in chunks] == list(range(len(chunks)))
+        for r in chunks:
+            start = r["chunk_ix"] * 48 + 1
+            assert r["start_tok"] == start
+            want = toks[start - 1 : start - 1 + 64]
+            assert r["n_tokens"] == len(want)
+            assert (
+                r["chunk_md5"]
+                == hashlib.md5(" ".join(want).encode()).hexdigest()
+            )
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tokens"] - 1 == n  # reaches end
+        if n <= 64:
+            assert len(chunks) == 1 and last["n_tokens"] == n
+        else:
+            assert all(r["n_tokens"] == 64 for r in chunks[:-1])
+            assert 16 <= last["n_tokens"] <= 64
+
+
+@given(_texts)
+@SETTINGS
+def test_repetition_removal_matches_pure_python(spark, texts):
+    """Within-doc paragraph dedup vs an independent pure-Python model:
+    10-token paragraphs, first-paragraph re-append for doc_id % 5 == 0,
+    keep-first-occurrence, digest-of-digests fingerprint. The augmented
+    docs must report n_removed >= 1 and a cleaned_fp identical to the
+    UNAUGMENTED paragraph sequence's (removal exactly undoes the
+    injection when the doc had no organic repeats)."""
+    import hashlib
+    import re
+
+    import irs_990_efiler_database_spark.queries.dedup_ops as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig_load = dd.load_table
+    dd.load_table = lambda _s, _d, _n: df
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in dd.fdedup_repetition_removal(spark, "unused").collect()
+        }
+    finally:
+        dd.load_table = orig_load
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        paras = [
+            " ".join(toks[j : j + 10]) for j in range(0, len(toks), 10)
+        ]
+        base = list(paras)
+        if doc_id % 5 == 0:
+            paras = paras + [paras[0]]
+        seen, kept = set(), []
+        for p in paras:
+            h = md5(p)
+            if h not in seen:
+                seen.add(h)
+                kept.append(h)
+        r = out[doc_id]
+        assert r["n_paras"] == len(paras)
+        assert r["n_removed"] == len(paras) - len(kept)
+        assert r["cleaned_fp"] == md5("\n".join(kept))
+        assert abs(
+            r["rep_ratio"] - (len(paras) - len(kept)) / len(paras)
+        ) < 1e-12
+        if doc_id % 5 == 0:
+            assert r["n_removed"] >= 1
+            # injection fully undone when the doc had no organic repeats
+            base_kept = []
+            bs = set()
+            for p in base:
+                h = md5(p)
+                if h not in bs:
+                    bs.add(h)
+                    base_kept.append(h)
+            assert r["cleaned_fp"] == md5("\n".join(base_kept))
