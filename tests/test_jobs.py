@@ -1275,3 +1275,52 @@ def test_bundle_columnar_batch_size_adapts_to_cell_width(spark, tmp_path):
         spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
         == "4096"
     )
+
+
+def test_auto_write_concurrency_is_size_adaptive(spark, tmp_path):
+    """r12 overlap A/B follow-through: auto write_concurrency overlaps
+    latency-dominated (small) builds and serializes bandwidth-bound
+    (multi-GB) ones; unknown source size keeps the overlap default
+    (loss case is bounded, win case is >2x)."""
+    from irs_990_efiler_database_spark.jobs import (
+        _OVERLAP_SERIAL_BYTES,
+        _auto_write_concurrency,
+        _estimate_input_bytes,
+    )
+    from tools.gen_xml_corpus import gen_bundle
+
+    # decision table
+    assert _auto_write_concurrency(None, 13) == 8
+    assert _auto_write_concurrency(46 << 20, 13) == 8
+    assert _auto_write_concurrency(_OVERLAP_SERIAL_BYTES, 13) == 1
+    assert _auto_write_concurrency(20 << 30, 13) == 1
+    assert _auto_write_concurrency(1 << 20, 0) == 1  # no tables -> 1
+
+    # bundle estimate: sums the local part-files
+    bundle = str(tmp_path / "bundle")
+    gen_bundle(spark, bundle, 26, partitions=2)
+    import glob
+    import os
+
+    want = sum(
+        os.path.getsize(f)
+        for f in {
+            *glob.glob(f"{bundle}/*.parquet"),
+            *glob.glob(f"{bundle}/part-*"),
+        }
+        if os.path.isfile(f)
+    )
+    got = _estimate_input_bytes(None, bundle)
+    assert got == want and got > 0
+
+    # glob estimate
+    x1 = tmp_path / "a.xml"
+    x2 = tmp_path / "b.xml"
+    x1.write_bytes(b"<Return/>" * 10)
+    x2.write_bytes(b"<Return/>" * 20)
+    est = _estimate_input_bytes(str(tmp_path / "*.xml"), None)
+    assert est == x1.stat().st_size + x2.stat().st_size
+
+    # unknown source -> None (never "small")
+    assert _estimate_input_bytes(None, "s3a://bucket/bundle") is None
+    assert _estimate_input_bytes(str(tmp_path / "none-*.xml"), None) is None
