@@ -121,6 +121,10 @@ HEADLINE = [
     # bootstrap) — entry count 93 → 95
     "events_stream_state_introspection",
     "events_stream_running_totals_bootstrap_tws",
+    # round 12 additions (within-doc repetition removal; strided RAG
+    # chunking) — entry count 95 → 97
+    "fdedup_repetition_removal",
+    "text_chunk_overlap",
 ]
 
 

@@ -48,6 +48,9 @@ AUDIT = {
     "q1_pricing_summary": ["lineitem"],
     "q18_large_volume_orders": ["lineitem", "orders", "customer"],
     "events_rfm_segmentation": ["events"],
+    # r12: within-doc paragraph dedup — its docstring claims the
+    # keep-first decision shuffles digests, never text
+    "fdedup_repetition_removal": ["documents"],
 }
 
 
