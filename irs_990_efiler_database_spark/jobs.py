@@ -84,59 +84,76 @@ def _default_tables() -> list[str]:
     )
 
 
-# above this source size, auto write_concurrency serializes table
-# writes: the r12 overlap A/B measured 2.05x at 46 MB, 1.31x at
-# 1.1 GB, 0.88x at 15.4 GB — the crossover sits in the low GBs, and
-# 4 GiB is safely past every measured win and below the measured loss
+# above this BUNDLE-equivalent on-disk size, auto write_concurrency
+# serializes table writes: the r12 overlap A/B measured 2.05x at
+# 46 MB, 1.31x at 1.1 GB, 0.88x at 15.4 GB of raw XML (snappy bundle
+# on disk ~1/3 of that) — the crossover sits in the low on-disk GBs,
+# and 4 GiB is safely past every measured win and below the measured
+# loss
 _OVERLAP_SERIAL_BYTES = 4 << 30
+# the threshold is calibrated on snappy-parquet bundle bytes; raw XML
+# compresses ~3x into the bundles, so xml_glob estimates are divided
+# by this before the comparison (keeping a single committed threshold)
+_XML_TO_BUNDLE_BYTES = 3
 
 
 def _estimate_input_bytes(
-    xml_glob: str | list[str] | None, bundle_path: str | None
+    spark: SparkSession,
+    xml_glob: str | list[str] | None,
+    bundle_path: str | None,
 ) -> int | None:
-    """Best-effort LOCAL on-disk size of the build source (bundle
-    part-files or glob matches); None when nothing is locally
-    stat-able (object store, exotic layout) — callers must treat None
-    as "unknown", not "small"."""
-    import glob as _glob
-    import os
-
+    """Best-effort on-disk size of the build source via Hadoop FS
+    (works on local, S3A, HDFS; nested/partitioned bundle layouts
+    included via getContentSummary's recursive sum). None when the
+    filesystem cannot answer (missing connector jars, bad path) —
+    callers must treat None as "unknown", not "small"."""
     try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+
+        def _path_bytes(p: str) -> int:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(hconf)
+            return fs.getContentSummary(jpath).getLength()
+
         if bundle_path is not None:
-            p = bundle_path.rstrip("/")
-            parts = [
-                f
-                for f in _glob.glob(f"{p}/*.parquet")
-                + _glob.glob(f"{p}/part-*")
-                if os.path.isfile(f)
-            ] or ([p] if os.path.isfile(p) else [])
-        else:
-            globs = (
-                [xml_glob] if isinstance(xml_glob, str) else list(xml_glob)
-            )
-            parts = [
-                f
-                for g in globs
-                for f in _glob.glob(g)
-                if os.path.isfile(f)
-            ]
-        if not parts:
-            return None
-        return sum(os.path.getsize(f) for f in set(parts))
-    except OSError:
+            return _path_bytes(bundle_path)
+        total = 0
+        globs = [xml_glob] if isinstance(xml_glob, str) else list(xml_glob)
+        matched = False
+        for g in globs:
+            jpath = jvm.org.apache.hadoop.fs.Path(g)
+            fs = jpath.getFileSystem(hconf)
+            statuses = fs.globStatus(jpath)
+            if statuses is None:
+                continue
+            for s in statuses:
+                matched = True
+                total += (
+                    s.getLen()
+                    if s.isFile()
+                    else fs.getContentSummary(s.getPath()).getLength()
+                )
+        return total if matched else None
+    except Exception:  # noqa: BLE001 — any FS failure means "unknown"
         return None
 
 
 def _auto_write_concurrency(
-    est_bytes: int | None, n_tables: int
+    est_bytes: int | None, n_tables: int, raw_xml: bool = False
 ) -> int:
     """Size-adaptive default for ``build_database(write_concurrency=
     None)``: serialize once the source is big enough that per-table
     writes are bandwidth-bound (overlap then only adds commit-path
     contention — measured 0.88x at 15.4 GB), overlap the fixed
     job-setup/commit latency below that (measured 2.05x at small
-    sizes). Unknown size keeps the overlap default: the loss case is
-    bounded (-12% measured) while the win case is >2x."""
+    sizes). ``raw_xml`` converts an uncompressed-XML estimate to
+    bundle-equivalent bytes before the comparison. Unknown size keeps
+    the overlap default: the loss case is bounded (-12% measured)
+    while the win case is >2x."""
+    if est_bytes is not None and raw_xml:
+        est_bytes //= _XML_TO_BUNDLE_BYTES
     if est_bytes is not None and est_bytes >= _OVERLAP_SERIAL_BYTES:
         return 1
     return min(8, n_tables or 1)
@@ -182,10 +199,11 @@ def build_database(
     are LATENCY-dominated and stops paying once they are
     bandwidth-bound (measured r12 A/B: 2.05x at a 20k-doc build,
     1.31x at a 1.1 GB filing year, 0.88x — a net loss — at a 15.4 GB
-    realistic corpus), so auto mode serializes when the locally
-    visible source exceeds ~4 GiB and otherwise overlaps at
-    min(8, #tables); an unreadable/remote source keeps the overlap
-    default (see :func:`_auto_write_concurrency`).
+    realistic corpus), so auto mode serializes when the Hadoop-FS-
+    visible source (local, S3A, HDFS; raw-XML globs converted to
+    bundle-equivalent bytes) exceeds ~4 GiB on disk and otherwise
+    overlaps at min(8, #tables); an unstatable source keeps the
+    overlap default (see :func:`_auto_write_concurrency`).
     """
     if (xml_glob is None) == (bundle_path is None):
         raise ValueError("exactly one of xml_glob / bundle_path required")
@@ -280,8 +298,9 @@ def build_database(
             write_concurrency
             if write_concurrency is not None
             else _auto_write_concurrency(
-                _estimate_input_bytes(xml_glob, bundle_path),
+                _estimate_input_bytes(spark, xml_glob, bundle_path),
                 len(selected),
+                raw_xml=xml_glob is not None,
             )
         )
         with ThreadPoolExecutor(max_workers=workers) as ex:

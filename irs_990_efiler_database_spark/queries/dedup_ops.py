@@ -1099,7 +1099,6 @@ def fdedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# round-11 split: the evaluation/linkage-model sub-family moved to
 @register(
     "fdedup_repetition_removal",
     oracle=r"""
@@ -1225,6 +1224,7 @@ def fdedup_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-11 split: the evaluation/linkage-model sub-family moved to
 # dedup_eval — re-exported here so import paths and registered names
 # are unchanged (this import runs LAST so the shared corpus/SQL
 # helpers above already exist when dedup_eval imports them back)

@@ -159,7 +159,8 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride, so consecutive chunks share a 16-token overlap and no
     retrieval boundary can split an answer span. The final window is
     truncated at the document end but always reaches it (its width is
-    16..64; a doc at or under one window emits exactly one chunk), so
+    17..64 for multi-window docs — 16 shared tokens plus at least one
+    new; a doc at or under one window emits exactly one chunk), so
     every token is covered. Like the fixed
     chunker this is built row-locally (sequence+transform+slice, then
     one posexplode): a shuffle-free scan whose output carries md5

@@ -1289,38 +1289,53 @@ def test_auto_write_concurrency_is_size_adaptive(spark, tmp_path):
     )
     from tools.gen_xml_corpus import gen_bundle
 
-    # decision table
+    # decision table (bundle-equivalent bytes)
     assert _auto_write_concurrency(None, 13) == 8
     assert _auto_write_concurrency(46 << 20, 13) == 8
     assert _auto_write_concurrency(_OVERLAP_SERIAL_BYTES, 13) == 1
     assert _auto_write_concurrency(20 << 30, 13) == 1
     assert _auto_write_concurrency(1 << 20, 0) == 1  # no tables -> 1
+    # raw XML is converted by the measured ~3x snappy factor: 4 GiB of
+    # raw XML is ~1.3 GiB bundle-equivalent (overlap WINS there, 1.31x
+    # measured); 3x the threshold serializes
+    assert _auto_write_concurrency(_OVERLAP_SERIAL_BYTES, 13, raw_xml=True) == 8
+    assert (
+        _auto_write_concurrency(3 * _OVERLAP_SERIAL_BYTES, 13, raw_xml=True)
+        == 1
+    )
 
-    # bundle estimate: sums the local part-files
+    # bundle estimate: recursive Hadoop-FS content summary
     bundle = str(tmp_path / "bundle")
     gen_bundle(spark, bundle, 26, partitions=2)
-    import glob
     import os
 
     want = sum(
-        os.path.getsize(f)
-        for f in {
-            *glob.glob(f"{bundle}/*.parquet"),
-            *glob.glob(f"{bundle}/part-*"),
-        }
-        if os.path.isfile(f)
+        os.path.getsize(os.path.join(r, f))
+        for r, _dirs, files in os.walk(bundle)
+        for f in files
+        if not f.startswith(".")  # Hadoop hides .crc checksum files
     )
-    got = _estimate_input_bytes(None, bundle)
+    got = _estimate_input_bytes(spark, None, bundle)
     assert got == want and got > 0
+
+    # nested (partitioned) layout: same recursive sum, no glob shape
+    # assumptions
+    nested = tmp_path / "nested" / "year=2020"
+    nested.mkdir(parents=True)
+    (nested / "part-0.parquet").write_bytes(b"x" * 1234)
+    assert _estimate_input_bytes(spark, None, str(tmp_path / "nested")) == 1234
 
     # glob estimate
     x1 = tmp_path / "a.xml"
     x2 = tmp_path / "b.xml"
     x1.write_bytes(b"<Return/>" * 10)
     x2.write_bytes(b"<Return/>" * 20)
-    est = _estimate_input_bytes(str(tmp_path / "*.xml"), None)
+    est = _estimate_input_bytes(spark, str(tmp_path / "*.xml"), None)
     assert est == x1.stat().st_size + x2.stat().st_size
 
-    # unknown source -> None (never "small")
-    assert _estimate_input_bytes(None, "s3a://bucket/bundle") is None
-    assert _estimate_input_bytes(str(tmp_path / "none-*.xml"), None) is None
+    # unknown source -> None (never "small"): no s3a jars in this env
+    assert _estimate_input_bytes(spark, None, "s3a://bucket/bundle") is None
+    assert (
+        _estimate_input_bytes(spark, str(tmp_path / "none-*.xml"), None)
+        is None
+    )

@@ -550,7 +550,8 @@ def test_overlap_chunker_covers_every_token(spark, texts):
             assert len(chunks) == 1 and last["n_tokens"] == n
         else:
             assert all(r["n_tokens"] == 64 for r in chunks[:-1])
-            assert 16 <= last["n_tokens"] <= 64
+            # width = 16 shared + 1..48 new tokens, never exactly 16
+            assert 17 <= last["n_tokens"] <= 64
 
 
 @given(_texts)
