@@ -84,17 +84,44 @@ def _default_tables() -> list[str]:
     )
 
 
-# above this BUNDLE-equivalent on-disk size, auto write_concurrency
+# above this UNCOMPRESSED source size, auto write_concurrency
 # serializes table writes: the r12 overlap A/B measured 2.05x at
-# 46 MB, 1.31x at 1.1 GB, 0.88x at 15.4 GB of raw XML (snappy bundle
-# on disk ~1/3 of that) — the crossover sits in the low on-disk GBs,
-# and 4 GiB is safely past every measured win and below the measured
-# loss
-_OVERLAP_SERIAL_BYTES = 4 << 30
-# the threshold is calibrated on snappy-parquet bundle bytes; raw XML
-# compresses ~3x into the bundles, so xml_glob estimates are divided
-# by this before the comparison (keeping a single committed threshold)
-_XML_TO_BUNDLE_BYTES = 3
+# 46 MB, 1.31x at a 1.1 GB filing year, 0.88x at the 15.4 GB
+# realistic corpus — all in raw (uncompressed) XML cell bytes, the
+# unit that governs the parse/write volume. 8 GiB sits safely past
+# every measured win and below the measured loss. NOTE the unit: the
+# 15.4 GB corpus is only ~1 GB on disk (snappy ~16x on the narrative
+# text), so an on-disk threshold would never fire for the exact
+# corpus that measured the loss — bundle estimates are rescaled to
+# uncompressed via the first part-file's footer ratio below.
+_OVERLAP_SERIAL_BYTES = 8 << 30
+
+
+def _bundle_uncompressed_ratio(bundle_path: str) -> float | None:
+    """Uncompressed/compressed ratio from the first LOCAL part-file's
+    parquet footer (same footer `_bundle_columnar_batch_size` reads);
+    None when no local footer is readable (object store) — the
+    on-disk size then stands as a LOWER bound on uncompressed."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        parts = sorted(
+            _glob.glob(f"{bundle_path.rstrip('/')}/part-*.parquet")
+        ) or sorted(_glob.glob(f"{bundle_path.rstrip('/')}/*.parquet"))
+        if not parts:
+            return None
+        meta = pq.ParquetFile(parts[0]).metadata
+        raw = comp = 0
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            raw += rg.total_byte_size
+            for c in range(rg.num_columns):
+                comp += rg.column(c).total_compressed_size
+        return raw / comp if comp > 0 else None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _estimate_input_bytes(
@@ -102,23 +129,25 @@ def _estimate_input_bytes(
     xml_glob: str | list[str] | None,
     bundle_path: str | None,
 ) -> int | None:
-    """Best-effort on-disk size of the build source via Hadoop FS
-    (works on local, S3A, HDFS; nested/partitioned bundle layouts
-    included via getContentSummary's recursive sum). None when the
-    filesystem cannot answer (missing connector jars, bad path) —
+    """Best-effort UNCOMPRESSED size of the build source. Raw-XML glob
+    matches are already uncompressed — their Hadoop-FS sizes (local,
+    S3A, HDFS; directories summed recursively) are used directly. A
+    parquet bundle's on-disk size is rescaled by the footer-measured
+    compression ratio when a local footer is readable; otherwise the
+    on-disk size stands as a lower bound (errs toward overlap, whose
+    loss case is bounded). None when the filesystem cannot answer —
     callers must treat None as "unknown", not "small"."""
     try:
         sc = spark.sparkContext
         jvm = sc._jvm
         hconf = sc._jsc.hadoopConfiguration()
 
-        def _path_bytes(p: str) -> int:
-            jpath = jvm.org.apache.hadoop.fs.Path(p)
-            fs = jpath.getFileSystem(hconf)
-            return fs.getContentSummary(jpath).getLength()
-
         if bundle_path is not None:
-            return _path_bytes(bundle_path)
+            jpath = jvm.org.apache.hadoop.fs.Path(bundle_path)
+            fs = jpath.getFileSystem(hconf)
+            disk = fs.getContentSummary(jpath).getLength()
+            ratio = _bundle_uncompressed_ratio(bundle_path)
+            return int(disk * ratio) if ratio is not None else disk
         total = 0
         globs = [xml_glob] if isinstance(xml_glob, str) else list(xml_glob)
         matched = False
@@ -140,20 +169,14 @@ def _estimate_input_bytes(
         return None
 
 
-def _auto_write_concurrency(
-    est_bytes: int | None, n_tables: int, raw_xml: bool = False
-) -> int:
+def _auto_write_concurrency(est_bytes: int | None, n_tables: int) -> int:
     """Size-adaptive default for ``build_database(write_concurrency=
     None)``: serialize once the source is big enough that per-table
     writes are bandwidth-bound (overlap then only adds commit-path
-    contention — measured 0.88x at 15.4 GB), overlap the fixed
-    job-setup/commit latency below that (measured 2.05x at small
-    sizes). ``raw_xml`` converts an uncompressed-XML estimate to
-    bundle-equivalent bytes before the comparison. Unknown size keeps
-    the overlap default: the loss case is bounded (-12% measured)
-    while the win case is >2x."""
-    if est_bytes is not None and raw_xml:
-        est_bytes //= _XML_TO_BUNDLE_BYTES
+    contention — measured 0.88x at 15.4 GB uncompressed), overlap the
+    fixed job-setup/commit latency below that (measured 2.05x at
+    small sizes). Unknown size keeps the overlap default: the loss
+    case is bounded (-12% measured) while the win case is >2x."""
     if est_bytes is not None and est_bytes >= _OVERLAP_SERIAL_BYTES:
         return 1
     return min(8, n_tables or 1)
@@ -199,9 +222,10 @@ def build_database(
     are LATENCY-dominated and stops paying once they are
     bandwidth-bound (measured r12 A/B: 2.05x at a 20k-doc build,
     1.31x at a 1.1 GB filing year, 0.88x — a net loss — at a 15.4 GB
-    realistic corpus), so auto mode serializes when the Hadoop-FS-
-    visible source (local, S3A, HDFS; raw-XML globs converted to
-    bundle-equivalent bytes) exceeds ~4 GiB on disk and otherwise
+    realistic corpus), so auto mode serializes when the source
+    exceeds ~8 GiB UNCOMPRESSED (raw-XML globs measured directly via
+    Hadoop FS — local, S3A, HDFS; parquet bundles rescaled from
+    on-disk size by the footer compression ratio) and otherwise
     overlaps at min(8, #tables); an unstatable source keeps the
     overlap default (see :func:`_auto_write_concurrency`).
     """
@@ -300,7 +324,6 @@ def build_database(
             else _auto_write_concurrency(
                 _estimate_input_bytes(spark, xml_glob, bundle_path),
                 len(selected),
-                raw_xml=xml_glob is not None,
             )
         )
         with ThreadPoolExecutor(max_workers=workers) as ex:

@@ -1289,37 +1289,40 @@ def test_auto_write_concurrency_is_size_adaptive(spark, tmp_path):
     )
     from tools.gen_xml_corpus import gen_bundle
 
-    # decision table (bundle-equivalent bytes)
+    # decision table (uncompressed source bytes)
     assert _auto_write_concurrency(None, 13) == 8
     assert _auto_write_concurrency(46 << 20, 13) == 8
+    # the 1.1 GB filing year measured a 1.31x overlap WIN — must overlap
+    assert _auto_write_concurrency(1100 << 20, 13) == 8
     assert _auto_write_concurrency(_OVERLAP_SERIAL_BYTES, 13) == 1
-    assert _auto_write_concurrency(20 << 30, 13) == 1
+    # the 15.4 GB realistic corpus measured the 0.88x loss — serialize
+    assert _auto_write_concurrency(15_400 << 20, 13) == 1
     assert _auto_write_concurrency(1 << 20, 0) == 1  # no tables -> 1
-    # raw XML is converted by the measured ~3x snappy factor: 4 GiB of
-    # raw XML is ~1.3 GiB bundle-equivalent (overlap WINS there, 1.31x
-    # measured); 3x the threshold serializes
-    assert _auto_write_concurrency(_OVERLAP_SERIAL_BYTES, 13, raw_xml=True) == 8
-    assert (
-        _auto_write_concurrency(3 * _OVERLAP_SERIAL_BYTES, 13, raw_xml=True)
-        == 1
+
+    # bundle estimate: Hadoop-FS on-disk sum RESCALED to uncompressed
+    # by the footer ratio — the 15.4 GB realistic corpus is ~1 GB on
+    # disk (snappy ~16x), so on-disk bytes are the wrong unit
+    from irs_990_efiler_database_spark.jobs import (
+        _bundle_uncompressed_ratio,
     )
 
-    # bundle estimate: recursive Hadoop-FS content summary
     bundle = str(tmp_path / "bundle")
     gen_bundle(spark, bundle, 26, partitions=2)
     import os
 
-    want = sum(
+    disk = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _dirs, files in os.walk(bundle)
         for f in files
         if not f.startswith(".")  # Hadoop hides .crc checksum files
     )
+    ratio = _bundle_uncompressed_ratio(bundle)
+    assert ratio is not None and ratio > 1.0  # XML text compresses
     got = _estimate_input_bytes(spark, None, bundle)
-    assert got == want and got > 0
+    assert got == int(disk * ratio) and got > disk
 
-    # nested (partitioned) layout: same recursive sum, no glob shape
-    # assumptions
+    # nested (partitioned) layout with no readable footer: the on-disk
+    # recursive sum stands as the lower bound
     nested = tmp_path / "nested" / "year=2020"
     nested.mkdir(parents=True)
     (nested / "part-0.parquet").write_bytes(b"x" * 1234)
