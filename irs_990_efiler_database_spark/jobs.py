@@ -98,27 +98,42 @@ _OVERLAP_SERIAL_BYTES = 8 << 30
 
 
 def _bundle_uncompressed_ratio(bundle_path: str) -> float | None:
-    """Uncompressed/compressed ratio from the first LOCAL part-file's
-    parquet footer (same footer `_bundle_columnar_batch_size` reads);
-    None when no local footer is readable (object store) — the
-    on-disk size then stands as a LOWER bound on uncompressed."""
+    """Uncompressed/compressed ratio from LOCAL part-file parquet
+    footers (same footers `_bundle_columnar_batch_size` reads); None
+    when no local footer is readable (object store) — the on-disk
+    size then stands as a LOWER bound on uncompressed.
+
+    Globs recursively so partitioned layouts (year=*/part-*.parquet)
+    get a footer ratio too, and samples up to three part files
+    (first/middle/last in sorted order) summing raw and compressed
+    bytes across the sample — a byte-weighted ratio — so one
+    unrepresentative part file can't swing the 8 GiB overlap/serial
+    decision on a heterogeneous bundle."""
     import glob as _glob
 
     try:
         import pyarrow.parquet as pq
 
-        parts = sorted(
-            _glob.glob(f"{bundle_path.rstrip('/')}/part-*.parquet")
-        ) or sorted(_glob.glob(f"{bundle_path.rstrip('/')}/*.parquet"))
+        base = bundle_path.rstrip("/")
+        parts = (
+            sorted(_glob.glob(f"{base}/part-*.parquet"))
+            or sorted(_glob.glob(f"{base}/*.parquet"))
+            or sorted(
+                _glob.glob(f"{base}/**/part-*.parquet", recursive=True)
+            )
+            or sorted(_glob.glob(f"{base}/**/*.parquet", recursive=True))
+        )
         if not parts:
             return None
-        meta = pq.ParquetFile(parts[0]).metadata
+        sample = sorted({parts[0], parts[len(parts) // 2], parts[-1]})
         raw = comp = 0
-        for g in range(meta.num_row_groups):
-            rg = meta.row_group(g)
-            raw += rg.total_byte_size
-            for c in range(rg.num_columns):
-                comp += rg.column(c).total_compressed_size
+        for path in sample:
+            meta = pq.ParquetFile(path).metadata
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                raw += rg.total_byte_size
+                for c in range(rg.num_columns):
+                    comp += rg.column(c).total_compressed_size
         return raw / comp if comp > 0 else None
     except Exception:  # noqa: BLE001
         return None

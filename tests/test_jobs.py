@@ -1328,6 +1328,23 @@ def test_auto_write_concurrency_is_size_adaptive(spark, tmp_path):
     (nested / "part-0.parquet").write_bytes(b"x" * 1234)
     assert _estimate_input_bytes(spark, None, str(tmp_path / "nested")) == 1234
 
+    # nested (partitioned) layout WITH readable footers: the recursive
+    # glob finds them and the estimate rescales — a partitioned bundle
+    # crossing 8 GiB must not silently stay in overlap mode
+    part_bundle = str(tmp_path / "part_bundle")
+    gen_bundle(spark, part_bundle + "/year=2019", 13, partitions=1)
+    gen_bundle(spark, part_bundle + "/year=2020", 13, partitions=1)
+    pratio = _bundle_uncompressed_ratio(part_bundle)
+    assert pratio is not None and pratio > 1.0
+    pdisk = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _dirs, files in os.walk(part_bundle)
+        for f in files
+        if not f.startswith(".")
+    )
+    pgot = _estimate_input_bytes(spark, None, part_bundle)
+    assert pgot == int(pdisk * pratio) and pgot > pdisk
+
     # glob estimate
     x1 = tmp_path / "a.xml"
     x2 = tmp_path / "b.xml"
@@ -1336,8 +1353,10 @@ def test_auto_write_concurrency_is_size_adaptive(spark, tmp_path):
     est = _estimate_input_bytes(spark, str(tmp_path / "*.xml"), None)
     assert est == x1.stat().st_size + x2.stat().st_size
 
-    # unknown source -> None (never "small"): no s3a jars in this env
-    assert _estimate_input_bytes(spark, None, "s3a://bucket/bundle") is None
+    # unknown source -> None (never "small"): a scheme no classpath
+    # resolves (s3a would depend on hadoop-aws being absent and could
+    # attempt network access on a configured classpath)
+    assert _estimate_input_bytes(spark, None, "nosuchfs://x/y") is None
     assert (
         _estimate_input_bytes(spark, str(tmp_path / "none-*.xml"), None)
         is None

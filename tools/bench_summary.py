@@ -39,6 +39,24 @@ MOVER_RATIO = 1.25
 # only trusted movers that were also non-trivial in absolute terms
 MOVER_MIN_SEC = 1.0
 
+# suspect bands (VERDICT r12 "what's wrong" #1: a no-arg compare of a
+# contention-2.54 run against a 1.73 run printed `FASTER (0.917)` — a
+# pure load artifact presented as a performance verdict). A record is
+# load-suspect when any of:
+#   - its own contention_suspect stamp is true (bench.py: median
+#     per-entry ratio vs the quietest recorded run >= 1.15)
+#   - mc_vs_best_known > 1.6 — the multi-core probe against the best
+#     ever recorded. The committed band comes from the r12 history:
+#     the unflagged quiet records (driver 144.1 s, builder 150.5 s)
+#     both stamp 1.47, while every load-colored run stamps >= 1.64
+#     (1.64 / 1.89 / 2.04 / 2.39 / 2.42 / 3.29) — 1.6 splits the two
+#     populations with margin on both sides
+#   - contention_ratio >= 2.0 — for backfilled records predating the
+#     r12 stamps; the hardware floor is ~1.6 at guest-idle, so >= 2.0
+#     is unambiguous load
+MC_VS_BEST_BAND = 1.6
+CONTENTION_RATIO_SUSPECT = 2.0
+
 
 def _git(*args: str) -> str:
     return subprocess.run(
@@ -142,10 +160,37 @@ def table() -> None:
     )
 
 
+def suspect_reasons(rec: dict) -> list[str]:
+    """Why this record's timings are NOT load-trustworthy (empty =
+    clean). See the band constants above for the thresholds."""
+    reasons = []
+    if rec.get("contention_suspect") is True:
+        reasons.append("contention_suspect=true")
+    mc = rec.get("mc_vs_best_known")
+    if isinstance(mc, (int, float)) and mc > MC_VS_BEST_BAND:
+        reasons.append(f"mc_vs_best_known {mc} > {MC_VS_BEST_BAND}")
+    cr = rec.get("contention_ratio")
+    if (
+        rec.get("contention_suspect") is None
+        and rec.get("mc_vs_best_known") is None
+        and isinstance(cr, (int, float))
+        and cr >= CONTENTION_RATIO_SUSPECT
+    ):
+        # pre-r12 record with no stamps: fall back to the raw ratio
+        reasons.append(
+            f"contention_ratio {cr} >= {CONTENTION_RATIO_SUSPECT}"
+        )
+    return reasons
+
+
 def compare(ia: int | None = None, ib: int | None = None) -> None:
-    """Default: the latest full run vs the previous full run AT THE
-    SAME scale factor (an sf0.001 probe vs an sf0.1 run is the exact
-    cross-sf incomparability _vs_quietest_reference excludes).
+    """Default: the latest NON-SUSPECT full run vs the previous
+    non-suspect full run AT THE SAME scale factor — a loaded run must
+    never be silently presented as a performance verdict (the r12
+    failure: no-arg compare printed `FASTER (0.917)` across a
+    contention-2.54/1.73 pair). When no clean pair exists the tool
+    REFUSES and lists candidates; explicit indices always run but the
+    verdict is stamped SUSPECT when either side is load-flagged.
     Explicit indices are the GLOBAL row numbers `table()` prints."""
     lines = load_lines()
     if ia is not None or ib is not None:
@@ -174,12 +219,28 @@ def compare(ia: int | None = None, ib: int | None = None) -> None:
         if not fulls:
             print("no full runs; run `backfill` first")
             return
-        b = fulls[-1]
-        prior = [x for x in fulls[:-1] if x.get("sf") == b.get("sf")]
-        if not prior:
-            print(f"no earlier full run at sf {b.get('sf')} to compare")
-            return
-        a = prior[-1]
+        sf = fulls[-1].get("sf")
+        same_sf = [x for x in fulls if x.get("sf") == sf]
+        clean = [x for x in same_sf if not suspect_reasons(x)]
+        if len(clean) < 2:
+            print(
+                f"REFUSING no-arg compare: fewer than two load-clean "
+                f"full runs at sf {sf} (clean={len(clean)}, "
+                f"total={len(same_sf)}). Candidates:"
+            )
+            for x in same_sf:
+                i = lines.index(x)
+                why = suspect_reasons(x) or ["clean"]
+                print(
+                    f"  #{i} {x.get('label', '')[:48]!r} total "
+                    f"{x.get('value')} @ contention "
+                    f"{x.get('contention_ratio')} — {'; '.join(why)}"
+                )
+            raise SystemExit(
+                "pass explicit indices (`compare i j`) to force — the "
+                "verdict will carry SUSPECT"
+            )
+        a, b = clean[-2], clean[-1]
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb))
     ratios = {k: qb[k] / qa[k] for k in shared if qa[k] > 0}
@@ -217,18 +278,33 @@ def compare(ia: int | None = None, ib: int | None = None) -> None:
         print(f"only in A: {', '.join(only_a)}")
     if only_b:
         print(f"only in B: {', '.join(only_b)}")
-    # one-line verdict the round notes can quote directly
+    # one-line verdict the round notes can quote directly; a verdict
+    # over a load-flagged side is stamped SUSPECT so it can never be
+    # quoted as a performance result (VERDICT r12 #1)
     tag = (
         "FLAT"
         if 0.95 <= med <= 1.05
         else ("FASTER" if med < 0.95 else "SLOWER")
     )
+    why = {"A": suspect_reasons(a), "B": suspect_reasons(b)}
+    suspect = bool(why["A"] or why["B"])
+    if suspect:
+        tag = f"SUSPECT ({tag}?)"
+        print(
+            "\nWARNING: load-flagged side(s) — this ratio measures host "
+            "contention, not code:"
+        )
+        for side, reasons in why.items():
+            if reasons:
+                print(f"  {side}: {'; '.join(reasons)}")
     print(
         json.dumps(
             {
                 "metric": "bench_round_over_round",
                 "median_entry_ratio": round(med, 4),
                 "verdict": tag,
+                "suspect": suspect,
+                "suspect_reasons": {k: v for k, v in why.items() if v},
                 "movers": {k: round(r, 3) for k, r in movers},
                 "contention": [
                     a.get("contention_ratio"),

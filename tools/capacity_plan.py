@@ -113,20 +113,29 @@ def _fit_line(xs: list[float], ys: list[float]) -> tuple[float, float]:
     return my - slope * mx, slope
 
 
+def _flag_value(flag: str) -> str | None:
+    """Value following ``flag`` in argv, or None when absent. Errors
+    loudly when the flag is last (no value) or is followed by another
+    option — either would otherwise mis-parse silently."""
+    argv = sys.argv[1:]
+    if flag not in argv:
+        return None
+    idx = argv.index(flag)
+    if idx + 1 >= len(argv) or argv[idx + 1].startswith("--"):
+        raise SystemExit(f"usage: {flag} <value> — missing value")
+    return argv[idx + 1]
+
+
 def main() -> None:
     quick = "--quick" in sys.argv[1:]
-    sf1_dir = None
-    if "--three" in sys.argv[1:]:
-        sf1_dir = sys.argv[sys.argv.index("--three") + 1]
+    sf1_dir = _flag_value("--three")
     families = dict(FAMILIES)
-    if "--families" in sys.argv[1:]:
+    fam_arg = _flag_value("--families")
+    if fam_arg is not None:
         # comma-separated case-insensitive substrings of family labels
         # (e.g. --families minhash,substring) — re-measure just the
         # families a corpus change touches instead of the full sweep
-        pats = [
-            p.strip().lower()
-            for p in sys.argv[sys.argv.index("--families") + 1].split(",")
-        ]
+        pats = [p.strip().lower() for p in fam_arg.split(",")]
         families = {
             k: v
             for k, v in FAMILIES.items()
