@@ -375,23 +375,32 @@ def _file_url(p: Path) -> str:
     return p.resolve().as_uri()
 
 
-def golden_core_sql() -> str:
+def _doc_pairs(docs: list[tuple[str, str]] | None) -> list[tuple[str, str]]:
+    """(url, xml_text) pairs — the committed fixture matrix by default,
+    or any caller-supplied corpus (e.g. the deterministic realistic-size
+    docs from corpusgen, VERDICT r12 next-round #1)."""
+    if docs is not None:
+        return docs
+    return [(_file_url(p), p.read_text()) for p in fixture_files()]
+
+
+def golden_core_sql(docs: list[tuple[str, str]] | None = None) -> str:
     spec = load_core_spec()
     cols = list(dict.fromkeys(spec["columns"]))  # dedup faithful ORGDISSOLVED dup
     bool_cols = {
         v for v, s in spec["vars"].items() if s.get("kind") == "schedule_flag"
     }
-    rows = [
-        golden_core_row(_file_url(p), p.read_text()) for p in fixture_files()
-    ]
+    rows = [golden_core_row(u, x) for u, x in _doc_pairs(docs)]
     return values_sql(cols, rows, bool_cols)
 
 
-def golden_schedn_sql(table_name: str) -> str:
+def golden_schedn_sql(
+    table_name: str, docs: list[tuple[str, str]] | None = None
+) -> str:
     cols: list[str] = []
     rows: list[dict] = []
-    for p in fixture_files():
-        c, r = golden_schedn_rows(_file_url(p), p.read_text(), table_name)
+    for u, x in _doc_pairs(docs):
+        c, r = golden_schedn_rows(u, x, table_name)
         for col in c:
             if col not in cols:
                 cols.append(col)
@@ -399,11 +408,13 @@ def golden_schedn_sql(table_name: str) -> str:
     return values_sql(cols, rows, {"SCHEDN"})
 
 
-def golden_rdb_sql(table_name: str) -> str:
+def golden_rdb_sql(
+    table_name: str, docs: list[tuple[str, str]] | None = None
+) -> str:
     cols: list[str] = []
     rows: list[dict] = []
-    for p in fixture_files():
-        c, r = golden_rdb_rows(_file_url(p), p.read_text(), table_name)
+    for u, x in _doc_pairs(docs):
+        c, r = golden_rdb_rows(u, x, table_name)
         for col in c:
             if col not in cols:
                 cols.append(col)

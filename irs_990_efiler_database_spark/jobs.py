@@ -32,6 +32,7 @@ from .plans.concordance import load_core_spec, master_table_names, table_names
 from .sinks import read_table, write_csv, write_dead_letter, write_table
 from .sources.index import filter_index
 from .sources.xml_source import (
+    _bundle_columnar_batch_size,
     read_return_bundle,
     read_return_xml_files,
     split_corrupt,
@@ -440,6 +441,17 @@ def build_database_incremental(
         finally:
             ok.unpersist()
 
+    # the streaming file source uses the SAME vectorized parquet reader
+    # as the batch path, so a realistic-size landing bundle (150 KB
+    # cells) would re-introduce the r12 OOM (4096-row batches x cell
+    # bytes x concurrent scan tasks) if the batch-size fix stayed
+    # confined to read_return_bundle — size it from the landing dir's
+    # measured row width before the stream starts (VERDICT r12 #5)
+    batch_size = _bundle_columnar_batch_size(landing_dir)
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.parquet.columnarReaderBatchSize", batch_size
+        )
     reader = spark.readStream.schema(BUNDLE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -205,9 +205,19 @@ def _bundle_columnar_batch_size(bundle_path: str) -> int | None:
     try:
         import pyarrow.parquet as pq
 
-        parts = sorted(
-            _glob.glob(f"{bundle_path.rstrip('/')}/part-*.parquet")
-        ) or sorted(_glob.glob(f"{bundle_path.rstrip('/')}/*.parquet"))
+        base = bundle_path.rstrip("/")
+        parts = (
+            sorted(_glob.glob(f"{base}/part-*.parquet"))
+            or sorted(_glob.glob(f"{base}/*.parquet"))
+            # nested layouts: a landing dir of bundle SUBDIRECTORIES
+            # (drop-N/part-*.parquet) or a partitioned bundle — the
+            # large-cell OOM is layout-independent, so the measurement
+            # must be too
+            or sorted(
+                _glob.glob(f"{base}/**/part-*.parquet", recursive=True)
+            )
+            or sorted(_glob.glob(f"{base}/**/*.parquet", recursive=True))
+        )
         if not parts:
             return None
         meta = pq.ParquetFile(parts[0]).metadata
