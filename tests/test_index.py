@@ -403,6 +403,20 @@ def test_simple_stream_reader_replay_reproduces_committed_batch(tmp_path):
     assert len(list(r2.readBetweenOffsets(r2.initialOffset(), o1))) == n0
 
 
+def _corrupt_keeping_stat(p) -> None:
+    """Overwrite a file with invalid JSON while preserving its size and
+    mtime_ns, so format-2 manifest evidence stays VALID for it — the
+    proof device for "pruning never opens this file". (The tests run
+    as root, so chmod-based unreadability can't serve as the proof.)"""
+    import os
+
+    st = p.stat()
+    p.write_bytes(b"{ corrupt: never opened"[: st.st_size].ljust(
+        st.st_size, b" "
+    ))
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
 def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
     """Spark-4.1 Python DataSource FILTER PUSHDOWN (opt-in
     .option("pushdown","true") + spark.sql.python.filterPushdown.enabled):
@@ -500,12 +514,17 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
         (land / "index_2013.json").write_text("{ this is not json")
         with pytest.raises(Exception):
             rd(True).filter(F.col("ObjectId").startswith("2014")).collect()
-        # restore, write the verified manifest, re-corrupt
+        # restore, write the verified manifest, re-corrupt KEEPING the
+        # recorded stat (size + mtime_ns): evidence stays valid, so the
+        # pruning proof is "corrupt but never opened"; a stat-visible
+        # change would correctly invalidate the evidence instead
+        # (pinned separately in
+        # test_pushdown_manifest_stale_evidence_is_ignored)
         shutil.copy(
             sorted(glob.glob(_GLOB))[0], land / "index_2013.json"
         )
         write_objectid_prefix_manifest(pat)
-        (land / "index_2013.json").write_text("{ this is not json")
+        _corrupt_keeping_stat(land / "index_2013.json")
 
         # 2b. manifest-verified pruning: the pushdown read never opens
         # the corrupt file; the plain read dies on it
@@ -519,7 +538,7 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
         # 2c. range-predicate pruning via verified prefix BOUNDS:
         # ObjectId >= "2015" skips both earlier years' files (2014's
         # is corrupted too, and never opened)
-        (land / "index_2014.json").write_text("{ not json either")
+        _corrupt_keeping_stat(land / "index_2014.json")
         hi = rd(True).filter(F.col("ObjectId") >= "2015").collect()
         assert len(hi) > 0
         assert all(r["ObjectId"] >= "2015" for r in hi)
@@ -583,7 +602,8 @@ def test_pushdown_manifest_pruning_survives_cross_year_objectid(
         pat = str(land / "index_*.json")
         write_objectid_prefix_manifest(pat)
         man = json.loads((land / "_objectid_prefixes.json").read_text())
-        assert man["index_2013.json"] == ["2014"]
+        assert man["_format"] == 2
+        assert man["files"]["index_2013.json"]["prefixes"] == ["2014"]
 
         def rd(**opts):
             r = spark.read.format("irs990index").option("pushdown", "true")
@@ -660,9 +680,10 @@ def test_pushdown_manifest_multi_dir_and_short_objectid(spark, tmp_path):
         assert len(written) == 2  # one manifest PER directory
         man_a = json.loads((tmp_path / "a" / "_objectid_prefixes.json").read_text())
         man_b = json.loads((tmp_path / "b" / "_objectid_prefixes.json").read_text())
-        assert man_a["index_2013.json"] == ["2013"]
-        assert man_a["index_1999.json"] is None  # unprunable evidence
-        assert man_b["index_2013.json"] == ["2015"]
+        assert man_a["files"]["index_2013.json"]["prefixes"] == ["2013"]
+        # unprunable evidence
+        assert man_a["files"]["index_1999.json"]["prefixes"] is None
+        assert man_b["files"]["index_2013.json"]["prefixes"] == ["2015"]
 
         def rd(**opts):
             r = spark.read.format("irs990index").option("pushdown", "true")
@@ -684,6 +705,220 @@ def test_pushdown_manifest_multi_dir_and_short_objectid(spark, tmp_path):
         assert (
             rd().filter(F.col("ObjectId") <= "2014").count() == 2
         )  # the '20' row + the 2013 row
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_pushdown_manifest_stale_evidence_is_ignored(spark, tmp_path):
+    """Format-2 staleness guard (r13): manifests are now emitted
+    AUTOMATICALLY at build/fetch time, so a sidecar can outlive its
+    files — an index file re-fetched after the IRS monthly refresh may
+    gain prefixes the recorded evidence lacks. An entry whose recorded
+    (size, mtime_ns) no longer matches the file must be treated as "no
+    evidence, keep", never used to prune."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+        write_objectid_prefix_manifest,
+    )
+
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        land = tmp_path / "idx"
+        land.mkdir()
+
+        def row(oid):
+            return {
+                "EIN": "100000001", "TaxPeriod": "201312",
+                "DLN": "1", "FormType": "990",
+                "URL": "u", "OrganizationName": "O",
+                "SubmittedOn": "2014-01-01", "ObjectId": oid,
+                "LastUpdated": "2014-01-01",
+                "IsElectronic": True, "IsAvailable": True,
+            }
+
+        (land / "index_2013.json").write_text(
+            json.dumps({"Filings2013": [row("2013000001")]})
+        )
+        pat = str(land / "index_*.json")
+        write_objectid_prefix_manifest(pat)
+
+        # the monthly-refresh scenario: the file is REPLACED and now
+        # carries a 2014-prefixed row the evidence knows nothing about
+        (land / "index_2013.json").write_text(
+            json.dumps(
+                {"Filings2013": [row("2013000001"), row("2014000777")]}
+            )
+        )
+
+        got = (
+            spark.read.format("irs990index")
+            .option("pushdown", "true")
+            .load(pat)
+            .filter(F.col("ObjectId").startswith("2014"))
+            .collect()
+        )
+        # stale evidence ignored: the file was kept and the new row found
+        assert [r["ObjectId"] for r in got] == ["2014000777"]
+
+        # legacy format-1 manifests still prune (no staleness guard to
+        # apply): hand-write one claiming the file holds only 2013
+        (land / "_objectid_prefixes.json").write_text(
+            json.dumps({"index_2013.json": ["2013"]})
+        )
+        n = (
+            spark.read.format("irs990index")
+            .option("pushdown", "true")
+            .load(pat)
+            .filter(F.col("ObjectId").startswith("2014"))
+            .count()
+        )
+        assert n == 0  # pruned on the legacy evidence, as documented
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_build_index_emits_manifest_by_default(spark, tmp_path):
+    """VERDICT r12 next-round #3: build_index over a local glob emits
+    the pruning-evidence sidecar as part of the build — no manual
+    write_objectid_prefix_manifest step — idempotently (fresh evidence
+    is not rewritten) and best-effort (a read-only index directory is
+    skipped silently, never an abort)."""
+    import glob
+    import os
+    import shutil
+    import stat as _stat
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        PREFIX_MANIFEST,
+        ensure_objectid_prefix_manifest,
+    )
+
+    land = tmp_path / "idx"
+    land.mkdir()
+    for f in sorted(glob.glob(_GLOB)):
+        shutil.copy(f, land)
+    pat = str(land / "index_*.json")
+
+    assert build_index(spark, pat).count() > 0
+    mpath = land / PREFIX_MANIFEST
+    assert mpath.exists()
+    st0 = mpath.stat().st_mtime_ns
+
+    # idempotent: a second build leaves fresh evidence untouched
+    assert build_index(spark, pat).count() > 0
+    assert mpath.stat().st_mtime_ns == st0
+
+    # a changed file refreshes the evidence
+    first = sorted(land.glob("index_*.json"))[0]
+    first.write_text(first.read_text())
+    os.utime(first, ns=(1, 1))
+    ensure_objectid_prefix_manifest(pat)
+    assert mpath.stat().st_mtime_ns != st0
+
+    # auto_manifest=False leaves the directory alone
+    mpath.unlink()
+    assert build_index(spark, pat, auto_manifest=False).count() > 0
+    assert not mpath.exists()
+
+    # read-only directory: build still succeeds, no sidecar appears
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    for f in sorted(glob.glob(_GLOB)):
+        shutil.copy(f, ro)
+    os.chmod(ro, _stat.S_IRUSR | _stat.S_IXUSR)
+    try:
+        is_root = os.geteuid() == 0  # root ignores dir perms; then the
+        # write succeeds harmlessly and best-effort is vacuously true
+        assert build_index(spark, str(ro / "index_*.json")).count() > 0
+        if not is_root:
+            assert not (ro / PREFIX_MANIFEST).exists()
+    finally:
+        os.chmod(ro, 0o755)
+
+
+def test_build_index_from_urls_save_dir_emits_evidence(spark, tmp_path):
+    """VERDICT r12 next-round #3 (fetch path): build_index_from_urls
+    with save_dir persists the fetched yearly index files locally AND
+    emits the pruning-evidence sidecar — a later pushdown read over
+    that directory prunes with no manual step."""
+    import glob
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from irs_990_efiler_database_spark.sources.index import (
+        build_index_from_urls,
+    )
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        Irs990IndexDataSource,
+        PREFIX_MANIFEST,
+    )
+
+    src = sorted(glob.glob(_GLOB))[:2]
+    urls = [Path(f).resolve().as_uri() for f in src]
+    save = tmp_path / "saved"
+
+    idx, failures = build_index_from_urls(
+        spark, urls, retries=1, save_dir=str(save)
+    )
+    assert failures.count() == 0
+    n_idx = idx.count()
+    assert n_idx > 0
+
+    # the fetched files landed under their URL basenames, bytes intact
+    for f in src:
+        assert (save / Path(f).name).read_text() == Path(f).read_text()
+    man = json.loads((save / PREFIX_MANIFEST).read_text())
+    assert man["_format"] == 2
+    assert set(man["files"]) == {Path(f).name for f in src}
+
+    # and a pushdown read over the saved dir prunes from it, no manual
+    # step: corrupt the non-matching file in a stat-preserving way —
+    # the pruned read never opens it
+    try:
+        spark.dataSource.register(Irs990IndexDataSource)
+    except Exception:
+        pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        names = sorted(p.name for p in save.glob("index_*.json"))
+        target_prefix = None
+        corrupt_name = None
+        for name in names:
+            pre = man["files"][name]["prefixes"]
+            if pre and len(pre) == 1:
+                if target_prefix is None:
+                    target_prefix = pre[0]
+                elif corrupt_name is None and pre[0] != target_prefix:
+                    corrupt_name = name
+        assert target_prefix and corrupt_name
+        _corrupt_keeping_stat(save / corrupt_name)
+        got = (
+            spark.read.format("irs990index")
+            .option("pushdown", "true")
+            .load(str(save / "index_*.json"))
+            .filter(F.col("ObjectId").startswith(target_prefix))
+            .collect()
+        )
+        assert len(got) > 0
+        assert all(r["ObjectId"].startswith(target_prefix) for r in got)
     finally:
         if old is None:
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
