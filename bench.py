@@ -125,6 +125,11 @@ HEADLINE = [
     # chunking) — entry count 95 → 97
     "fdedup_repetition_removal",
     "text_chunk_overlap",
+    # round 13 additions (realistic-byte-shape CORE extraction under
+    # the value gate; derived-catalog MANY slice through the generic
+    # explode path) — entry count 97 → 99
+    "x990_core_realistic",
+    "x990_mc_irs990schedulen_part_02_many",
 ]
 
 

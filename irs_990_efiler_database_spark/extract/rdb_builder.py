@@ -29,6 +29,7 @@ from ..plans.concordance import (
     schedule_guard,
     table_rows,
 )
+from ..plans.xml_schema import resolve_child
 from ..sources.xml_source import build_return_schema
 from .compiler import ExprCompiler
 
@@ -156,6 +157,7 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
         for _ in range(depth - 1):
             gcol = F.flatten(gcol)
         exploded = src.select(*keys, F.explode(gcol).alias("_g"))
+        gnode = builder.node_at(gp)
         # One variable may have several XSD-version leaf names inside the
         # same repeating group (BusinessNameLine1 vs BusinessNameLine1Txt)
         # — group rel-paths by variable and coalesce the member accesses,
@@ -169,8 +171,30 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
             members = []
             for rel in rels:
                 col: Column = F.col("_g")
+                # a rel path may cross an INNER repeated element (a
+                # node another registered table declares as a group
+                # root — e.g. LiquidationDetail inside this table's
+                # LiquidationTable): each such crossing wraps the
+                # member access in one array level. Collapse to the
+                # FIRST match in document order (flatten nested
+                # levels, then element 1) — the golden's _find_rel
+                # semantics. Found by the r13 derived-catalog fuzz
+                # registering all 227 MANY slices together.
+                node = gnode
+                inner_arrays = 0
                 for seg in rel.split("/"):
                     col = col[seg]
+                    node = (
+                        resolve_child(node, seg)
+                        if node is not None
+                        else None
+                    )
+                    if node is not None and node.repeated:
+                        inner_arrays += 1
+                for _ in range(inner_arrays - 1):
+                    col = F.flatten(col)
+                if inner_arrays:
+                    col = F.element_at(col, 1)
                 members.append(col)
             merged = members[0] if len(members) == 1 else F.coalesce(*members)
             cols.append(

