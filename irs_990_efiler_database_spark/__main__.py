@@ -120,12 +120,20 @@ def cmd_build(args) -> int:
 
 def cmd_tables(args) -> int:
     from .extract.schedn_builder import schedn_table_names
-    from .plans.concordance import master_table_names, table_names
+    from .plans.concordance import (
+        load_many_catalog,
+        master_table_names,
+        table_names,
+    )
 
     for t in ["CORE", *table_names(), *schedn_table_names()]:
         print(t)
     for t in master_table_names():
         print(f"{t}  (master slice)")
+    # derived-catalog MANY slices: buildable by name via --tables
+    # MC-<LOCATION>-MANY (group roots from master_many_catalog.json)
+    for loc, roots in sorted(load_many_catalog().items()):
+        print(f"MC-{loc}-MANY  (catalog MANY slice, {len(roots)} roots)")
     return 0
 
 

@@ -263,15 +263,27 @@ def build_database(
     # xpaths have to be in the parse struct.
     for t in selected:
         if t not in builders:
-            from .plans.concordance import register_master_table
+            from .plans.concordance import (
+                register_catalog_many_table,
+                register_master_table,
+            )
 
             try:
-                register_master_table(t)
+                if t.startswith("MC-"):
+                    # derived-catalog MANY slice by canonical name
+                    # (MC-<LOCATION>[-MANY]): group roots come from
+                    # metadata/master_many_catalog.json — no
+                    # hand-declared group_roots needed
+                    loc = t[3:-5] if t.endswith("-MANY") else t[3:]
+                    register_catalog_many_table(loc, table_name=t)
+                else:
+                    register_master_table(t)
             except KeyError:
                 known = ", ".join(sorted(builders))
                 raise KeyError(
-                    f"unknown table {t!r}: not a buildable table or a "
-                    f"master-concordance LOCATION (known: {known})"
+                    f"unknown table {t!r}: not a buildable table, a "
+                    "master-concordance LOCATION, or a derived-catalog "
+                    f"MANY slice (MC-<LOCATION>) (known: {known})"
                 ) from None
             builders[t] = (
                 lambda r, _t=t: build_rdb_table(r, _t),
