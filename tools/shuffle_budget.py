@@ -51,6 +51,10 @@ AUDIT = {
     # r12: within-doc paragraph dedup — its docstring claims the
     # keep-first decision shuffles digests, never text
     "fdedup_repetition_removal": ["documents"],
+    # r13: the CLEANED-output companion — its OUTPUT is the paragraph
+    # text, so text legitimately moves through the keep-first window
+    # exactly once; the bound pins "once", not "digest-only"
+    "fdedup_repetition_cleaned": ["documents"],
 }
 
 
