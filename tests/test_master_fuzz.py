@@ -665,3 +665,67 @@ def test_all_derived_catalog_many_slices_match_golden(spark, tmp_path):
         _MASTER_TABLES.clear()
         _MASTER_TABLES.update(saved)
         build_return_schema.cache_clear()
+
+
+def test_rel_leaf_through_inner_repeated_node_collapses_to_first(
+    spark, tmp_path
+):
+    """Pinned regression for the second r13 catalog-fuzz find: when a
+    rel path below a table's group root crosses an element ANOTHER
+    registered table marks repeated (SCHED-N-PART-01 anchors at
+    LiquidationTable; IRS990ScheduleN-PART-01 marks the inner
+    LiquidationDetail as a root → ArrayType), the member access used
+    to return arrays where scalars belong. It must collapse to the
+    FIRST match in document order — the golden's _find_rel
+    semantics."""
+    import xml.etree.ElementTree as ET
+
+    from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        register_catalog_many_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+
+    saved = dict(_MASTER_TABLES)
+    try:
+        outer = register_catalog_many_table(
+            "SCHED-N-PART-01", table_name="PIN-OUTER"
+        )
+        register_catalog_many_table(
+            "IRS990ScheduleN-PART-01", table_name="PIN-INNER"
+        )
+        root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+        ET.SubElement(root, "ReturnHeader")
+        data = ET.SubElement(root, "ReturnData")
+        sn = ET.SubElement(data, "IRS990ScheduleN")
+        lt = ET.SubElement(sn, "LiquidationTable")
+        ET.SubElement(lt, "NamePerson").text = "PAT FIRST"
+        for desc in ("FIRST ASSET", "SECOND ASSET"):
+            d = ET.SubElement(lt, "LiquidationDetail")
+            ET.SubElement(d, "DescriptionOfAsset").text = desc
+        p = tmp_path / "9909000001_public.xml"
+        p.write_text(ET.tostring(root, encoding="unicode"))
+
+        df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
+        rows = [r.asDict() for r in build_rdb_table(df, outer).collect()]
+        assert len(rows) == 1  # one LiquidationTable instance
+        # scalar, not ['FIRST ASSET', ...]; first inner match wins
+        assert rows[0]["LTLDDOASSET"] == "FIRST ASSET"
+        assert rows[0]["LIQTABNAMPER"] == "PAT FIRST"
+        # and the independent golden agrees row-for-row
+        url = p.resolve().as_uri()
+        cols, want = golden_rdb_rows(url, p.read_text(), outer)
+        assert [
+            tuple(w.get(c) for c in cols) for w in want
+        ] == [tuple(rows[0].get(c) for c in cols)]
+    finally:
+        _MASTER_TABLES.clear()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
