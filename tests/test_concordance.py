@@ -307,3 +307,32 @@ def test_master_loader_handles_every_location():
         # guard derivation must never throw, whatever the mix
         schedule_guard(rows)
     assert n_rows >= len(load_master_index())  # every xpath reachable
+
+
+def test_many_catalog_matches_fresh_derivation():
+    """The committed MANY catalog (metadata/master_many_catalog.json)
+    is exactly what tools/derive_many_catalog.py derives from the
+    current master index + ground truth — metadata drift (a concordance
+    regeneration without re-deriving the catalog) fails here instead of
+    silently shipping stale roots. Also re-asserts the ground-truth
+    cross-check the tool hard-gates on."""
+    import json
+    from pathlib import Path
+
+    from tools.derive_many_catalog import derive, ground_truth_roots
+
+    meta = (
+        Path(__file__).resolve().parent.parent
+        / "irs_990_efiler_database_spark"
+        / "metadata"
+    )
+    master = json.loads((meta / "master_index.json").read_text())
+    truth = ground_truth_roots()
+    fresh = derive(master, truth)
+    committed = json.loads(
+        (meta / "master_many_catalog.json").read_text()
+    )["locations"]
+    assert fresh == committed
+    all_roots = {r for rs in committed.values() for r in rs}
+    assert truth <= all_roots  # every known repeating element derived
+    assert len(committed) >= 200 and len(all_roots) >= 300
