@@ -146,10 +146,34 @@ for _t in master_table_names():
 # fixtures populate).
 from ..plans.concordance import register_catalog_many_table  # noqa: E402
 
-for _loc in ("IRS990ScheduleN-PART-02", "SCHED-A-PART-02"):
-    _register_rdb(
-        register_catalog_many_table(_loc, table_name=f"MC-{_loc}-MANY")
+
+def _register_catalog_query(loc: str) -> None:
+    name = register_catalog_many_table(loc, table_name=f"MC-{loc}-MANY")
+    qname = "x990_" + name.lower().replace("-", "_")
+
+    @register(qname, oracle=golden_rdb_sql(name))
+    def _q(
+        spark: SparkSession, sf_dir: str, _loc: str = loc, _n: str = name
+    ) -> DataFrame:
+        # registrations live in process-global state a caller may
+        # legitimately reset (the CLI fresh-process contract) — the
+        # query re-registers from the committed catalog when missing,
+        # so it never depends on import-time side effects surviving
+        from ..plans.concordance import _MASTER_TABLES
+
+        if _n not in _MASTER_TABLES:
+            register_catalog_many_table(_loc, table_name=_n)
+        return build_rdb_table(_returns(spark), _n)
+
+    _q.__doc__ = (
+        f"Derived-catalog MANY slice {name} (group roots from "
+        "metadata/master_many_catalog.json through the generic "
+        "build_rdb_table explode path)."
     )
+
+
+for _loc in ("IRS990ScheduleN-PART-02", "SCHED-A-PART-02"):
+    _register_catalog_query(_loc)
 
 
 def _register_schedn(table: str) -> None:

@@ -991,6 +991,8 @@ def test_cli_register_then_build_fresh_process(spark, tmp_path, capsys):
         build_return_schema,
     )
 
+    saved = dict(_MASTER_TABLES)
+
     def fresh():  # simulate a new CLI process: no runtime registrations
         for k in list(_MASTER_TABLES):
             _MASTER_TABLES.pop(k)
@@ -1030,7 +1032,12 @@ def test_cli_register_then_build_fresh_process(spark, tmp_path, capsys):
                  "--glob", "tests/fixtures/*.xml", "--tables", "NOT-A-TABLE"]
             )
     finally:
+        # restore the process's registrations (incl. the import-time
+        # catalog rows) — `fresh()` alone leaked an empty registry into
+        # every later test and broke the x990_mc_* smoke queries
         fresh()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
 
 
 def test_cli_query_subcommand_runs_and_writes(tmp_path):
