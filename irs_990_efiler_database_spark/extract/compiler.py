@@ -58,6 +58,18 @@ class ExprCompiler:
             sql = f"{sql}.{_q(seg)}"
             if node.repeated:
                 depth += 1
+                if depth >= 2:
+                    # NESTED repeated ancestors (e.g. the derived MANY
+                    # catalog marks both Schedule N's LiquidationTable
+                    # and its inner LiquidationDetail): field access
+                    # only resolves over array<struct>, never
+                    # array<array<...>> — flatten eagerly so at most
+                    # one array level is ever open. array_compact
+                    # first: flatten() returns NULL when any sub-array
+                    # element is null (a sibling instance without this
+                    # member would otherwise null out the whole set).
+                    sql = f"flatten(array_compact({sql}))"
+                    depth = 1
         if attr is not None:
             if attr not in node.attrs:
                 raise KeyError(f"attribute not in schema: {xpath}")
@@ -128,6 +140,9 @@ class ExprCompiler:
             sql = f"{sql}.{_q(seg)}"
             if node.repeated:
                 depth += 1
+                if depth >= 2:  # see _walk_sql: one open array max
+                    sql = f"flatten(array_compact({sql}))"
+                    depth = 1
         return sql, depth
 
     # ---------------------------------------------------------- access

@@ -191,10 +191,18 @@ def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) ->
                     )
                     if node is not None and node.repeated:
                         inner_arrays += 1
-                for _ in range(inner_arrays - 1):
-                    col = F.flatten(col)
+                        if inner_arrays >= 2:
+                            # same one-open-array rule as the
+                            # compiler's _walk_sql: field extraction
+                            # never resolves over array<array<...>>
+                            col = F.flatten(F.array_compact(col))
+                            inner_arrays = 1
                 if inner_arrays:
-                    col = F.element_at(col, 1)
+                    # null-safe first match (ANSI element_at throws on
+                    # an empty array; get() returns NULL) — instances
+                    # without the member are skipped, exactly the
+                    # golden _find_rel's missing-element semantics
+                    col = F.get(F.array_compact(col), 0)
                 members.append(col)
             merged = members[0] if len(members) == 1 else F.coalesce(*members)
             cols.append(

@@ -729,3 +729,72 @@ def test_rel_leaf_through_inner_repeated_node_collapses_to_first(
         _MASTER_TABLES.clear()
         _MASTER_TABLES.update(saved)
         build_return_schema.cache_clear()
+
+
+def test_scalar_read_through_nested_repeated_ancestors(spark, tmp_path):
+    """Pinned regression for the third r13 catalog-fuzz find: with the
+    derived catalog registered, one path can cross TWO repeated
+    ancestors (LiquidationTable AND its inner LiquidationDetail), and
+    SQL field extraction never resolves over array<array<...>> — the
+    compiler now flattens eagerly (array_compact first: a sibling
+    instance without the member must not null the whole set) so ONE-
+    cardinality scalar reads keep working whatever MANY slices are
+    co-registered. Value-checked: first match in document order across
+    2x2 nested instances, ragged (instance 1 lacks the leaf)."""
+    import xml.etree.ElementTree as ET
+
+    from irs_990_efiler_database_spark.extract.rdb_builder import (
+        build_rdb_table,
+    )
+    from irs_990_efiler_database_spark.plans.concordance import (
+        _MASTER_TABLES,
+        register_catalog_many_table,
+        register_master_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        read_return_xml_files,
+    )
+
+    saved = dict(_MASTER_TABLES)
+    try:
+        # both Schedule N catalog slices: marks LiquidationTable AND
+        # LiquidationDetail repeated — the nested-array schema shape
+        register_catalog_many_table(
+            "SCHED-N-PART-01", table_name="NEST-T"
+        )
+        register_catalog_many_table(
+            "IRS990ScheduleN-PART-01", table_name="NEST-D"
+        )
+        # the ONE-cardinality slice whose scalar coalesce crosses both
+        one = register_master_table(
+            "IRS990ScheduleN-PART-02", table_name="NEST-ONE"
+        )
+
+        root = ET.Element("Return", {"returnVersion": "2014v5.0"})
+        ET.SubElement(root, "ReturnHeader")
+        data = ET.SubElement(root, "ReturnData")
+        sn = ET.SubElement(data, "IRS990ScheduleN")
+        for ti in range(2):
+            lt = ET.SubElement(sn, "LiquidationTable")
+            for di in range(2):
+                d = ET.SubElement(lt, "LiquidationDetail")
+                if ti == 0 and di == 0:
+                    continue  # ragged: first instance lacks the leaf
+                addr = ET.SubElement(d, "AddressUS")
+                ET.SubElement(addr, "AddressLine1").text = (
+                    f"LINE {ti}{di}"
+                )
+        p = tmp_path / "9909100001_public.xml"
+        p.write_text(ET.tostring(root, encoding="unicode"))
+
+        df = read_return_xml_files(spark, str(tmp_path / "*.xml"))
+        row = build_rdb_table(df, one).collect()[0]
+        # LTLDAALINE11's xpath is LiquidationTable/LiquidationDetail/
+        # AddressUS/AddressLine1; first PRESENT match in document
+        # order is instance (0,1) — the golden missing-element skip
+        assert row["LTLDAALINE11"] == "LINE 01"
+    finally:
+        _MASTER_TABLES.clear()
+        _MASTER_TABLES.update(saved)
+        build_return_schema.cache_clear()
