@@ -125,13 +125,21 @@ def build_index_from_urls(
         from .pydatasource import write_objectid_prefix_manifest
 
         os.makedirs(save_dir, exist_ok=True)
+        saved = 0
         for row in ok.select("url", "xml").toLocalIterator():
             base = os.path.basename(urlparse(row["url"]).path)
             tmp = os.path.join(save_dir, base + ".tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(row["xml"])
             os.replace(tmp, os.path.join(save_dir, base))
-        write_objectid_prefix_manifest(os.path.join(save_dir, "*.json"))
+            saved += 1
+        # only when something was actually saved: with every fetch
+        # failed the glob matches nothing and the manifest writer's
+        # FileNotFoundError would abort the build — violating the
+        # dead-letter contract that failures come back as DATA in
+        # ``failures``, never as an exception (ADVICE r13).
+        if saved:
+            write_objectid_prefix_manifest(os.path.join(save_dir, "*.json"))
     parsed = (
         ok.select(F.explode(F.from_json("xml", _MAP_SCHEMA)).alias("k", "filings"))
         .select(F.explode("filings").alias("f"))

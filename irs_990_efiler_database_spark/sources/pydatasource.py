@@ -98,7 +98,19 @@ def write_objectid_prefix_manifest(
     from collections import defaultdict
 
     globs = [path_glob] if isinstance(path_glob, str) else list(path_glob)
-    paths = sorted({p for g in globs for p in _glob.glob(g)})
+    # _-prefixed basenames are metadata sidecars (the same hidden-file
+    # convention Irs990IndexReader.partitions applies) — without this
+    # exclusion a dir/*.json glob re-run after a prior build would feed
+    # this scanner its OWN _objectid_prefixes.json and crash in
+    # _index_rows on the {"_format": 2} wrapper.
+    paths = sorted(
+        {
+            p
+            for g in globs
+            for p in _glob.glob(g)
+            if not os.path.basename(p).startswith("_")
+        }
+    )
     if not paths:
         raise FileNotFoundError(str(path_glob))
     oid_i = next(
@@ -177,7 +189,14 @@ def ensure_objectid_prefix_manifest(
     from collections import defaultdict
 
     globs = [path_glob] if isinstance(path_glob, str) else list(path_glob)
-    paths = sorted({p for g in globs for p in _glob.glob(g)})
+    paths = sorted(
+        {
+            p
+            for g in globs
+            for p in _glob.glob(g)
+            if not os.path.basename(p).startswith("_")
+        }
+    )
     if not paths:
         return []
     by_dir: dict[str, list[str]] = defaultdict(list)
@@ -197,25 +216,35 @@ def ensure_objectid_prefix_manifest(
             and st.st_mtime_ns == entry.get("mtime_ns")
         )
 
-    fresh = []
-    for d, files in by_dir.items():
+    # staleness is tracked PER DIRECTORY: one stale/unreadable
+    # directory re-derives only its own manifest — fresh directories
+    # keep their evidence untouched and their paths stay in the return
+    # value (ADVICE r13: the old for/break/else rewrote everything and
+    # dropped the fresh paths accumulated before the break).
+    valid: list[str] = []
+    for d, files in sorted(by_dir.items()):
         mpath = os.path.join(d, PREFIX_MANIFEST)
         try:
             with open(mpath, encoding="utf-8") as fh:
                 man = json.load(fh)
         except (OSError, ValueError):
-            break
-        if man.get("_format") != 2 or not all(
-            entry_fresh(man, p) for p in files
+            man = None
+        if (
+            man is not None
+            and man.get("_format") == 2
+            and all(entry_fresh(man, p) for p in files)
         ):
-            break
-        fresh.append(mpath)
-    else:
-        return fresh  # every directory's evidence is current
-    try:
-        return write_objectid_prefix_manifest(path_glob)
-    except OSError:
-        return []  # read-only index dir: no evidence, never an abort
+            valid.append(mpath)
+            continue
+        try:
+            valid.extend(
+                write_objectid_prefix_manifest(
+                    [_glob.escape(p) for p in files]
+                )
+            )
+        except OSError:
+            pass  # read-only index dir: no evidence, never an abort
+    return valid
 
 
 class Irs990IndexReader(DataSourceReader):

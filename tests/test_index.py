@@ -924,3 +924,104 @@ def test_build_index_from_urls_save_dir_emits_evidence(spark, tmp_path):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_manifest_rebuild_skips_its_own_sidecar(tmp_path):
+    """ADVICE r13 (high): a dir/*.json glob RE-RUN over a directory
+    that already holds a ``_objectid_prefixes.json`` sidecar (the
+    monthly-refresh case format 2 was built for) must not feed the
+    scanner its own manifest — previously a TypeError escaped from
+    _index_rows iterating the {"_format": 2} wrapper."""
+    import glob
+    import json
+    import shutil
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        PREFIX_MANIFEST,
+        write_objectid_prefix_manifest,
+    )
+
+    land = tmp_path / "idx"
+    land.mkdir()
+    for f in sorted(glob.glob(_GLOB)):
+        shutil.copy(f, land)
+    pat = str(land / "*.json")  # deliberately matches the sidecar too
+
+    first = write_objectid_prefix_manifest(pat)
+    # the re-run (second fetch over the same save_dir) must succeed and
+    # record only real index files — never the sidecar itself
+    second = write_objectid_prefix_manifest(pat)
+    assert first == second
+    man = json.loads((land / PREFIX_MANIFEST).read_text())
+    assert PREFIX_MANIFEST not in man["files"]
+    assert set(man["files"]) == {
+        p.name for p in land.glob("*.json") if not p.name.startswith("_")
+    }
+
+
+def test_build_index_from_urls_all_failures_returns_data_not_abort(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): with EVERY fetch failing and save_dir set,
+    the build must honor the dead-letter contract — failures come back
+    as rows in ``failures``, never as a FileNotFoundError abort from
+    the (empty-glob) manifest writer."""
+    from irs_990_efiler_database_spark.sources.index import (
+        build_index_from_urls,
+    )
+
+    save = tmp_path / "saved"
+    idx, failures = build_index_from_urls(
+        spark,
+        [(tmp_path / "nope_2015.json").as_uri()],
+        retries=1,
+        save_dir=str(save),
+    )
+    assert idx.count() == 0
+    rows = failures.collect()
+    assert len(rows) == 1 and rows[0]["error"]
+    # no sidecar was emitted for a directory with no saved files
+    assert not list(save.glob("_*.json"))
+
+
+def test_ensure_manifest_per_directory_staleness(tmp_path):
+    """ADVICE r13 (low): with a multi-directory glob, only the STALE
+    directory's manifest is re-derived; the fresh directory's manifest
+    is untouched and its path still appears in the return value."""
+    import glob
+    import os
+    import shutil
+
+    from irs_990_efiler_database_spark.sources.pydatasource import (
+        PREFIX_MANIFEST,
+        ensure_objectid_prefix_manifest,
+    )
+
+    src = sorted(glob.glob(_GLOB))[:2]
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    shutil.copy(src[0], d1)
+    shutil.copy(src[1], d2)
+    pat = [str(d1 / "index_*.json"), str(d2 / "index_*.json")]
+
+    got = ensure_objectid_prefix_manifest(pat)
+    m1, m2 = d1 / PREFIX_MANIFEST, d2 / PREFIX_MANIFEST
+    assert sorted(got) == sorted([str(m1), str(m2)])
+    t1, t2 = m1.stat().st_mtime_ns, m2.stat().st_mtime_ns
+
+    # stale only d2; d1's manifest must NOT be rewritten, and both
+    # paths must come back
+    f2 = next(d2.glob("index_*.json"))
+    os.utime(f2, ns=(1, 1))
+    got = ensure_objectid_prefix_manifest(pat)
+    assert sorted(got) == sorted([str(m1), str(m2)])
+    assert m1.stat().st_mtime_ns == t1  # fresh dir untouched
+    assert m2.stat().st_mtime_ns != t2  # stale dir re-derived
+
+    # an unreadable manifest in one dir likewise re-derives only there
+    m1.write_text("{ not json")
+    got = ensure_objectid_prefix_manifest(pat)
+    assert sorted(got) == sorted([str(m1), str(m2)])
+    import json
+
+    assert json.loads(m1.read_text())["_format"] == 2
