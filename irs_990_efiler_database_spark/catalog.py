@@ -8,6 +8,8 @@ same names.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,7 +54,86 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if name in _REBALANCE_TABLES:
+        df = _rebalance_narrow_scan(spark, df, table_path(sf_dir, name))
     return df
+
+
+# Small-input scan rebalance (optimization guide §2.5 "input skew: one
+# huge unsplittable file"): parquet scans parallelize at row-group
+# granularity, so a table stored as one single-row-group file executes
+# its entire scan stage — and every map-side computation fused into it
+# (filters, projections, partial aggregation, HOFs) — as ONE task, no
+# matter how many cores the session has. The test corpora are exactly
+# that shape (one file, one row group per table), which serialized the
+# scan stage of every query on local[32].
+#
+# The fix is a round-robin repartition to the session's default
+# parallelism. It is applied only to the tables whose consumers do
+# heavy PER-ROW work downstream of the scan — the text corpus
+# (``documents``: HOF tokenization, shingling, n-gram passes) and the
+# vector table (``embeddings``: per-row array math) — measured 2-6x
+# wins (char-trigram lang-id 2.42 s -> 0.52 s, brute cosine top-k
+# 2.11 s -> 0.57 s, hard-negative mining 3.43 s -> 0.53 s at sf0.1 on
+# local[32]). The relational tables are deliberately EXCLUDED: their
+# consumers' first operation is typically a join/aggregation whose own
+# exchange already parallelizes everything downstream, so a base
+# rebalance only adds a serial sort+shuffle-write to the scan task
+# (measured regressions: q21 1.65 s -> 2.96 s, ridge 0.89 -> 1.19).
+#
+# Guards, so the rebalance is scale-adaptive (derived from the input)
+# rather than a local[32] constant:
+#   (a) the scan yields fewer splits than the session has cores, and
+#   (b) the table's on-disk bytes are at most cores x maxPartitionBytes
+#       (the whole input is smaller than one normal task's worth of
+#       data per core, so the extra shuffle is trivially cheap
+#       relative to the idle-core loss).
+# At production scale both guards fail closed: a 100 TB corpus yields
+# thousands of splits and exceeds the byte bound by orders of
+# magnitude, so this never adds a full-corpus shuffle to a real
+# deployment. Results are unaffected: round-robin repartition is
+# deterministic (sort-before-repartition is on by default), and no
+# registered query depends on scan partitioning (the two
+# spark_partition_id consumers are partitioning-invariant by design).
+# SPARK_GRAFT_NO_SCAN_REBALANCE=1 disables it (A/B measurement hook).
+_REBALANCE_TABLES = frozenset({"documents", "embeddings"})
+_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _rebalance_narrow_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_NO_SCAN_REBALANCE") == "1":
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        # non-local storage (s3a/hdfs): listing is driver-side work we
+        # refuse to add per load_table call; at object-store scale the
+        # input is many files and the rebalance is not needed
+        return df
+    max_part = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if size > cores * max_part:
+        return df
+    key = (spark.sparkContext.applicationId, path)
+    splits = _SPLITS_CACHE.get(key)
+    if splits is None:
+        # actual scan split count (file-split based); cached per
+        # session+path because the RDD conversion compiles the plan
+        splits = spark.read.parquet(path).rdd.getNumPartitions()
+        _SPLITS_CACHE[key] = splits
+    if splits >= cores:
+        return df
+    # round-robin rather than a full-row hash key: a hash expression
+    # over every column would be referenced by the exchange and defeat
+    # column pruning at the scan (measured: ridge re-read all 16
+    # lineitem columns instead of 3). Round-robin keeps pruning intact;
+    # its sort-before-repartition cost on a <=cores x maxPartitionBytes
+    # input is small.
+    return df.repartition(cores)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -802,10 +802,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one upfront (u,v) aggregation makes each round's join input the
     # unique edges and the vote an equivalent SUM(w) (identical
     # integers to the COUNT(*) over instances, same oracle)
+    # ONE hash exchange on u establishes the partitioning every round
+    # reuses (guide §2.4 "two operations keyed the same way can share
+    # one exchange"): hashpartitioning(u) satisfies the clustering of
+    # BOTH the (u, v) weight aggregation here AND the per-round
+    # (node=u, label) vote aggregation + (node) argmax below — each
+    # round's plan is BroadcastHashJoin -> partial/final HashAggregate
+    # -> local Sort -> SortAggregate with ZERO Exchange nodes
+    # (verified on the executed plan), where the unpartitioned form
+    # paid two shuffles per round (votes + argmax).
     edges = tracked_persist(
         pairs.unionAll(
             pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        .repartition("u")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w")),
         StorageLevel.MEMORY_AND_DISK,
