@@ -31,7 +31,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool | None = None
+) -> DataFrame:
+    """Load one catalog table.
+
+    ``rebalance``: small-input scan rebalance policy (see
+    ``_rebalance_narrow_scan``). ``None`` = table-based default (on for
+    the text/vector tables, off for the relational ones); ``False`` =
+    never — for consumers whose first operation is an aggregation over
+    cheap per-row work, where the extra exchange only inflates the
+    map-side partial-aggregation output (measured: Kneser-Ney scoring
+    1.50 s -> 2.10 s with the rebalance); ``True`` = force the
+    conditional rebalance for a table outside the default set."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
@@ -54,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    if name in _REBALANCE_TABLES:
+    if rebalance if rebalance is not None else name in _REBALANCE_TABLES:
         df = _rebalance_narrow_scan(spark, df, table_path(sf_dir, name))
     return df
 

@@ -36,7 +36,7 @@ _SQL_MEDIA = """
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synthetic_media(load_table(spark, sf_dir, "documents"))
+    return synthetic_media(load_table(spark, sf_dir, "documents", rebalance=False))
 
 
 @register(
@@ -182,7 +182,7 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every RMS double is hash-compared."""
     from ..operators.multimodal import audio_window_rms, synthetic_media
 
-    media = synthetic_media(load_table(spark, sf_dir, "documents"))
+    media = synthetic_media(load_table(spark, sf_dir, "documents", rebalance=False))
     return audio_window_rms(media)
 
 
@@ -254,7 +254,7 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: identical histogram, L1 = 0."""
     from ..operators.dedup import cap_hot_buckets
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", rebalance=False).select("doc_id", "text")
     aug = d.unionByName(
         d.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -576,7 +576,7 @@ def mm_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so every count and MAD double is hash-compared."""
     from ..operators.multimodal import audio_zero_crossing, synthetic_media
 
-    media = synthetic_media(load_table(spark, sf_dir, "documents"))
+    media = synthetic_media(load_table(spark, sf_dir, "documents", rebalance=False))
     return audio_zero_crossing(media)
 
 
@@ -641,7 +641,7 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cap_hot_buckets
     from ..operators.multimodal import byte_histogram_rows, synthetic_media
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", rebalance=False).select("doc_id", "text")
     aug = d.unionByName(
         d.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -729,7 +729,7 @@ def mm_payload_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Planted exact copies (doc_id < 25 re-ingested under new ids) give
     the pass a verifiable truth set, mirroring the text-dedup
     corpus."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents", rebalance=False).select("doc_id", "text")
     base = d.unionByName(
         d.filter(F.col("doc_id") < 25).select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"

@@ -125,7 +125,9 @@ def doc_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB formulation (a global order would serialize the cumsum)."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: one cheap size(split()) projection then a window
+    # shuffle (measured 0.33 s -> 0.47 s with the scan rebalance)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     sized = d.select("source", "doc_id", n_tok.alias("n_tokens"))
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
