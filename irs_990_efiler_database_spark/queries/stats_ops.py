@@ -71,7 +71,10 @@ def stat_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal co-moments approach 38 digits; the combine would switch to
     double at a documented precision cost.)
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance=True: five-column decimal moment products per row are
+    # heavy enough that the single-row-group scan serializes the stage
+    # (measured 3.76 s -> 2.65 s at sf0.1 with the rebalance)
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     q = F.col("l_quantity").cast("decimal(19,0)")
     p = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
     d = F.round(F.col("l_discount") * 100).cast("decimal(19,0)")

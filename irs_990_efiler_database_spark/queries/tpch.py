@@ -44,7 +44,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1. Scale: single scan, filter pushed to parquet, 6-group
     hash agg with map-side partial aggregation; shuffle moves only
     6 rows x 8 aggregates per map task."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance=True: decimal-heavy per-row aggregation work (measured
+    # 0.97 s -> 0.85 s with the rebalance)
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     charge = disc_price * (F.lit(1) + _dec("l_tax"))
     return (
