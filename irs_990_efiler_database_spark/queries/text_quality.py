@@ -971,13 +971,20 @@ def doc_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.trim("text")), r"\s+")
     stops = [s.strip("'") for s in _BORDA_STOPS.strip("()").split(",")]
-    sig = d.select(
-        "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.filter(t, lambda w: w.isin(stops))).alias("n_stop"),
-        (
-            F.size(F.array_distinct(t)).cast("double") / F.size(t)
-        ).alias("ttr"),
+    # persisted: the three rankers below each consume sig, and the
+    # HOF-heavy signal projection (tokenize + stopword filter +
+    # array_distinct per doc) otherwise re-runs once per ranker
+    from ..caching import tracked_persist
+
+    sig = tracked_persist(
+        d.select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            F.size(F.filter(t, lambda w: w.isin(stops))).alias("n_stop"),
+            (
+                F.size(F.array_distinct(t)).cast("double") / F.size(t)
+            ).alias("ttr"),
+        )
     )
     r1 = global_row_number(
         sig, [F.col("n_tokens").desc(), F.col("doc_id")], "r_tokens"

@@ -29,11 +29,16 @@ def test_grouped_query_reports_real_shuffle_bytes(spark):
     assert s.result_rows == 5
 
 
-def test_projection_operator_shuffles_nothing_at_runtime(spark):
+def test_projection_operator_shuffles_nothing_at_runtime(spark, monkeypatch):
     """text_pii_redact's zero-shuffle claim, verified from the EXECUTED
-    plan's metrics rather than the static plan text."""
+    plan's metrics rather than the static plan text. The conditional
+    small-input scan rebalance is disabled for the pin: it adds its own
+    (legitimate, guarded) exchange upstream of the operator, which is a
+    scan-layout concern, not the operator's — the operator itself must
+    stay shuffle-free."""
     from irs_990_efiler_database_spark.queries.text_ops import text_pii_redact
 
+    monkeypatch.setenv("SPARK_GRAFT_NO_SCAN_REBALANCE", "1")
     df = text_pii_redact(spark, SF)
     df.collect()
     s = summarize_execution(df)

@@ -114,7 +114,9 @@ def test_simhash_finds_planted_neardups(spark):
 
 
 def test_l2_norm_is_shuffle_free(spark):
-    e = load_table(spark, SF, "embeddings")
+    # rebalance=False: pin the OPERATOR plan shape; the conditional
+    # small-input scan rebalance adds its own (legitimate) exchange
+    e = load_table(spark, SF, "embeddings", rebalance=False)
     out = e.select("vec_id", l2_norm(F.col("embedding")).alias("n"))
     assert "Exchange" not in _plan(out)
 
@@ -275,7 +277,9 @@ def test_ivf_assignment_is_shuffle_free(spark):
     literals, no join, no Exchange anywhere in the plan."""
     from irs_990_efiler_database_spark.operators.similarity import ivf_assign
 
-    e = load_table(spark, SF, "embeddings")
+    # rebalance=False: pin the OPERATOR plan shape; the conditional
+    # small-input scan rebalance adds its own (legitimate) exchange
+    e = load_table(spark, SF, "embeddings", rebalance=False)
     from irs_990_efiler_database_spark.operators.similarity import l2_norm
 
     cents = [
@@ -380,7 +384,9 @@ def test_ivf_broadcast_quantizer_matches_literal_and_scales_plan(spark):
         l2_norm,
     )
 
-    e = load_table(spark, SF, "embeddings")
+    # rebalance=False: pin the OPERATOR plan shape; the conditional
+    # small-input scan rebalance adds its own (legitimate) exchange
+    e = load_table(spark, SF, "embeddings", rebalance=False)
     cents = [
         (int(r[0]), list(r[1]), float(r[2]))
         for r in e.filter(F.col("vec_id") < 8)
@@ -488,7 +494,9 @@ def test_ivf_train_improves_objective_and_drops_in(spark):
         l2_norm,
     )
 
-    e = load_table(spark, SF, "embeddings")
+    # rebalance=False: pin the OPERATOR plan shape; the conditional
+    # small-input scan rebalance adds its own (legitimate) exchange
+    e = load_table(spark, SF, "embeddings", rebalance=False)
 
     def objective(cents):
         scored = ivf_assign(e, cents)
