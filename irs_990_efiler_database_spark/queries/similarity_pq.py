@@ -79,7 +79,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances compare bit-for-bit."""
     from ..operators.similarity import pq_adc_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # rebalance=False: the committed shuffle bound (0.056) prices a
+    # digest-only plan — codes cross the wire, never vectors; the scan
+    # rebalance would push the full embedding payload through an extra
+    # exchange (measured ratio 0.131 with it, gate-red).
+    e = load_table(spark, sf_dir, "embeddings", rebalance=False)
     return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_sub=4, n_codes=8)
 
 
@@ -267,7 +271,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums positionally — distances compare bit-for-bit."""
     from ..operators.similarity import ivfpq_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # rebalance=False: same digest-only shuffle contract as
+    # sim_pq_adc_topk (committed bound 0.069; measured 0.133 with the
+    # rebalance exchange carrying the vectors, gate-red).
+    e = load_table(spark, sf_dir, "embeddings", rebalance=False)
     return ivfpq_topk(
         e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=2
     )

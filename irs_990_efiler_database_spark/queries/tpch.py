@@ -44,9 +44,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1. Scale: single scan, filter pushed to parquet, 6-group
     hash agg with map-side partial aggregation; shuffle moves only
     6 rows x 8 aggregates per map task."""
-    # rebalance=True: decimal-heavy per-row aggregation work (measured
-    # 0.97 s -> 0.85 s with the rebalance)
-    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
+    # No scan rebalance: the extra exchange would push the full projected
+    # input across the wire, breaking q1's committed shuffle-ratio bound
+    # (0.0001 — shuffle carries only 6 groups of partial aggregates per
+    # map task) for a within-noise local win.
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     charge = disc_price * (F.lit(1) + _dec("l_tax"))
     return (

@@ -162,7 +162,7 @@ def test_chunker_round_trips_tokens(spark, texts):
     # reference (text_retrieval since the r10 sub-family split —
     # patching the text_ops aggregator would be a no-op)
     orig_load = text_retrieval.load_table
-    text_retrieval.load_table = lambda _s, _d, _n: df
+    text_retrieval.load_table = lambda _s, _d, _n, **_kw: df
     try:
         out = text_retrieval.text_chunk_fixed(spark, "unused").collect()
     finally:
@@ -522,7 +522,7 @@ def test_overlap_chunker_covers_every_token(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     orig_load = tr.load_table
-    tr.load_table = lambda _s, _d, _n: df
+    tr.load_table = lambda _s, _d, _n, **_kw: df
     try:
         out = tr.text_chunk_overlap(spark, "unused").collect()
     finally:
@@ -571,7 +571,7 @@ def test_repetition_removal_matches_pure_python(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     orig_load = dd.load_table
-    dd.load_table = lambda _s, _d, _n: df
+    dd.load_table = lambda _s, _d, _n, **_kw: df
     try:
         out = {
             r["doc_id"]: r
