@@ -885,19 +885,28 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets collapse to one row per distinct event DAY before any ordered
     work, so the cumulative product — computed as exp of a running
     decimal sum of 9-dp-rounded log terms, order-free by construction —
-    runs over a <= 31-row frame. Scale shape: two user-keyed
-    aggregations (origin, first purchase) on one partitioning, a
-    day-level aggregation, and a bounded days x days risk join; no
-    per-user ordered scan anywhere."""
+    runs over a <= 31-row frame. Scale shape (r14): ONE events scan and
+    ONE user-keyed exchange — the per-user origin is a window min on
+    the same partitioning the (user, origin) aggregation then reuses,
+    and the corpus horizon is max-of-per-user-max over the persisted
+    per-user frame instead of a second full scan; then a day-level
+    aggregation and a bounded days x days risk join; no per-user
+    ordered scan anywhere."""
     from pyspark.sql import Window
+
+    from ..caching import tracked_persist
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    origin = e.groupBy("user_id").agg(F.min("ts_us").alias("o"))
-    horizon = e.agg(F.max("ts_us").alias("h"))
-    ev = (
-        origin.join(e, "user_id")
+    # origin as a window min: hashpartitioning(user_id) from this one
+    # exchange also satisfies the (user_id, o) aggregation below — the
+    # former origin-aggregate + join shape exchanged the events table
+    # twice and scanned it three times (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    uw = Window.partitionBy("user_id")
+    ev = tracked_persist(
+        e.withColumn("o", F.min("ts_us").over(uw))
         .groupBy("user_id", "o")
         .agg(
             F.min(
@@ -906,9 +915,13 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("ts_us") > F.col("o")),
                     F.col("ts_us"),
                 )
-            ).alias("p")
+            ).alias("p"),
+            F.max("ts_us").alias("umax"),
         )
     )
+    # corpus horizon = max over the per-user maxima (O(users) rows from
+    # cache, not a second events scan)
+    horizon = ev.agg(F.max("umax").alias("h"))
     subj = ev.crossJoin(F.broadcast(horizon)).select(
         F.col("p").isNotNull().cast("int").alias("observed"),
         (
