@@ -383,8 +383,12 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE dedup (guide §2.3): hamming is a pure function
+        # of (id_a, id_b), so filter-then-distinct is row-identical to
+        # distinct-then-filter — but the distinct's exchange now
+        # carries only verified pairs, not every banding candidate
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
