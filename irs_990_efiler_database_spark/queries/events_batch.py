@@ -961,23 +961,31 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is assigned by the DISTRIBUTED exact-ntile operator
     (``operators.ntile.exact_ntile``: range-partitioned local ranks +
     broadcast offsets) — bit-identical to the oracle's global NTILE
-    with no single-partition window anywhere in the plan."""
+    with no single-partition window anywhere in the plan. Scale shape
+    (r14): ONE events scan — the recency anchor (corpus max purchase
+    ts) is max-of-per-user-max over the persisted O(users) frame, not
+    a second full scan + single-partition aggregate of the stream."""
+    from ..caching import tracked_persist
     from ..operators.ntile import exact_ntile
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
-    rfm = (
-        ev.crossJoin(F.broadcast(anchor))
-        .groupBy("user_id", "now_us")
-        .agg(
-            (F.col("now_us") - F.max(F.unix_micros("ts"))).alias("recency_us"),
+    per_user = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("monetary"),
         )
+    )
+    anchor = per_user.agg(F.max("last_us").alias("now_us"))
+    rfm = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("now_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "monetary",
     )
     out = exact_ntile(rfm, 4, ["recency_us", "user_id"], "r_quartile")
     out = exact_ntile(
