@@ -624,17 +624,15 @@ def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
-    # one tokenization for all five consumers: the bigram frame feeds
-    # the type counts (cbi), the three KN statistics AND the scoring
-    # join — unpersisted, each branch re-ran scan+tokenize+explode
-    # (5 Generate subtrees in the plan); persisting the exploded pairs
-    # runs the tokenizer once (guide §5 "caching is worth it when a
-    # DataFrame is reused and recomputing is more expensive than the
-    # memory pressure": the pairs frame is corpus-sized but bounded,
-    # and all downstream aggregations are vocabulary-bounded)
-    from ..caching import tracked_persist
-
-    pairs = tracked_persist(pairs)
+    # deliberately NOT persisted: the four statistic consumers (ctx,
+    # bwd, tot and the scoring join's cbi side) all sit above cbi's
+    # (w1, w2) exchange, whose subtree is plan-identical — AQE exchange
+    # reuse computes it once at runtime, so the corpus is tokenized
+    # exactly twice (cbi build + the scoring join's pairs side), never
+    # five times. Persisting `pairs` was measured SLOWER (1.34 s vs
+    # 1.15 s interleaved at sf0.1): it trades one tokenization for a
+    # corpus-sized materialization — guide §5's memory-pressure side
+    # of the caching trade.
     cbi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     ctx = cbi.groupBy("w1").agg(
         F.sum("cb").alias("ctx"), F.count(F.lit(1)).alias("nf")

@@ -18,7 +18,7 @@ from irs_990_efiler_database_spark.queries import all_queries
 from irs_990_efiler_database_spark.session import get_spark
 
 SF = "/root/testdata/sf0.1"
-QUERIES = [
+QUERIES = sys.argv[1:] or [
     "events_sliding_distinct_users",
     "events_dau_wau_mau",
     "events_dow_seasonality",
