@@ -66,7 +66,8 @@ def load_table(
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    if rebalance if rebalance is not None else name in _REBALANCE_TABLES:
+    do_rebalance = rebalance if rebalance is not None else name in _REBALANCE_TABLES
+    if do_rebalance:
         df = _rebalance_narrow_scan(spark, df, table_path(sf_dir, name))
     return df
 
@@ -109,7 +110,37 @@ def load_table(
 # spark_partition_id consumers are partitioning-invariant by design).
 # SPARK_GRAFT_NO_SCAN_REBALANCE=1 disables it (A/B measurement hook).
 _REBALANCE_TABLES = frozenset({"documents", "embeddings"})
-_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+_SPLITS_CACHE: dict[tuple[str, str, int], int] = {}
+
+# Spark size confs accept byte-suffixed strings ("128m", "1g"); a
+# caller-provided session may have set maxPartitionBytes that way, and
+# int() on it would crash every documents/embeddings load. Same suffix
+# table as Spark's JavaUtils.byteStringAsBytes (case-insensitive,
+# optional trailing 'b').
+_SIZE_SUFFIXES = {
+    "k": 1024,
+    "m": 1024**2,
+    "g": 1024**3,
+    "t": 1024**4,
+    "p": 1024**5,
+}
+
+
+def _parse_bytes(value: str) -> int:
+    s = str(value).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    body = s[:-1] if s.endswith("b") else s
+    if body and body[-1] in _SIZE_SUFFIXES:
+        try:
+            return int(body[:-1]) * _SIZE_SUFFIXES[body[-1]]
+        except ValueError:
+            pass
+    # unparseable: fall back to the Spark default rather than crash a
+    # load_table call over a heuristic-only input
+    return 128 * 1024 * 1024
 
 
 def _rebalance_narrow_scan(
@@ -125,12 +156,16 @@ def _rebalance_narrow_scan(
         # refuse to add per load_table call; at object-store scale the
         # input is many files and the rebalance is not needed
         return df
-    max_part = int(
+    max_part = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     if size > cores * max_part:
         return df
-    key = (spark.sparkContext.applicationId, path)
+    # max_part in the key: a mid-session conf change alters the split
+    # count a fresh scan would yield, so a cached count from the old
+    # setting must not decide the rebalance (only the heuristic, never
+    # results, depends on this — but keep it honest anyway)
+    key = (spark.sparkContext.applicationId, path, max_part)
     splits = _SPLITS_CACHE.get(key)
     if splits is None:
         # actual scan split count (file-split based); cached per

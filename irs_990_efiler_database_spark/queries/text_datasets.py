@@ -196,7 +196,9 @@ def doc_balance_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines (no rand())."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: source-partitioned window first, trivial per-row
+    # work (r15 interleaved A/B: 0.38 s ON -> 0.20 s OFF at sf0.1)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
     return (
         d.select("doc_id", "source")
@@ -230,7 +232,9 @@ def doc_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the sqrt weights round to 9 dp then sum in DECIMAL so
     the normalizing total is order-free; each source's weight and its
     allocation in a 10k-doc sample are fixed-order double ops."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: groupBy(source) count is the first operation,
+    # zero per-row work (r15 interleaved A/B: 0.66 s ON -> 0.43 s OFF)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
         "source",
         "n",
@@ -279,7 +283,9 @@ def doc_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. The within-shard rank is the only ordered step and
     ranks 1/8th of the corpus per partition — shard count scales with
     corpus size to bound it."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: shard-partitioned window first, md5-only per-row
+    # work (r15 interleaved A/B: 0.31 s ON -> 0.23 s OFF at sf0.1)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     key = F.md5(F.concat(F.lit("ep7:"), F.col("doc_id").cast("string")))
     placed = d.select(
         "doc_id",
@@ -341,7 +347,9 @@ def doc_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized upsampled epoch that downstream shuffling/packing
     consumes. Pure projection + sequence-explode; the expansion
     factor is the mixing rate itself."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: groupBy(source) count is the first operation,
+    # zero per-row work (r15 interleaved A/B: 0.68 s ON -> 0.49 s OFF)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
         "source",
         "n",

@@ -197,7 +197,13 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is key-only on the token, and per-token logprobs round to 9 dp
     then accumulate as DECIMAL so the per-doc mean is order-free —
     bit-identical under any shuffle order."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: aggregation-first consumer — the first operation
+    # is explode -> groupBy(tok), so the scan rebalance only inflates
+    # the map-side partial-aggregation output 32x (the same shape every
+    # other opt-out protects). Measured (r14 regression, fixed r15):
+    # 0.65 s at r13 -> 1.00-1.07 s with the default rebalance ->
+    # interleaved A/B back to the r13 band with the opt-out.
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
@@ -412,7 +418,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization, vocabulary size as a one-row broadcast, score join
     keyed on the bigram, per-pair logprobs rounded to 9 dp and
     accumulated in DECIMAL — order-free under any shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: bigram/unigram count aggregations first — the
+    # Kneser-Ney shape (r15 interleaved A/B: 3.48 s ON -> 3.01 s OFF)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     t = F.split(F.lower(F.trim("text")), r"\s+")
     docs = d.select("doc_id", t.alias("t"))
     pairs = docs.select(
@@ -500,7 +508,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     even over the frequency table."""
     from ..operators.ntile import global_row_number
 
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: explode -> groupBy(tok), the aggregation-first
+    # shape (r15 interleaved A/B: 1.61 s ON -> 1.17 s OFF at sf0.1)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     vocab = (
         d.select(
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")

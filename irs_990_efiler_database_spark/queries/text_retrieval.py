@@ -49,7 +49,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded across libms), window top-k."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: explode -> tf/df count aggregations first (r15
+    # interleaved A/B: 2.59 s ON -> 1.28 s OFF at sf0.1 — the largest
+    # opt-out win of the audit; the per-term df partial agg inflates
+    # 32x under the rebalance)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
@@ -244,7 +248,9 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the full list content sits under the hash gate without shipping
     giant rows. Common tokens only (df ≥ 50) keeps the gated output
     bounded; the md5 proves the COMPLETE postings list matches."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance=False: explode -> distinct -> per-token aggregation
+    # first (r15 interleaved A/B: 0.76 s ON -> 0.63 s OFF at sf0.1)
+    d = load_table(spark, sf_dir, "documents", rebalance=False)
     dt = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).distinct()

@@ -101,6 +101,8 @@ def _fake_payload(n_queries: int = 93) -> dict:
         "flags": {"q_000": ["sub_floor"]},
         "contention_ratio": 1.87,
         "sf": 0.1,
+        "cpus": 32,
+        "master": "local[32]",
         "cpu_calibration_sec": 0.8,
         "cpu_calibration_end_sec": 0.82,
         "cpu_calibration_mc_sec": 1.5,
@@ -130,6 +132,10 @@ def test_compact_summary_schema_and_top5():
     assert digest["contention_ratio"] == 1.87
     assert digest["extract_docs_per_sec"] == 476.2
     assert digest["flagged_entries"] == ["q_000"]
+    # parallelism stamp (VERDICT r14 #2b): the scaling comparison needs
+    # the actual core count in the driver-visible digest
+    assert digest["cpus"] == 32
+    assert digest["master"] == "local[32]"
     json.dumps(digest)  # serializable
 
 

@@ -87,3 +87,27 @@ def test_byte_guard_fails_closed_for_oversized_inputs(spark, monkeypatch):
         assert "RoundRobinPartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_suffixed_max_partition_bytes_is_parsed_not_fatal(spark):
+    # a caller-provided session may set the conf with a size suffix;
+    # int() on "128m" used to raise ValueError and kill every
+    # documents/embeddings load on such sessions (ADVICE r14)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        plan = _plan(load_table(spark, SF, "documents"))
+        assert "RoundRobinPartitioning" in plan  # guard passes at 128 MiB
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_parse_bytes_suffix_table():
+    from irs_990_efiler_database_spark.catalog import _parse_bytes
+
+    assert _parse_bytes("134217728") == 128 * 1024**2
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("128MB") == 128 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("2k") == 2048
+    assert _parse_bytes("garbage") == 128 * 1024**2  # fail-safe default
