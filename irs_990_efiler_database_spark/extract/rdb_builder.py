@@ -100,12 +100,30 @@ def one_table_columns(
     ]
 
 
-def build_rdb_table(returns: DataFrame, table_name: str, typed: bool = False) -> DataFrame:
-    """returns (url, xml, doc, object_id) → the named concordance table."""
+def build_rdb_table(
+    returns: DataFrame,
+    table_name: str,
+    typed: bool = False,
+    scoped: bool = False,
+) -> DataFrame:
+    """returns (url, xml, doc, object_id) → the named concordance table.
+
+    ``scoped=True``: compile against the PRUNED per-table schema
+    (``sources.xml_source.scoped_return_schema``) — the caller must
+    have parsed ``returns`` with the same scope
+    (``with_parsed_return(..., scope_tables=(table_name,))``), so the
+    from_xml struct Catalyst analyzes is the table's own ~dozens of
+    leaves instead of the ~1,900-leaf superset. Values are identical
+    (flag-exact trie copy); only plan-compile cost changes."""
     rows = table_rows(table_name)
     if not rows:
         raise KeyError(f"unknown rdb table {table_name!r}")
-    _, builder = build_return_schema()
+    if scoped:
+        from ..sources.xml_source import scoped_return_schema
+
+        _, builder = scoped_return_schema((table_name,))
+    else:
+        _, builder = build_return_schema()
     c = ExprCompiler(builder)
     keys = _key_exprs(c)
 

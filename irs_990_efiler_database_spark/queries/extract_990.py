@@ -163,7 +163,18 @@ def _register_catalog_query(loc: str) -> None:
 
         if _n not in _MASTER_TABLES:
             register_catalog_many_table(_loc, table_name=_n)
-        return build_rdb_table(_returns(spark), _n)
+        # scoped parse (guide §1.2/§7.3, VERDICT r14 #5): Catalyst
+        # analysis of the ~1,900-leaf superset from_xml struct
+        # dominated this 13-doc entry (~2-3.5 s sf-independent);
+        # parsing with the table's own pruned schema cuts the analyzed
+        # struct to the slice's leaves. Values are flag-exact-identical
+        # (tests/test_extract_990.py::test_scoped_parse_matches_superset)
+        # and the golden oracle pins the rows either way.
+        return build_rdb_table(
+            read_return_xml_files(spark, _GLOB, scope_tables=(_n,)),
+            _n,
+            scoped=True,
+        )
 
     _q.__doc__ = (
         f"Derived-catalog MANY slice {name} (group roots from "

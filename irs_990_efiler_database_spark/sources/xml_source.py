@@ -35,7 +35,7 @@ from ..plans.concordance import (
     master_table_names,
     table_rows,
 )
-from ..plans.xml_schema import XmlSchemaBuilder
+from ..plans.xml_schema import XmlSchemaBuilder, _strip
 
 # Leaves the reference space-collapses (multi-match paste(collapse=" "),
 # :527-528, :1515) — these repeat within one document.
@@ -125,18 +125,130 @@ def build_return_schema() -> tuple[T.StructType, XmlSchemaBuilder]:
 
 CORRUPT_COL = "_corrupt_record"
 
+# scoped-schema cache: (tables tuple) -> (full-builder identity, result).
+# Keyed on the full builder object so register_master_table's
+# build_return_schema.cache_clear() implicitly invalidates the scoped
+# derivations too (a fresh full builder never compares identical).
+_SCOPED_CACHE: dict[tuple[str, ...], tuple[int, tuple]] = {}
 
-def with_parsed_return(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+
+def scoped_return_schema(
+    tables: tuple[str, ...]
+) -> tuple[T.StructType, XmlSchemaBuilder]:
+    """PRUNED parse schema for queries that build a known table subset
+    (optimization guide §1.2/§7.3 — Catalyst analysis of the full
+    ~1,900-leaf superset struct dominates single-table extraction
+    queries over small corpora; VERDICT r14 next-round #5).
+
+    The pruned trie is COPIED from the superset builder, keeping only
+    the nodes on paths to (a) the named tables' xpaths and (b) the
+    CORE key variables every rdb table emits (EIN/NAME/FISYR/FORMTYPE).
+    Every kept node carries the superset node's exact flags —
+    ``repeated`` (so a group root another table declared, e.g. Schedule
+    N's inner LiquidationDetail, still parses as an array), ``is_leaf``
+    and attributes — so the ExprCompiler resolves every shared xpath to
+    the identical kind/field path and the extracted VALUES are
+    bit-identical to the superset parse (asserted row-for-row in
+    tests/test_extract_990.py). This is schema/metadata work only: the
+    same documents are parsed, just into the fields the table actually
+    reads — the same contract as column pruning on a parquet scan."""
+    from ..plans.concordance import load_core_spec, table_rows
+
+    full_schema, full = build_return_schema()
+    hit = _SCOPED_CACHE.get(tables)
+    if hit is not None and hit[0] == id(full):
+        return hit[1]
+
+    xpaths: list[str] = []
+    core = load_core_spec()["vars"]
+    for var in ("EIN", "NAME", "FISYR", "FORMTYPE"):
+        spec = core[var]
+        xpaths += spec.get("xpaths", []) + spec.get("ez_xpaths", [])
+    for t in tables:
+        rows = table_rows(t)
+        if not rows:
+            raise KeyError(f"unknown rdb table {t!r}")
+        xpaths += [r["xpath"] for r in rows]
+
+    b = XmlSchemaBuilder()
+    for xp in xpaths:
+        parts = _strip(xp)
+        if parts and parts[-1].startswith("@"):
+            parts = parts[:-1]
+        src = full.root
+        dst = b.root
+        for seg in parts:
+            nxt = resolve_child_name(src, seg)
+            if nxt is None:  # not in the superset: nothing to copy
+                break
+            name, src = nxt
+            child = dst.children.get(name)
+            if child is None:
+                child = type(src)()
+                dst.children[name] = child
+            # exact flag copy: identical kind resolution + array shape
+            child.is_leaf = src.is_leaf
+            child.repeated = src.repeated
+            child.attrs |= src.attrs
+            dst = child
+    result = (
+        T.StructType(
+            list(b.build().fields)
+            + [T.StructField(CORRUPT_COL, T.StringType())]
+        ),
+        b,
+    )
+    _SCOPED_CACHE[tables] = (id(full), result)
+    return result
+
+
+def resolve_child_name(node, part):
+    """Like ``plans.xml_schema.resolve_child`` but returns the
+    (canonical child name, child) pair — the pruned copy must reuse the
+    superset's first-seen casing so case-variant siblings stay merged."""
+    hit = node.children.get(part)
+    if hit is not None:
+        return part, hit
+    low = part.lower()
+    return next(
+        (
+            (name, ch)
+            for name, ch in node.children.items()
+            if name.lower() == low
+        ),
+        None,
+    )
+
+
+def with_parsed_return(
+    df: DataFrame,
+    xml_col: str = "xml",
+    scope_tables: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Add ``doc`` (parsed struct) + ``object_id`` to a (url, xml) frame.
 
     Parsing is PERMISSIVE: malformed documents keep their raw text in
     ``doc._corrupt_record`` instead of failing the job — the Spark
     analog of the reference's per-URL try() + FAIL_LIST capture
-    (:5012-5017, :5047-5101); ``split_corrupt`` separates them."""
+    (:5012-5017, :5047-5101); ``split_corrupt`` separates them.
+
+    ``scope_tables``: parse with the PRUNED schema covering just those
+    tables (see :func:`scoped_return_schema`) — pair with
+    ``build_rdb_table(..., scope=...)`` so compile and parse share one
+    trie."""
+    if scope_tables is not None:
+        parse_schema, _ = scoped_return_schema(tuple(scope_tables))
+        return _with_doc(df, xml_col, parse_schema)
     schema, _ = build_return_schema()
     parse_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
+    return _with_doc(df, xml_col, parse_schema)
+
+
+def _with_doc(
+    df: DataFrame, xml_col: str, parse_schema: T.StructType
+) -> DataFrame:
     return df.withColumn(
         "doc",
         F.from_xml(
@@ -173,7 +285,9 @@ def split_corrupt(returns: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def read_return_xml_files(
-    spark: SparkSession, path_glob: str | list[str]
+    spark: SparkSession,
+    path_glob: str | list[str],
+    scope_tables: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Local/dev source: one row per XML file (wholetext).
 
@@ -185,7 +299,7 @@ def read_return_xml_files(
         F.input_file_name().alias("url"),
         F.col("value").alias("xml"),
     )
-    return with_parsed_return(raw)
+    return with_parsed_return(raw, scope_tables=scope_tables)
 
 
 def _bundle_columnar_batch_size(bundle_path: str) -> int | None:

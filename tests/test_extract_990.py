@@ -298,3 +298,76 @@ def test_presence_is_node_test_not_text_test(spark, tmp_path):
     row = build_core(df, columns=["EXEMPT501C", "EXEMPT501CNUM"]).collect()[0]
     assert row["EXEMPT501C"] == "501c"
     assert row["EXEMPT501CNUM"] == "3"
+
+
+@pytest.mark.parametrize(
+    "loc,table",
+    [
+        ("IRS990ScheduleN-PART-02", "MC-IRS990ScheduleN-PART-02-MANY"),
+        ("SCHED-A-PART-02", "MC-SCHED-A-PART-02-MANY"),
+    ],
+)
+def test_scoped_parse_matches_superset(spark, loc, table):
+    """The pruned per-table parse schema (r15 Catalyst-analysis
+    optimization) must be a pure plan-cost change: rows AND result
+    schema identical to the superset parse for the catalog MANY
+    slices that use it. The scoped trie copies every kept node's
+    flags from the superset (repeated/is_leaf/attrs), so shared
+    xpaths resolve to identical kinds — this pins that contract."""
+    from irs_990_efiler_database_spark.plans.concordance import (
+        register_catalog_many_table,
+    )
+
+    register_catalog_many_table(loc, table_name=table)
+    sup = build_rdb_table(read_return_xml_files(spark, GLOB), table)
+    sco = build_rdb_table(
+        read_return_xml_files(spark, GLOB, scope_tables=(table,)),
+        table,
+        scoped=True,
+    )
+    assert sco.schema == sup.schema
+    assert sorted(map(str, sco.collect())) == sorted(
+        map(str, sup.collect())
+    )
+
+
+def test_scoped_schema_prunes_and_preserves_flags():
+    """Driver-side contract of scoped_return_schema: far fewer leaves
+    than the superset, but every kept node keeps the superset's
+    repeated marking (the inner LiquidationDetail array another
+    table declares must stay an array in the pruned struct)."""
+    from pyspark.sql import types as T
+
+    from irs_990_efiler_database_spark.plans.concordance import (
+        register_catalog_many_table,
+    )
+    from irs_990_efiler_database_spark.sources.xml_source import (
+        build_return_schema,
+        scoped_return_schema,
+    )
+
+    name = register_catalog_many_table(
+        "IRS990ScheduleN-PART-02",
+        table_name="MC-IRS990ScheduleN-PART-02-MANY",
+    )
+    full, fb = build_return_schema()
+    sc, sb = scoped_return_schema((name,))
+
+    def leaves(dt):
+        if isinstance(dt, T.StructType):
+            return sum(leaves(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return leaves(dt.elementType)
+        return 1
+
+    assert leaves(sc) < leaves(full) / 5
+    # the nested group root declared by the hand-built SCHED-N tables
+    # must still be repeated inside the scoped trie
+    gp = (
+        "//Return/ReturnData/IRS990ScheduleN/LiquidationTable/"
+        "LiquidationDetail"
+    )
+    full_node = fb.node_at(gp)
+    scoped_node = sb.node_at(gp)
+    if full_node is not None and scoped_node is not None:
+        assert scoped_node.repeated == full_node.repeated
