@@ -138,6 +138,69 @@ def _adaptive_slices(sf_dir: str) -> int:
     return -(-n // STREAM_SLICE_ROWS)  # ceil; 1 at sf<=0.1
 
 
+def _drain_knobs(
+    spark: SparkSession,
+    sf_dir: str,
+    python_heavy: bool = False,
+    store: str = "hdfs",
+) -> dict:
+    """Scale-adaptive sizing for an availableNow drain of the events
+    feed (guide §5/§2.6, VERDICT r14 next-round #3): the per-drain
+    fixed cost is dominated by state-store instance churn — one store
+    open + commit PER state partition PER micro-batch (a stream-stream
+    join runs four stores per partition), and on the RocksDB provider
+    each instance is a native DB open — so a bounded backfill drain
+    wants FEW partitions on the cheap in-memory provider, while a
+    production stream wants the session's shuffle-partition count on
+    RocksDB.
+
+    Bounded-drain guard (the same fail-closed shape as catalog's scan
+    rebalance): the staged input's on-disk bytes must fit within one
+    normal task per core (cores × maxPartitionBytes). At 100 TB the
+    guard fails and the defaults revert to the session's RocksDB
+    provider with the session's shuffle-partition count — no local
+    constant ever reaches a real deployment.
+
+    Measured (interleaved A/B, sf0.1, min-of-3 per arm, r15):
+    stream-stream join 6.28 s @ 8 parts/RocksDB → 2.99-3.13 s @ 4
+    parts/HDFS; session-window agg 3.38 → 2.25; the
+    applyInPandasWithState sessionizer is PYTHON-bound, so it keeps 8
+    partitions for worker parallelism (8:hdfs 4.90 vs 4:hdfs 6.38) and
+    only drops the RocksDB churn. ``python_heavy`` selects that
+    profile. The transformWithState family measured the same shape —
+    8 parts 4.8-8.5 s vs 4 parts 5.2-10.7 s vs 2 parts 8.2-16.2 s
+    min-of-3 across all four TWS entries — and MUST stay on RocksDB
+    (the API refuses the HDFS provider), so TWS callers pass
+    ``python_heavy=True, store="rocksdb"`` and this helper only makes
+    their partition count scale-adaptive."""
+    import os
+
+    from ..catalog import _parse_bytes, table_path
+
+    try:
+        size = os.path.getsize(table_path(sf_dir, "events"))
+    except OSError:
+        size = None  # non-local storage: treat as production-scale
+    cores = spark.sparkContext.defaultParallelism
+    max_part = _parse_bytes(
+        spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
+    )
+    if size is None or size > cores * max_part:
+        # production scale: session shuffle partitions size the store
+        # count; TWS keeps its mandatory RocksDB pin, everything else
+        # uses the session provider (RocksDB in the tuned factory)
+        return {
+            "state_partitions": None,
+            "state_store": "rocksdb" if store == "rocksdb" else None,
+        }
+    return {
+        "state_partitions": 8 if python_heavy else 4,
+        "state_store": store,
+    }
+
+
 @register(
     "events_stream_tumbling",
     oracle="""
@@ -164,7 +227,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_tumbling_q", str(tmp / "ckpt"),
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -182,7 +245,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sliding_counts(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_sliding_q", str(tmp / "ckpt"),
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -241,7 +304,7 @@ def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = session_windows(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_sesswin_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -300,7 +363,7 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     stream = stateful_sessions(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_stateful_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir, python_heavy=True),
     )
 
 
@@ -370,6 +433,11 @@ def events_stream_state_introspection(
     tmp = Path(tempfile.mkdtemp(prefix="events_state_introspect_"))
     (tmp / "in").mkdir()
     _stage_events(sf_dir, tmp / "in")
+    # deliberately NOT on _drain_knobs: the r15 interleaved A/B
+    # measured this entry flat across providers/partitions (8:rocksdb
+    # 4.37-4.51 vs 8:hdfs 4.35 min-of-3 — the drain is python-bound),
+    # and keeping the RocksDB checkpoint unconditional avoids coupling
+    # the statestore READER path to the provider choice.
     run_available_now(
         stateful_sessions(stream_events(spark, str(tmp / "in"))),
         "events_state_introspect_q",
@@ -479,8 +547,7 @@ def events_stream_session_close_timers_tws(
         "events_stream_tws_timers_q",
         str(tmp / "ckpt"),
         output_mode="append",
-        state_partitions=8,
-        state_store="rocksdb",
+        **_drain_knobs(spark, sf_dir, python_heavy=True, store="rocksdb"),
     )
 
 
@@ -538,8 +605,7 @@ def events_stream_trailing_state_tws(
         "events_stream_tws_trail_q",
         str(tmp / "ckpt"),
         output_mode="append",
-        state_partitions=8,
-        state_store="rocksdb",
+        **_drain_knobs(spark, sf_dir, python_heavy=True, store="rocksdb"),
     )
 
 
@@ -599,11 +665,10 @@ def events_stream_running_totals_tws(
         # bounded drain pays a RocksDB instance + commit per state
         # partition per batch — 8 partitions measured 3.46 s vs 4.83 s
         # at 32 on the sf0.1 drain (state is 2 longs x 150 users)
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir, python_heavy=True, store="rocksdb"),
         # transformWithState requires the RocksDB provider; pin it
         # per-query so the drain works on ANY session, not just one
         # built by session.get_spark (which sets it globally)
-        state_store="rocksdb",
     )
 
 
@@ -703,8 +768,7 @@ def events_stream_running_totals_bootstrap_tws(
         "events_stream_tws_boot_q",
         str(tmp / "ckpt"),
         output_mode="append",
-        state_partitions=8,
-        state_store="rocksdb",
+        **_drain_knobs(spark, sf_dir, python_heavy=True, store="rocksdb"),
     )
 
 
@@ -744,7 +808,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("ts")
     return run_available_now(
         deduped, "events_stream_dedup_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -792,7 +856,7 @@ def events_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     joined = purchase_click_attribution(clicks, purchases)
     return run_available_now(
         joined, "events_stream_click_attr_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -860,7 +924,7 @@ def events_stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> D
         "events_stream_click_attr_outer_q",
         str(tmp / "ckpt"),
         output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -913,7 +977,7 @@ def events_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(
         agg, "events_stream_enrich_q", str(tmp / "ckpt"),
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -938,7 +1002,7 @@ def events_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_totals(stream_events(spark, str(tmp / "in")))
     return run_available_now(
         stream, "events_stream_running_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir, python_heavy=True, store="rocksdb"),
     )
 
 
@@ -981,7 +1045,7 @@ def events_stream_dedup_within_watermark(
         "events_stream_dedup_wm_q",
         str(tmp / "ckpt"),
         output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )
 
 
@@ -1054,5 +1118,5 @@ def events_stream_click_attribution_full(
     out = purchase_click_attribution_full(clicks, purchases)
     return run_available_now(
         out, "events_attr_full_q", str(tmp / "ckpt"), output_mode="append",
-        state_partitions=8,
+        **_drain_knobs(spark, sf_dir),
     )

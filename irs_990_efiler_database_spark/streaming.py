@@ -278,6 +278,10 @@ def stateful_sessions(
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 _CHANGELOG_CONF = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -313,6 +317,16 @@ def run_available_now(
     ``session.get_spark`` — a vanilla ``SparkSession.builder`` session
     must work too.
 
+    ``state_store="hdfs"``: pin the in-memory/HDFS-backed provider for
+    this drain. For a BOUNDED backfill drain whose whole state
+    trivially fits executor memory, each micro-batch's per-partition
+    RocksDB instance open+commit is pure fixed overhead (measured r15:
+    the stream-stream join — 4 stores per partition — dropped ~40%
+    interleaved A/B when the churn went away); the provider choice is
+    execution-only, results are identical and oracle-gated either way.
+    Callers guard it on input size (``events_streaming._drain_knobs``)
+    so production-scale state stays on the session's RocksDB default.
+
     ``sink_path``: write a parquet FILE sink there instead of the
     in-memory table and return a read of it. The memory sink cannot
     recover from an existing checkpoint ("This query does not support
@@ -338,7 +352,7 @@ def run_available_now(
     # Validate BEFORE any conf is pinned (ADVICE r8): raising after a
     # _pin but outside the try/finally would leak the pinned conf into
     # the session on the error path.
-    if state_store is not None and state_store != "rocksdb":
+    if state_store is not None and state_store not in ("rocksdb", "hdfs"):
         raise ValueError(f"unknown state_store: {state_store!r}")
     spark = stream.sparkSession
     saved: dict[str, str | None] = {}
@@ -352,6 +366,8 @@ def run_available_now(
     if state_store == "rocksdb":
         _pin(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
         _pin(_CHANGELOG_CONF, "true")
+    elif state_store == "hdfs":
+        _pin(_PROVIDER_CONF, _HDFS_PROVIDER)
     try:
         writer = (
             stream.writeStream.queryName(query_name)

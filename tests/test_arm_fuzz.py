@@ -121,6 +121,7 @@ def test_arm_corpus_bundle_source_extracts_identically(spark):
     assert not bad, f"{len(bad)} bundle-source docs diverge: {bad[:3]}"
 
 
+@pytest.mark.slow
 def test_every_rdb_arm_and_group_root_matches_golden(spark, tmp_path):
     """RDB tables (E3/E4 keyed explode): every ONE-arm and every
     (group root, leaf) MANY-arm — with TWO instances per group so the
@@ -218,6 +219,7 @@ def test_every_schedn_arm_and_group_vintage_matches_golden(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_master_crosswalk_slice_arms_match_golden(spark, tmp_path):
     """Master-crosswalk fuzz (G6): a deterministic, scope-diverse
     sample of the 1,683 LOCATIONs — including the largest

@@ -5,6 +5,8 @@ spark.catalog.clearCache(), so a consumer's own caches survive."""
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 from irs_990_efiler_database_spark.caching import (
@@ -30,6 +32,7 @@ def _wait_zero_engine(spark, consumer_blocks: int = 0, timeout: float = 20.0):
     return False
 
 
+@pytest.mark.slow
 def test_multi_query_session_leaves_zero_cached_rdds(spark):
     """A no-clearCache session composing the persisting builders ends
     with zero persistent RDDs after release_cached()."""

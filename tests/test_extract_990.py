@@ -300,6 +300,7 @@ def test_presence_is_node_test_not_text_test(spark, tmp_path):
     assert row["EXEMPT501CNUM"] == "3"
 
 
+@pytest.mark.slow  # the SUPERSET arm costs the full 1,900-leaf analysis
 @pytest.mark.parametrize(
     "loc,table",
     [

@@ -1172,6 +1172,7 @@ def test_fetch_to_bundle_https_tls_object_store(spark, tmp_path):
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_gen_bundle_distributed_parity_and_dirty_corpus(spark, tmp_path):
     """The executor-side corpus generator (mapInPandas path used above
     ~10k docs) emits byte-identical rows to the driver-side list path,
@@ -1203,6 +1204,7 @@ def test_gen_bundle_distributed_parity_and_dirty_corpus(spark, tmp_path):
     assert {r["reason"] for r in dl.collect()} == {"xml_parse_error"}
 
 
+@pytest.mark.slow
 def test_build_database_write_concurrency_serial_matches(spark, tmp_path):
     """write_concurrency=1 (the extract_scale A/B knob) produces the
     identical per-table row counts as the default overlapped writes."""

@@ -224,6 +224,7 @@ def test_master_many_slices_match_golden(spark, tmp_path):
         build_return_schema.cache_clear()
 
 
+@pytest.mark.slow
 def test_every_master_arm_value_matches_golden(spark, tmp_path, all_registered):
     from irs_990_efiler_database_spark.extract.compiler import ExprCompiler
     from irs_990_efiler_database_spark.extract.golden import golden_rdb_rows
@@ -350,6 +351,7 @@ def _ref_cast(wv, dtype: str):
     return wv
 
 
+@pytest.mark.slow
 def test_every_master_arm_value_matches_golden_typed(
     spark, tmp_path, all_registered
 ):
@@ -473,6 +475,7 @@ def test_every_master_arm_value_matches_golden_typed(
     )
 
 
+@pytest.mark.slow
 def test_master_coalesce_precedence_matches_golden(
     spark, tmp_path, all_registered
 ):
@@ -559,6 +562,7 @@ def test_master_coalesce_precedence_matches_golden(
     )
 
 
+@pytest.mark.slow
 def test_all_derived_catalog_many_slices_match_golden(spark, tmp_path):
     """VERDICT r12 next-round #2, closure: EVERY derived-catalog MANY
     slice (metadata/master_many_catalog.json — all master LOCATIONs

@@ -5,6 +5,8 @@ timestamps, single-row groups, all-rows-one-key)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -84,6 +86,7 @@ _rows = st.lists(
 
 @given(_rows)
 @SETTINGS
+@pytest.mark.slow
 def test_salted_aggregation_equals_direct(spark, rows):
     from irs_990_efiler_database_spark.operators.skew import salted_sum_count
     from pyspark.sql import functions as F
@@ -111,6 +114,7 @@ _vals = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_siz
 
 @given(_vals, st.integers(min_value=1, max_value=16))
 @SETTINGS
+@pytest.mark.slow
 def test_kmv_bottom_k_matches_reference(spark, values, k):
     """The KMV synopsis must equal the k smallest distinct reference
     hashes regardless of partitioning, duplication, or k vs

@@ -52,6 +52,7 @@ def test_driver_and_distributed_realistic_docs_are_byte_identical(
     assert got == want
 
 
+@pytest.mark.slow
 def test_full_build_matches_golden_at_realistic_shape(
     spark, realistic_bundle
 ):

@@ -1381,3 +1381,64 @@ def test_bootstrap_query_empty_feed_returns_typed_empty(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == [
         "user_id", "event_id", "n_cum", "v_cum_micros",
     ]
+
+
+def test_drain_knobs_scale_adaptive(spark, monkeypatch):
+    """r15 streaming-overhead optimization contract: bounded inputs
+    (the test SFs) get the measured cheap-drain profile — few
+    partitions on the in-memory provider, 8 partitions for
+    python-heavy operators, RocksDB kept when the API demands it —
+    and a production-scale input FAILS CLOSED to the session defaults
+    (no local constant reaches a real deployment)."""
+    from irs_990_efiler_database_spark.queries import events_streaming as es
+
+    sf = "/root/testdata/sf0.001"
+    assert es._drain_knobs(spark, sf) == {
+        "state_partitions": 4,
+        "state_store": "hdfs",
+    }
+    assert es._drain_knobs(spark, sf, python_heavy=True) == {
+        "state_partitions": 8,
+        "state_store": "hdfs",
+    }
+    assert es._drain_knobs(
+        spark, sf, python_heavy=True, store="rocksdb"
+    ) == {"state_partitions": 8, "state_store": "rocksdb"}
+
+    # production scale: fake a huge staged input -> session defaults
+    import os as _os
+
+    monkeypatch.setattr(
+        _os.path, "getsize", lambda p: 10 * 1024**4
+    )  # 10 TB
+    assert es._drain_knobs(spark, sf) == {
+        "state_partitions": None,
+        "state_store": None,
+    }
+    assert es._drain_knobs(spark, sf, store="rocksdb") == {
+        "state_partitions": None,
+        "state_store": "rocksdb",
+    }
+
+
+def test_run_available_now_hdfs_pin_restores_conf(spark, tmp_path, events_dir):
+    """state_store="hdfs" must pin the HDFS-backed provider for the
+    drain only and restore the session's provider afterwards."""
+    from irs_990_efiler_database_spark.streaming import (
+        _PROVIDER_CONF,
+        _ROCKSDB_PROVIDER,
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    before = spark.conf.get(_PROVIDER_CONF, None)
+    out = run_available_now(
+        tumbling_counts(stream_events(spark, str(events_dir))),
+        "knobs_hdfs_pin_q",
+        str(tmp_path / "ckpt"),
+        state_partitions=2,
+        state_store="hdfs",
+    )
+    assert out.count() > 0
+    assert spark.conf.get(_PROVIDER_CONF, None) == before == _ROCKSDB_PROVIDER
