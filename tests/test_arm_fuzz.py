@@ -86,6 +86,7 @@ def test_every_core_coalesce_arm_matches_golden(arm_corpus):
     )
 
 
+@pytest.mark.slow
 def test_arm_corpus_bundle_source_extracts_identically(spark):
     """The (url, xml) parquet BUNDLE source — the path a 3M-doc build
     actually uses — must extract every coalesce arm identically to the
@@ -171,6 +172,7 @@ def test_every_rdb_arm_and_group_root_matches_golden(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_every_schedn_arm_and_group_vintage_matches_golden(spark, tmp_path):
     """Schedule N (the reference's hand-rolled section, :2875-4140):
     every ONE-table xpath arm and every (group vintage, leaf vintage)

@@ -4,6 +4,8 @@ the same corpus (same tie rule: heaviest pair, then lexicographic)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -44,6 +46,7 @@ def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
     return merges
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference(spark):
     from irs_990_efiler_database_spark.operators.bpe import (
         bpe_encode_words,

@@ -66,6 +66,7 @@ def test_multi_query_session_leaves_zero_cached_rdds(spark):
     assert _wait_zero_engine(spark), "engine left cached RDDs behind"
 
 
+@pytest.mark.slow
 def test_release_does_not_touch_consumer_caches(spark):
     spark.catalog.clearCache()
     release_cached()

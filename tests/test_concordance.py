@@ -4,6 +4,8 @@ against each other and against the derived metadata."""
 
 from __future__ import annotations
 
+import pytest
+
 from irs_990_efiler_database_spark.plans.concordance import (
     concrete_groups,
     find_group_names,
@@ -84,6 +86,7 @@ def test_master_table_rows_shape_and_guard():
     assert schedule_guard(master_table_rows("F990-PF-PART-02")) is None
 
 
+@pytest.mark.slow
 def test_master_slice_multiversion_coalesce_values(spark):
     """Multi-version coalesce THROUGH the master path: the same
     variable (GGCRCTYEAR — gifts/grants received, current year) fills

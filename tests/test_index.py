@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from irs_990_efiler_database_spark.queries.index_ops import (
     _GLOB,
     _golden_index_rows,
@@ -37,6 +39,7 @@ def test_ein_filter_is_broadcast_semi_join(spark):
     assert out.count() == 3  # one filing per fixture year
 
 
+@pytest.mark.slow
 def test_custom_python_datasource_matches_native_reader(spark):
     """The Spark-4 Python DataSource connector must return exactly the
     rows the plan-native wholetext+from_json reader returns, with one
@@ -417,6 +420,7 @@ def _corrupt_keeping_stat(p) -> None:
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
 
 
+@pytest.mark.slow
 def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
     """Spark-4.1 Python DataSource FILTER PUSHDOWN (opt-in
     .option("pushdown","true") + spark.sql.python.filterPushdown.enabled):
@@ -556,6 +560,7 @@ def test_pushdown_reader_filters_and_prunes_files(spark, tmp_path):
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
 
 
+@pytest.mark.slow
 def test_pushdown_manifest_pruning_survives_cross_year_objectid(
     spark, tmp_path
 ):
@@ -631,6 +636,7 @@ def test_pushdown_manifest_pruning_survives_cross_year_objectid(
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
 
 
+@pytest.mark.slow
 def test_pushdown_manifest_multi_dir_and_short_objectid(spark, tmp_path):
     """Two pruning-evidence edge cases (r12 review findings): (1) a
     multi-directory glob with COLLIDING basenames — each directory gets

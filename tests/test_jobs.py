@@ -112,6 +112,7 @@ def test_index_csv_export_roundtrip(spark, tmp_path):
     assert set(back.columns) == set(idx.columns)
 
 
+@pytest.mark.slow
 def test_index_scoped_build(spark, tmp_path):
     from irs_990_efiler_database_spark.queries.index_ops import _GLOB
     from irs_990_efiler_database_spark.sources.index import build_index
@@ -137,6 +138,7 @@ def test_index_scoped_build(spark, tmp_path):
     assert res.rows["CORE"] == 2
 
 
+@pytest.mark.slow
 def test_incremental_build_processes_only_new_files(spark, tmp_path):
     """Streaming incremental build: first run extracts the staged
     bundles; a catch-up run with no new files processes nothing; a
@@ -291,6 +293,7 @@ def test_index_stata_export_roundtrip(spark, tmp_path):
     assert sorted(back["ObjectId"]) == want
 
 
+@pytest.mark.slow
 def test_fetch_to_bundle_file_urls_end_to_end(spark, tmp_path):
     """The distributed fetcher over file:// URLs (the same urllib path
     https takes): good URLs land in the bundle, a missing object
@@ -1233,6 +1236,7 @@ def test_build_database_write_concurrency_serial_matches(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_realistic_size_corpus_inflates_and_extracts(spark, tmp_path):
     """gen_bundle(realistic_size=True) (VERDICT r11 #1): every doc
     lands in the 50-250 KB band real filings occupy, the added bytes

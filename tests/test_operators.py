@@ -5,6 +5,8 @@ math)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from irs_990_efiler_database_spark.catalog import load_table
@@ -102,6 +104,7 @@ def test_minhash_prefilter_skipped_at_banding_floor(spark):
     assert n_joins_est > n_joins_default
 
 
+@pytest.mark.slow
 def test_simhash_finds_planted_neardups(spark):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -586,6 +589,7 @@ def test_guarded_join_outer_counts_unmatched(spark):
         guarded_join(left, right, ["k"], "cross", max_output_rows=5)
 
 
+@pytest.mark.slow
 def test_exact_ntile_matches_window_ntile(spark):
     """Distributed exact_ntile is bit-identical to F.ntile under the
     same total order, for n < total, n ~ total, and n > total, and the

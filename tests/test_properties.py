@@ -49,6 +49,7 @@ def _reference(dataset):
 
 @given(_dataset)
 @SETTINGS
+@pytest.mark.slow
 def test_asof_join_matches_reference(spark, dataset):
     clicks = [
         (k, i, ct)
@@ -149,6 +150,7 @@ _texts = st.lists(
 
 @given(_texts)
 @SETTINGS
+@pytest.mark.slow
 def test_chunker_round_trips_tokens(spark, texts):
     """Fixed-size chunking must partition each document's token stream
     exactly: chunk sizes sum to the token count, every chunk except the
@@ -194,6 +196,7 @@ _bucket_rows = st.lists(
 
 @given(_bucket_rows, st.integers(1, 8))
 @SETTINGS
+@pytest.mark.slow
 def test_cap_hot_buckets_invariants(spark, rows, cap):
     """(a) no surviving bucket exceeds the cap; (b) every under-cap
     row survives untouched; (c) survivors ∪ dropped-bucket members
@@ -236,6 +239,7 @@ _tie_rows = st.lists(
 
 @given(st.integers(0, 10), _tie_rows)
 @SETTINGS
+@pytest.mark.slow
 def test_asof_backward_tie_col_matches_reference(spark, left_ts, right_rows):
     """With tie_col, the backward as-of must pick the LATEST ts ≤ left
     and, among equal timestamps, the SMALLEST tie value — the oracle's
@@ -264,6 +268,7 @@ _word = st.text(alphabet="ab", min_size=1, max_size=8)
 
 @given(st.lists(_word, min_size=1, max_size=8), st.integers(1, 4))
 @SETTINGS
+@pytest.mark.slow
 def test_bpe_train_matches_reference_on_random_corpora(spark, words, n):
     """The distributed trainer's merge sequence equals the pure-Python
     Sennrich reference on adversarial two-letter corpora (maximal tie
@@ -291,6 +296,7 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, words, n):
     st.integers(1, 6),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_exact_ntile_matches_pure_python_ntile(spark, vals, n, parts):
     """exact_ntile equals the ANSI NTILE rule computed in pure Python
     over the sorted (value, id) order — across heavy-tie inputs, n
@@ -412,6 +418,7 @@ def _ess_reference(docs, w):
 
 @SETTINGS
 @given(_ess_corpus)
+@pytest.mark.slow
 def test_exact_substring_spans_match_bruteforce(spark, docs):
     """The distributed window-hash + gaps-and-islands span merge must
     reproduce a literal brute-force substring comparison on arbitrary
@@ -512,6 +519,7 @@ def test_time_sliced_staging_partitions_exactly(tmp_path_factory, rows, k):
 
 @given(_texts)
 @SETTINGS
+@pytest.mark.slow
 def test_overlap_chunker_covers_every_token(spark, texts):
     """Strided chunking (64-token windows, 48-token stride) must cover
     the token stream exactly: chunk_ix contiguous from 0, start_tok on
@@ -560,6 +568,7 @@ def test_overlap_chunker_covers_every_token(spark, texts):
 
 @given(_texts)
 @SETTINGS
+@pytest.mark.slow
 def test_repetition_removal_matches_pure_python(spark, texts):
     """Within-doc paragraph dedup vs an independent pure-Python model:
     10-token paragraphs, first-paragraph re-append for doc_id % 5 == 0,

@@ -372,6 +372,7 @@ def test_dsir_upweights_target_language(spark):
     assert sum(en) / len(en) > sum(rest) / len(rest)
 
 
+@pytest.mark.slow
 def test_signgd_matches_pure_python_reimplementation(spark):
     """The distributed signSGD trainer must reproduce, bit for bit, a
     from-scratch single-threaded reimplementation of the same integer

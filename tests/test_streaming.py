@@ -114,6 +114,7 @@ def test_session_window_append_emits_closed_sessions(spark, tmp_path, events_dir
     ).distinct().count()
 
 
+@pytest.mark.slow
 def test_stateful_sessions_multibatch_deterministic(spark, tmp_path):
     """State must carry across micro-batches: splitting the source
     into two files (two availableNow batches, maxFilesPerTrigger=1)
@@ -449,6 +450,7 @@ def test_tws_session_close_timers_event_time(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == want
 
 
+@pytest.mark.slow
 def test_tws_session_close_timers_batch_invariant(spark, tmp_path):
     """Property check of the operator's core claim: the emitted
     session set is a pure function of (data, final watermark) —
@@ -1292,6 +1294,7 @@ def test_state_reader_batch_id_time_travel(spark, tmp_path):
     assert _snap() == {1: (2, 3_000_000), 2: (1, 5_000_000)}
 
 
+@pytest.mark.slow
 def test_bootstrap_query_bounded_multibatch_matches_single(
     spark, tmp_path, monkeypatch
 ):

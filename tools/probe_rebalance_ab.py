@@ -28,7 +28,14 @@ def main() -> None:
     ap.add_argument("targets", nargs="+", help="module:query")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: force the rebalance only for these tables "
+        "(others keep their call-site default) — e.g. lineitem,orders",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     from irs_990_efiler_database_spark.queries import all_queries
     from irs_990_efiler_database_spark.session import get_spark
@@ -54,6 +61,8 @@ def main() -> None:
 
         def patched_factory(force: bool):
             def patched(spark_, sf_dir_, name_, rebalance=None):
+                if only is not None and name_ not in only:
+                    return orig(spark_, sf_dir_, name_, rebalance=rebalance)
                 return orig(spark_, sf_dir_, name_, rebalance=force)
 
             return patched
